@@ -1,0 +1,237 @@
+"""The Generator scene/state API — render seeded Gaussian random fields.
+
+Reference parity: ``randomfield/generate.py:Generator`` — constructor does
+the expensive scene setup once (sigma(k) tabulation, cosmological
+evolution, transform setup), then each ``generate_delta_field(seed)``
+renders one realization reusing that state (SURVEY.md sections 3.1-3.2).
+
+TPU-native design: the whole per-seed render — counter-based Hermitian
+mode sampling, sigma scaling, Gaussian mode filtering, packed c2r inverse
+FFT, lightcone growth weighting — is ONE jitted XLA program (the north
+star's "fused render pass").  Sampling + scaling + filtering fuse into a
+single pass over the half-spectrum; the smoothing length is a traced
+scalar so changing it never recompiles.  Ensembles ``vmap`` the same
+program over a seed axis, ready to shard over a data-parallel mesh axis
+(see randomfield_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from randomfield_tpu.engine import scene as _scene
+from randomfield_tpu.models import cosmology as _cosmo
+from randomfield_tpu.ops import grid as _grid
+from randomfield_tpu.ops import power as _power
+from randomfield_tpu.ops import sample as _sample
+from randomfield_tpu.ops import transform as _transform
+
+__all__ = ["Generator", "render", "render_from_noise", "seeds_to_keys"]
+
+
+def _render_from_noise_impl(draws, sigmas, weights, smoothing_length, shape, spacing):
+    nx, ny, nz = shape
+    real_dtype = draws.dtype
+    z = jax.lax.complex(draws[0], draws[1]) * jnp.asarray(
+        _sample._INV_SQRT2, real_dtype
+    )
+    z = _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
+    c = z * sigmas.astype(real_dtype)
+    c = _power.filter_modes(c, shape, spacing, smoothing_length)
+    delta = _transform.irfftn(c, shape, norm="forward")
+    return delta * weights[None, None, :]
+
+
+def _render_impl(key, sigmas, weights, smoothing_length, shape, spacing):
+    nx, ny, nz = shape
+    draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), dtype=sigmas.dtype)
+    return _render_from_noise_impl(
+        draws, sigmas, weights, smoothing_length, shape, spacing
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "spacing"))
+def render_from_noise(draws, sigmas, weights, smoothing_length, shape, spacing):
+    """Render from externally supplied unit normal draws (2, nx, ny, nzh).
+
+    This is the algebra-only path used to pin conventions against the
+    float64 oracle (validate/oracle.py:render_from_noise): symmetrize ->
+    scale by sigma -> filter -> irfftn -> lightcone weighting.
+    """
+    return _render_from_noise_impl(
+        draws, sigmas, weights, smoothing_length, shape, spacing
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "spacing"))
+def render(key, sigmas, weights, smoothing_length, shape, spacing):
+    """One fused seeded render: sample -> filter -> irfftn -> lightcone."""
+    return _render_impl(key, sigmas, weights, smoothing_length, shape, spacing)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "spacing"))
+def _render_batch(keys, sigmas, weights, smoothing_length, shape, spacing):
+    def one(k):
+        return _render_impl(k, sigmas, weights, smoothing_length, shape, spacing)
+
+    return jax.vmap(one)(keys)
+
+
+def seeds_to_keys(seeds):
+    """Vectorized integer seeds -> typed PRNG keys."""
+    seeds = jnp.asarray(seeds)
+    if jnp.issubdtype(seeds.dtype, jax.dtypes.prng_key):
+        return seeds
+    return jax.vmap(jax.random.key)(seeds.astype(jnp.uint32))
+
+
+def _as_key(seed):
+    if hasattr(seed, "dtype") and jnp.issubdtype(
+        jnp.asarray(seed).dtype, jax.dtypes.prng_key
+    ):
+        return seed
+    return jax.random.key(int(seed))
+
+
+class Generator:
+    """Generate 3-D Gaussian random density fields with a given P(k).
+
+    Parameters (mirroring randomfield/generate.py:Generator.__init__):
+
+    nx, ny, nz : grid dimensions; the z axis is the line of sight.
+    grid_spacing : comoving grid spacing in Mpc/h.
+    cosmology : a :class:`randomfield_tpu.models.cosmology.Cosmology`,
+        a preset name ('Planck13'...), or None for the default Planck13.
+    power : tabulated P(k) — (k, Pk) in h/Mpc, (Mpc/h)^3 — or None for
+        the default linear table (ref: powertools.load_default_power).
+    interpolation : 'log10k' (reference behavior) or 'loglog'.
+    dtype : render precision (float32 is native on TPU; the statistical
+        fidelity gate runs against the float64 oracle).
+    z0 : redshift of the nearest plane of the lightcone.
+    verbose : print per-stage timings (ref: the verbose ctor flag).
+
+    The constructor performs all O(N^3) precomputation; every
+    ``generate_delta_field`` call is one compiled device program.
+    """
+
+    def __init__(self, nx, ny, nz, grid_spacing, cosmology=None, power=None,
+                 interpolation="log10k", dtype=jnp.float32, z0=0.0,
+                 verbose=False):
+        t0 = time.perf_counter()
+        self.cosmology = _cosmo.create_cosmology(cosmology)
+        self.scene = _scene.Scene(
+            nx=int(nx), ny=int(ny), nz=int(nz), grid_spacing=float(grid_spacing),
+            cosmology=self.cosmology, interpolation=interpolation, dtype=dtype,
+            z0=float(z0),
+        )
+        if power is None:
+            power = _power.load_default_power()
+        self.state, self._aux = _scene.build_state(self.scene, power)
+        self.verbose = bool(verbose)
+        if self.verbose:
+            mb = self.state.sigmas.size * self.state.sigmas.dtype.itemsize / 2**20
+            print(
+                f"[randomfield_tpu] scene setup {time.perf_counter() - t0:.3f}s, "
+                f"sigma grid {mb:.1f} MiB, k in [{self.k_min:.4g}, {self.k_max:.4g}] h/Mpc"
+            )
+
+    # ---- introspection ------------------------------------------------------
+    @property
+    def shape(self):
+        return self.scene.shape
+
+    @property
+    def grid_spacing(self):
+        return self.scene.grid_spacing
+
+    @property
+    def power(self):
+        """The validated power table in use."""
+        return self._aux["power"]
+
+    @property
+    def redshifts(self):
+        """Redshift of each z plane (host float64)."""
+        return self._aux["redshifts"]
+
+    @property
+    def growth_function(self):
+        """D(z)/D(0) of each z plane (host float64)."""
+        return self._aux["growth"]
+
+    @property
+    def k_min(self):
+        return self.scene.k_bounds[0]
+
+    @property
+    def k_max(self):
+        return self.scene.k_bounds[1]
+
+    @property
+    def sigmas(self):
+        """The precomputed per-mode sigma grid (device array)."""
+        return self.state.sigmas
+
+    def predicted_variance(self, smoothing_length=0.0):
+        """Exact expected variance of a (non-lightcone) field."""
+        from randomfield_tpu.validate import oracle
+
+        table = self._aux["power"]
+        return oracle.predicted_variance(
+            self.scene.shape, self.scene.grid_spacing, (table.k, table.Pk),
+            smoothing_length, self.scene.interpolation,
+        )
+
+    # ---- rendering -----------------------------------------------------------
+    def _weights(self, apply_lightcone):
+        if apply_lightcone:
+            return self.state.lightcone_weights
+        return jnp.ones_like(self.state.lightcone_weights)
+
+    def generate_delta_field(self, seed=0, smoothing_length=0.0,
+                             apply_lightcone=True):
+        """Render one realization (ref: generate.py generate method).
+
+        Returns the (nx, ny, nz) real density contrast field delta(x) as a
+        device array.  Fixed seed => bit-identical field.
+        """
+        t0 = time.perf_counter()
+        out = render(
+            _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
+            jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+            self.scene.shape, self.scene.grid_spacing,
+        )
+        if self.verbose:
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+            ncells = np.prod(self.scene.shape)
+            print(
+                f"[randomfield_tpu] render seed={seed}: {dt * 1e3:.1f} ms "
+                f"({ncells / dt / 1e9:.2f} Gcells/s)"
+            )
+        return out
+
+    def generate_delta_fields(self, seeds, smoothing_length=0.0,
+                              apply_lightcone=True):
+        """Render a batch of seeds as one vmapped program (ensemble mode).
+
+        The leading axis of the result is the seed axis; shard it over a
+        'data' mesh axis for data-parallel covariance studies (config 4).
+        """
+        keys = seeds_to_keys(seeds)
+        return _render_batch(
+            keys, self.state.sigmas, self._weights(apply_lightcone),
+            jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+            self.scene.shape, self.scene.grid_spacing,
+        )
+
+    def calculate_power(self, delta, nbins=32):
+        """Realized binned P(k) of a rendered field (validation helper)."""
+        from randomfield_tpu.validate import stats
+
+        return stats.calculate_power(delta, self.scene.grid_spacing, nbins)

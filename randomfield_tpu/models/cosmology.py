@@ -1,0 +1,196 @@
+"""Flat Lambda-CDM background cosmology — no astropy dependency.
+
+Reference parity: ``randomfield/cosmotools.py`` (``create_cosmology``,
+``get_redshifts``, ``get_growth_function``).  The reference leans on
+astropy's ``FlatLambdaCDM`` (default Planck13) plus scipy quadrature; here
+the two integrals it needs — comoving distance and the linear growth
+factor — are ~100 lines of float64 numpy evaluated once at scene-setup
+time (they are O(table), not O(N^3), so they stay on host in f64 and ship
+to the device as f32 constants).
+
+Simplification vs astropy: neutrinos are treated as massless (energy
+density scaled by Neff); astropy's Planck13 includes one 0.06 eV species.
+This shifts distances/growth at the <0.5% level and is self-consistent
+between the engine and the float64 oracle, which is what the statistical
+fidelity gate checks (SURVEY.md section 3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+__all__ = [
+    "Cosmology",
+    "Planck13",
+    "Planck15",
+    "Planck18",
+    "create_cosmology",
+    "get_redshifts",
+    "get_growth_function",
+]
+
+C_KM_S = 299792.458  # speed of light [km/s]
+
+
+@dataclasses.dataclass(frozen=True)
+class Cosmology:
+    """Flat Lambda-CDM parameters (hashable; safe to embed in a jit-static Scene).
+
+    Parameters mirror astropy's ``FlatLambdaCDM`` plus the primordial tilt
+    and normalization needed by the power-spectrum model.
+    """
+
+    H0: float = 67.77  # [km/s/Mpc]
+    Om0: float = 0.30712  # total matter today
+    Ob0: float = 0.048252  # baryons today
+    Tcmb0: float = 2.7255  # [K]
+    Neff: float = 3.046  # effective massless neutrino species
+    ns: float = 0.9611  # scalar spectral index
+    sigma8: float = 0.8288  # linear rms in 8 Mpc/h spheres at z=0
+    name: str = "Planck13"
+
+    # ---- derived densities -------------------------------------------------
+    @property
+    def h(self) -> float:
+        return self.H0 / 100.0
+
+    @property
+    def Ogamma0(self) -> float:
+        # Omega_gamma h^2 = 2.47282e-5 at Tcmb = 2.7255 K, scaling as T^4.
+        return 2.47282e-5 * (self.Tcmb0 / 2.7255) ** 4 / self.h**2
+
+    @property
+    def Onu0(self) -> float:
+        # massless neutrinos: (7/8) (4/11)^(4/3) per species
+        return self.Neff * 0.2271073 * self.Ogamma0
+
+    @property
+    def Or0(self) -> float:
+        return self.Ogamma0 + self.Onu0
+
+    @property
+    def Ode0(self) -> float:
+        return 1.0 - self.Om0 - self.Or0
+
+    @property
+    def hubble_distance(self) -> float:
+        """c / H0 [Mpc]."""
+        return C_KM_S / self.H0
+
+    # ---- background --------------------------------------------------------
+    def efunc(self, z):
+        """E(z) = H(z)/H0 for the flat model with radiation."""
+        zp1 = 1.0 + np.asarray(z, dtype=np.float64)
+        return np.sqrt(self.Or0 * zp1**4 + self.Om0 * zp1**3 + self.Ode0)
+
+    def _efunc_matter_lambda(self, a):
+        """E(a) with matter + Lambda only (the sector that clusters).
+
+        The closed-form growth integral below is exact for matter+Lambda;
+        radiation is excluded there by convention (documented above).
+        """
+        a = np.asarray(a, dtype=np.float64)
+        return np.sqrt(self.Om0 / a**3 + 1.0 - self.Om0)
+
+    @functools.cached_property
+    def _distance_table(self):
+        """Dense (z, Dc[Mpc]) table for interpolation, z in [0, 100]."""
+        z = np.concatenate(
+            [np.linspace(0.0, 20.0, 40001), np.linspace(20.0, 100.0, 8001)[1:]]
+        )
+        integrand = 1.0 / self.efunc(z)
+        dc = np.zeros_like(z)
+        dz = np.diff(z)
+        dc[1:] = np.cumsum(0.5 * dz * (integrand[1:] + integrand[:-1]))
+        return z, self.hubble_distance * dc
+
+    def comoving_distance(self, z):
+        """Line-of-sight comoving distance [Mpc] (flat: also transverse)."""
+        zt, dt = self._distance_table
+        return np.interp(np.asarray(z, dtype=np.float64), zt, dt)
+
+    def redshift_at_comoving_distance(self, dc_mpc):
+        """Inverse of :meth:`comoving_distance` by monotone interpolation."""
+        zt, dt = self._distance_table
+        dc = np.asarray(dc_mpc, dtype=np.float64)
+        if np.any(dc > dt[-1]):
+            raise ValueError(
+                f"comoving distance {float(np.max(dc)):.1f} Mpc beyond tabulated "
+                f"z <= {zt[-1]:.0f} (box too deep for the distance table)"
+            )
+        return np.interp(dc, dt, zt)
+
+    def growth_function(self, z):
+        """Linear growth factor D(z), normalized so D(0) = 1.
+
+        D(a) proportional to E(a) * integral_0^a da' / (a' E(a'))^3 — the
+        exact matter+Lambda solution (ref: cosmotools.get_growth_function,
+        SURVEY.md section 3.4).  Evaluated by trapezoid on a log-a grid.
+        """
+        z = np.asarray(z, dtype=np.float64)
+        a_eval = 1.0 / (1.0 + z)
+        # cumulative integral on a fixed fine log-a grid
+        lna = np.linspace(np.log(1e-8), 0.0, 20001)
+        a = np.exp(lna)
+        f = 1.0 / (a * self._efunc_matter_lambda(a)) ** 3 * a  # d(lna) measure
+        cum = np.zeros_like(a)
+        dl = np.diff(lna)
+        cum[1:] = np.cumsum(0.5 * dl * (f[1:] + f[:-1]))
+        d_unnorm = self._efunc_matter_lambda(a) * cum
+        d_of_a = lambda aq: np.interp(np.log(aq), lna, d_unnorm)
+        return d_of_a(a_eval) / d_of_a(1.0)
+
+
+Planck13 = Cosmology()
+Planck15 = Cosmology(
+    H0=67.74, Om0=0.3089, Ob0=0.0486, ns=0.9667, sigma8=0.8159, name="Planck15"
+)
+Planck18 = Cosmology(
+    H0=67.66, Om0=0.30966, Ob0=0.04897, ns=0.9665, sigma8=0.8102, name="Planck18"
+)
+
+_NAMED = {"planck13": Planck13, "planck15": Planck15, "planck18": Planck18}
+
+
+def create_cosmology(name_or_cosmology="Planck13") -> Cosmology:
+    """Cosmology factory (ref: cosmotools.create_cosmology).
+
+    Accepts a :class:`Cosmology`, a preset name, or None (default Planck13).
+    """
+    if name_or_cosmology is None:
+        return Planck13
+    if isinstance(name_or_cosmology, Cosmology):
+        return name_or_cosmology
+    try:
+        return _NAMED[str(name_or_cosmology).lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown cosmology {name_or_cosmology!r}; expected one of "
+            f"{sorted(_NAMED)} or a Cosmology instance"
+        ) from None
+
+
+def get_redshifts(cosmology, nz, spacing, scaled_by_h=True, z0=0.0):
+    """Redshift of each grid plane along the line of sight.
+
+    Plane ``i`` sits at comoving distance ``offset + i * spacing`` from the
+    observer, where ``offset = comoving_distance(z0)``; its redshift comes
+    from inverting the comoving-distance relation (ref:
+    cosmotools.get_redshifts).  ``spacing`` is in Mpc/h when
+    ``scaled_by_h`` (the reference's convention), else Mpc.
+    """
+    cosmology = create_cosmology(cosmology)
+    d = np.arange(nz, dtype=np.float64) * spacing
+    if scaled_by_h:
+        d = d / cosmology.h
+    d = d + cosmology.comoving_distance(z0)
+    return cosmology.redshift_at_comoving_distance(d)
+
+
+def get_growth_function(cosmology, redshifts):
+    """D(z)/D(0) at the given redshifts (ref: cosmotools.get_growth_function)."""
+    cosmology = create_cosmology(cosmology)
+    return cosmology.growth_function(np.asarray(redshifts, dtype=np.float64))
