@@ -113,6 +113,11 @@ class Generator:
     dtype : render precision (float32 is native on TPU; the statistical
         fidelity gate runs against the float64 oracle).
     z0 : redshift of the nearest plane of the lightcone.
+    mesh : optional ``jax.sharding.Mesh`` with axes ('data', 'space') from
+        :func:`randomfield_tpu.parallel.mesh.make_mesh`.  'space' > 1
+        shards the grid spatially (slab decomposition + distributed
+        irfftn, config 5); 'data' > 1 shards ensemble seed batches
+        (config 4).  None = single device.
     verbose : print per-stage timings (ref: the verbose ctor flag).
 
     The constructor performs all O(N^3) precomputation; every
@@ -121,7 +126,7 @@ class Generator:
 
     def __init__(self, nx, ny, nz, grid_spacing, cosmology=None, power=None,
                  interpolation="log10k", dtype=jnp.float32, z0=0.0,
-                 verbose=False):
+                 mesh=None, verbose=False):
         t0 = time.perf_counter()
         self.cosmology = _cosmo.create_cosmology(cosmology)
         self.scene = _scene.Scene(
@@ -132,6 +137,16 @@ class Generator:
         if power is None:
             power = _power.load_default_power()
         self.state, self._aux = _scene.build_state(self.scene, power)
+        self.mesh = mesh
+        if mesh is not None:
+            from randomfield_tpu.parallel.dfft import _check_divisible
+            from randomfield_tpu.parallel.mesh import SPACE_AXIS, spectrum_sharding
+
+            _check_divisible(self.scene.shape, mesh.shape.get(SPACE_AXIS, 1))
+
+            self.state = self.state._replace(
+                sigmas=jax.device_put(self.state.sigmas, spectrum_sharding(mesh))
+            )
         self.verbose = bool(verbose)
         if self.verbose:
             mb = self.state.sigmas.size * self.state.sigmas.dtype.itemsize / 2**20
@@ -201,11 +216,22 @@ class Generator:
         device array.  Fixed seed => bit-identical field.
         """
         t0 = time.perf_counter()
-        out = render(
-            _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
-            jnp.asarray(smoothing_length, self.state.sigmas.dtype),
-            self.scene.shape, self.scene.grid_spacing,
-        )
+        if self.mesh is not None:
+            from randomfield_tpu.parallel.render import make_sharded_render
+
+            fn = make_sharded_render(
+                self.mesh, self.scene.shape, self.scene.grid_spacing
+            )
+            out = fn(
+                _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
+                jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+            )
+        else:
+            out = render(
+                _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
+                jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+                self.scene.shape, self.scene.grid_spacing,
+            )
         if self.verbose:
             out.block_until_ready()
             dt = time.perf_counter() - t0
@@ -224,6 +250,16 @@ class Generator:
         'data' mesh axis for data-parallel covariance studies (config 4).
         """
         keys = seeds_to_keys(seeds)
+        if self.mesh is not None:
+            from randomfield_tpu.parallel.render import make_sharded_render_batch
+
+            fn = make_sharded_render_batch(
+                self.mesh, self.scene.shape, self.scene.grid_spacing
+            )
+            return fn(
+                keys, self.state.sigmas, self._weights(apply_lightcone),
+                jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+            )
         return _render_batch(
             keys, self.state.sigmas, self._weights(apply_lightcone),
             jnp.asarray(smoothing_length, self.state.sigmas.dtype),

@@ -111,15 +111,16 @@ def get_k_bounds(shape, spacing) -> tuple[float, float]:
 
 
 def conjugate_plane(z):
-    """Map a (nx, ny) plane c(kx, ky) -> conj(c(-kx, -ky)).
+    """Map a (..., nx, ny) plane c(kx, ky) -> conj(c(-kx, -ky)).
 
-    The index map j -> (-j) mod n is flip followed by a one-step roll; XLA
+    Operates on the last two axes (leading batch axes pass through).  The
+    index map j -> (-j) mod n is flip followed by a one-step roll; XLA
     lowers both to cheap layout ops (and to a small collective permute when
     the plane is sharded).
     """
     out = jnp.conj(z)
-    out = jnp.roll(jnp.flip(out, axis=0), 1, axis=0)
-    out = jnp.roll(jnp.flip(out, axis=1), 1, axis=1)
+    out = jnp.roll(jnp.flip(out, axis=-2), 1, axis=-2)
+    out = jnp.roll(jnp.flip(out, axis=-1), 1, axis=-1)
     return out
 
 

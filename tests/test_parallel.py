@@ -1,0 +1,123 @@
+"""Distributed execution tests on the 8-virtual-device CPU mesh.
+
+The key invariant (SURVEY.md section 4, distributed tests): sharded
+output equals single-device output for any mesh shape — JAX's
+partitionable Threefry makes sampling layout-independent, and the slab
+FFT is algebraically the same transform.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randomfield_tpu import Generator
+from randomfield_tpu.parallel import dfft
+from randomfield_tpu.parallel import mesh as M
+
+
+def _mesh(data, space):
+    return M.make_mesh(data=data, space=space)
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("space", [1, 2, 4, 8])
+def test_irfftn_slab_matches_numpy(space):
+    mesh = _mesh(1, space)
+    shape = (16, 8, 12)
+    rng = np.random.RandomState(0)
+    c_np = (
+        rng.normal(size=(16, 8, 7)) + 1j * rng.normal(size=(16, 8, 7))
+    ).astype(np.complex64)
+    c = jax.device_put(jnp.asarray(c_np), M.spectrum_sharding(mesh))
+    out = jax.jit(lambda c: dfft.irfftn_slab(c, shape, mesh))(c)
+    ref = np.fft.irfftn(c_np, s=shape, axes=(0, 1, 2), norm="forward")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=1e-4)
+
+
+def test_rfftn_irfftn_slab_roundtrip():
+    mesh = _mesh(2, 4)
+    shape = (16, 16, 16)
+    rng = np.random.RandomState(1)
+    x_np = rng.normal(size=shape).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_np), M.field_sharding(mesh))
+
+    @jax.jit
+    def roundtrip(x):
+        c = dfft.rfftn_slab(x, shape, mesh)
+        return dfft.irfftn_slab(c, shape, mesh) / np.prod(shape)
+
+    np.testing.assert_allclose(np.asarray(roundtrip(x)), x_np, atol=2e-5)
+
+
+def test_rfftn_slab_matches_numpy_batched():
+    mesh = _mesh(2, 2)
+    shape = (8, 8, 8)
+    rng = np.random.RandomState(2)
+    x_np = rng.normal(size=(4,) + shape).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_np), M.field_sharding(mesh, batched=True))
+    c = jax.jit(lambda x: dfft.rfftn_slab(x, shape, mesh, batched=True))(x)
+    ref = np.fft.rfftn(x_np, axes=(1, 2, 3), norm="backward")
+    np.testing.assert_allclose(np.asarray(c), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("data,space", [(1, 2), (1, 8), (2, 4), (8, 1)])
+def test_sharded_render_equals_single_device(data, space):
+    shape, spacing = (16, 16, 16), 8.0
+    g0 = Generator(*shape, grid_spacing=spacing)
+    g1 = Generator(*shape, grid_spacing=spacing, mesh=_mesh(data, space))
+    for seed in (0, 7):
+        a = np.asarray(g0.generate_delta_field(seed))
+        b = np.asarray(g1.generate_delta_field(seed))
+        scale = np.std(a)
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=2e-4)
+
+
+def test_sharded_render_mesh_shape_invariance():
+    # same seed, different mesh decompositions -> same field
+    shape, spacing = (16, 16, 16), 8.0
+    fields = []
+    for data, space in [(1, 4), (4, 2), (2, 2)]:
+        g = Generator(*shape, grid_spacing=spacing, mesh=_mesh(data, space))
+        fields.append(np.asarray(g.generate_delta_field(11)))
+    scale = np.std(fields[0])
+    for f in fields[1:]:
+        np.testing.assert_allclose(fields[0], f, atol=1e-5 * scale, rtol=2e-4)
+
+
+def test_sharded_ensemble_equals_single_device():
+    shape, spacing = (16, 16, 16), 8.0
+    seeds = np.arange(8)
+    g0 = Generator(*shape, grid_spacing=spacing)
+    g1 = Generator(*shape, grid_spacing=spacing, mesh=_mesh(4, 2))
+    a = np.asarray(g0.generate_delta_fields(seeds, smoothing_length=4.0))
+    b = np.asarray(g1.generate_delta_fields(seeds, smoothing_length=4.0))
+    scale = np.std(a)
+    np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=2e-4)
+    # batch results also match per-seed single renders
+    one = np.asarray(g0.generate_delta_field(3, smoothing_length=4.0))
+    np.testing.assert_allclose(a[3], one, atol=1e-6 * scale)
+
+
+def test_sharded_output_sharding_layout():
+    mesh = _mesh(1, 4)
+    g = Generator(16, 16, 16, grid_spacing=8.0, mesh=mesh)
+    out = g.generate_delta_field(0)
+    assert out.sharding.spec == M.P("space", None, None)
+    batch = g.generate_delta_fields(np.arange(4))
+    assert batch.sharding.spec[0] == "data" or batch.sharding.spec[0] is None
+
+
+def test_indivisible_slab_raises():
+    mesh = _mesh(1, 8)
+    with pytest.raises(ValueError, match="divisible"):
+        g = Generator(12, 12, 12, grid_spacing=8.0, mesh=mesh)
+        g.generate_delta_field(0)
+
+
+def test_make_mesh_too_few_devices():
+    with pytest.raises(ValueError, match="devices"):
+        M.make_mesh(data=4, space=4)
