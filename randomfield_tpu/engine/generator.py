@@ -34,15 +34,20 @@ from randomfield_tpu.ops import transform as _transform
 __all__ = ["Generator", "render", "render_from_noise", "seeds_to_keys"]
 
 
-def _render_from_noise_impl(draws, sigmas, weights, smoothing_length, shape, spacing):
-    nx, ny, nz = shape
+def _spectrum_from_noise_impl(draws, sigmas, smoothing_length, shape, spacing):
+    """draws -> scaled, filtered, Hermitian packed spectrum (one fusion)."""
+    nz = shape[2]
     real_dtype = draws.dtype
     z = jax.lax.complex(draws[0], draws[1]) * jnp.asarray(
         _sample._INV_SQRT2, real_dtype
     )
     z = _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
     c = z * sigmas.astype(real_dtype)
-    c = _power.filter_modes(c, shape, spacing, smoothing_length)
+    return _power.filter_modes(c, shape, spacing, smoothing_length)
+
+
+def _render_from_noise_impl(draws, sigmas, weights, smoothing_length, shape, spacing):
+    c = _spectrum_from_noise_impl(draws, sigmas, smoothing_length, shape, spacing)
     delta = _transform.irfftn(c, shape, norm="forward")
     return delta * weights[None, None, :]
 
@@ -126,7 +131,7 @@ class Generator:
 
     def __init__(self, nx, ny, nz, grid_spacing, cosmology=None, power=None,
                  interpolation="log10k", dtype=jnp.float32, z0=0.0,
-                 mesh=None, verbose=False):
+                 mesh=None, pipeline="auto", verbose=False):
         t0 = time.perf_counter()
         self.cosmology = _cosmo.create_cosmology(cosmology)
         self.scene = _scene.Scene(
@@ -136,7 +141,13 @@ class Generator:
         )
         if power is None:
             power = _power.load_default_power()
-        self.state, self._aux = _scene.build_state(self.scene, power)
+        from randomfield_tpu.engine.staged import pick_pipeline
+
+        self.pipeline = "fused" if mesh is not None else pick_pipeline(
+            self.scene.shape, pipeline
+        )
+        layout = "xzy" if self.pipeline == "staged" else "xyz"
+        self.state, self._aux = _scene.build_state(self.scene, power, layout=layout)
         self.mesh = mesh
         if mesh is not None:
             from randomfield_tpu.parallel.dfft import _check_divisible
@@ -226,6 +237,14 @@ class Generator:
                 _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
                 jnp.asarray(smoothing_length, self.state.sigmas.dtype),
             )
+        elif self.pipeline == "staged":
+            from randomfield_tpu.engine.staged import staged_render
+
+            out = staged_render(
+                _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
+                jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+                self.scene.shape, self.scene.grid_spacing,
+            )
         else:
             out = render(
                 _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
@@ -250,6 +269,19 @@ class Generator:
         'data' mesh axis for data-parallel covariance studies (config 4).
         """
         keys = seeds_to_keys(seeds)
+        if self.mesh is None and self.pipeline == "staged":
+            # staged grids are near the HBM ceiling: render sequentially
+            from randomfield_tpu.engine.staged import staged_render
+
+            sm = jnp.asarray(smoothing_length, self.state.sigmas.dtype)
+            w = self._weights(apply_lightcone)
+            return jnp.stack([
+                staged_render(
+                    keys[i], self.state.sigmas, w, sm,
+                    self.scene.shape, self.scene.grid_spacing,
+                )
+                for i in range(len(keys))
+            ])
         if self.mesh is not None:
             from randomfield_tpu.parallel.render import make_sharded_render_batch
 

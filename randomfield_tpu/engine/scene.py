@@ -62,16 +62,18 @@ class State(typing.NamedTuple):
     lightcone_weights: jnp.ndarray  # (nz,) float — D(z_plane)/D(0)
 
 
-def build_state(scene: Scene, power) -> tuple[State, dict]:
+def build_state(scene: Scene, power, layout="xyz") -> tuple[State, dict]:
     """Precompute sigma(k) + lightcone weights for a scene.
 
     Returns ``(state, aux)`` where ``aux`` holds host-side float64 arrays
     useful for reporting/validation: plane redshifts, growth factors, and
-    the validated power table.
+    the validated power table.  ``layout`` selects the sigma-grid axis
+    order ('xzy' for the staged pipeline — see engine/staged.py).
     """
     table = _power.validate_power(power)
     sigmas = _power.tabulate_sigmas(
-        scene.shape, scene.grid_spacing, table, scene.interpolation, scene.dtype
+        scene.shape, scene.grid_spacing, table, scene.interpolation, scene.dtype,
+        layout=layout,
     )
     redshifts = _cosmo.get_redshifts(
         scene.cosmology, scene.nz, scene.grid_spacing, scaled_by_h=True, z0=scene.z0

@@ -1,0 +1,160 @@
+"""HBM-lean staged render for grids near the single-chip memory ceiling.
+
+A 1024^3 render needs ~4.3 GB per live full-size buffer; the monolithic
+jitted render (engine/generator.py) lets XLA schedule the whole 3-D FFT
+in one program, whose simultaneous temporaries overflow a 16 GB chip at
+that size.  This pipeline makes two structural changes:
+
+1. **(x, kz, y) internal layout.**  TPU arrays tile the last two axes to
+   (8, 128); a packed spectrum stored as (nx, ny, nz/2+1) has a 2^k + 1
+   minor axis that pads to the next multiple of 128 — a ~25% HBM and
+   bandwidth tax on EVERY spectrum buffer at power-of-two grids.  Storing
+   spectra as (nx, nzh, ny) puts a 128-multiple on the minor axis (zero
+   padding) and the odd kz axis in the sublane dimension (pads 513 -> 520,
+   1.4%).  The real-space result transposes back to (nx, ny, nz) chunk by
+   chunk, fused with the lightcone weighting.
+
+2. **Separately-jitted stages with donated buffers** so at most two
+   full-size arrays (plus one chunk-size temporary) are live at once:
+
+       P1a  unit Hermitian noise (counter-based PRNG)       -> z
+       P1b  sigma-scale + Gaussian filter (donates z)        -> c
+       P2   complex ifft along x (donates c, aliases in/out) -> c
+       P34  per-x-slab: ifft along y + c2r irfft along kz +
+            lightcone weighting + transpose to (x, y, z),
+            sequenced by lax.map                             -> field
+
+Peak ~= c + field + sigma + chunk temps ~= 11 GB at 1024^3 float32.
+
+This is the single-chip analog of the reference's in-place pyfftw plan
+(randomfield/transform.py:Plan); XLA buffer donation is the TPU-native
+equivalent of FFTW's in-place transforms.
+
+Note: the staged pipeline draws its unit normals in (x, kz, y) order, so
+a staged render of seed s is a *different realization* of the same
+ensemble than a fused render of seed s (each is individually
+deterministic; both are validated against the float64 oracle fed the
+same draws).  In practice the pipelines never overlap: 'auto' uses fused
+at sizes where fused fits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from randomfield_tpu.ops import grid as _grid
+from randomfield_tpu.ops import transform as _transform
+
+__all__ = ["staged_render", "pick_pipeline", "AUTO_STAGED_THRESHOLD"]
+
+_INV_SQRT2 = 0.7071067811865476
+
+# grids with more cells than this render through the staged pipeline when
+# pipeline='auto' (512^3 fits monolithically on a 16 GB chip; 1024^3 does
+# not)
+AUTO_STAGED_THRESHOLD = 256 * 1024 * 1024
+
+
+def _pick_chunks(n: int, target: int = 8) -> int:
+    """Largest divisor of n that is <= target."""
+    for c in range(min(target, n), 0, -1):
+        if n % c == 0:
+            return c
+    return 1
+
+
+@functools.lru_cache(maxsize=16)
+def _stages(shape, spacing, dtype_name):
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    dtype = jnp.dtype(dtype_name)
+    cdtype = jnp.dtype(f"complex{2 * dtype.itemsize * 8}")
+    chunks = _pick_chunks(nx, 16)
+    # the c2r tail's DFT temporaries are the tightest allocation at the
+    # 16 GB ceiling — use finer slabs there
+    tail_chunks = _pick_chunks(nx, 64 if nx * ny * nz > AUTO_STAGED_THRESHOLD else 8)
+
+    planes = _grid.self_conjugate_kz_planes(nz)
+
+    @jax.jit
+    def p1(key, sigmas_xzy, smoothing_length, kx, kz, ky):
+        # sample + sigma-scale + filter, fully chunked over x-slabs: the
+        # only full-size buffer is the output spectrum.  Each slab draws
+        # from its own fold_in-derived key (the staged pipeline's stream;
+        # deterministic per (seed, shape), distinct from the fused path).
+        # k vectors arrive as runtime args: baking k^2 in as a constant
+        # would embed a full-grid array in the executable (resident HBM).
+        s = jnp.asarray(smoothing_length, dtype)
+        cx = nx // chunks
+        kx_c = kx.reshape(chunks, cx)
+        sig_c = sigmas_xzy.reshape(chunks, cx, nzh, ny)
+
+        def one(args):
+            i, kxs, sig = args
+            draws = jax.random.normal(
+                jax.random.fold_in(key, i), (2, cx, nzh, ny), dtype
+            )
+            z = jax.lax.complex(draws[0], draws[1]) * jnp.asarray(
+                _INV_SQRT2, dtype
+            )
+            k2 = (
+                (kxs * kxs)[:, None, None]
+                + (kz * kz)[None, :, None]
+                + (ky * ky)[None, None, :]
+            )
+            return z * (sig * jnp.exp(-0.5 * k2 * s * s)).astype(dtype)
+
+        idx = jnp.arange(chunks, dtype=jnp.uint32)
+        c = jax.lax.map(one, (idx, kx_c, sig_c)).reshape(nx, nzh, ny)
+        # Hermitian fixup of the self-conjugate kz planes (cross-slab
+        # conjugate pairs regenerate cheaply at O(N^2))
+        for p in planes:
+            fixed = _transform._symmetrize_plane(c[:, p, :], True)
+            c = c.at[:, p, :].set(fixed)
+        return c
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def p2(c):
+        # ifft along x; donation aliases in/out (same shape & dtype)
+        return jnp.fft.ifft(c, axis=0, norm="forward")
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def p34(c, weights):
+        # per x-slab: ifft y (minor axis), c2r irfft kz, lightcone weight,
+        # transpose to user layout; lax.map sequences chunk temporaries
+        ck = c.reshape(tail_chunks, nx // tail_chunks, nzh, ny)
+
+        def one(chunk):
+            chunk = jnp.fft.ifft(chunk, axis=-1, norm="forward")
+            f = jnp.fft.irfft(chunk, n=nz, axis=1, norm="forward")
+            f = f * weights[None, :, None]  # (cx, nz, ny)
+            return f.transpose(0, 2, 1)  # -> (cx, ny, nz)
+
+        return jax.lax.map(one, ck).reshape(nx, ny, nz)
+
+    return p1, p2, p34
+
+
+def staged_render(key, sigmas_xzy, weights, smoothing_length, shape, spacing):
+    """Render one realization through the staged donated pipeline.
+
+    ``sigmas_xzy`` must be in (nx, nzh, ny) layout
+    (``tabulate_sigmas(..., layout='xzy')``).
+    """
+    p1, p2, p34 = _stages(tuple(shape), float(spacing), str(sigmas_xzy.dtype))
+    kx, ky, kz = _grid.kvectors(tuple(shape), float(spacing), sigmas_xzy.dtype)
+    c = p1(key, sigmas_xzy, smoothing_length, kx, kz, ky)
+    c = p2(c)
+    return p34(c, weights)
+
+
+def pick_pipeline(shape, pipeline: str) -> str:
+    if pipeline == "auto":
+        n = shape[0] * shape[1] * shape[2]
+        return "staged" if n > AUTO_STAGED_THRESHOLD else "fused"
+    if pipeline not in ("fused", "staged"):
+        raise ValueError(f"unknown pipeline {pipeline!r}")
+    return pipeline

@@ -1,0 +1,87 @@
+"""Staged (HBM-lean) pipeline: exactness vs the float64 oracle.
+
+The staged pipeline samples its unit normals in (x, kz, y) order (see
+engine/staged.py), so it is validated the same way the fused path is —
+feed the identical draws to the numpy float64 oracle and require
+agreement to f32 rounding — plus cross-pipeline statistical checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randomfield_tpu import Generator
+from randomfield_tpu.engine.staged import pick_pipeline, staged_render
+from randomfield_tpu.validate import oracle
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 16), (24, 16, 8)])
+@pytest.mark.parametrize("smoothing", [0.0, 12.0])
+def test_staged_matches_oracle(shape, smoothing):
+    g = Generator(*shape, grid_spacing=8.0, pipeline="staged")
+    nx, ny, nz = shape
+    key = jax.random.key(3)
+    got = np.asarray(
+        staged_render(
+            key, g.state.sigmas, g._weights(True),
+            jnp.asarray(smoothing, jnp.float32), shape, 8.0,
+        )
+    )
+    # reproduce the staged pipeline's per-slab draws and feed them to the
+    # oracle in standard (x, y, kz) order
+    from randomfield_tpu.engine.staged import _pick_chunks
+
+    chunks = _pick_chunks(nx, 16)
+    cx = nx // chunks
+    draws = np.concatenate(
+        [
+            np.asarray(
+                jax.random.normal(
+                    jax.random.fold_in(key, i), (2, cx, nz // 2 + 1, ny), jnp.float32
+                )
+            )
+            for i in range(chunks)
+        ],
+        axis=1,
+    )
+    table = g.power
+    want = oracle.render_from_noise(
+        draws[0].transpose(0, 2, 1).astype(np.float64),
+        draws[1].transpose(0, 2, 1).astype(np.float64),
+        shape, 8.0, (table.k, table.Pk),
+        smoothing_length=smoothing,
+        plane_weights=g.growth_function,
+    )
+    scale = max(np.std(want), 1e-12)
+    np.testing.assert_allclose(got, want, atol=3e-5 * scale, rtol=3e-4)
+
+
+def test_staged_deterministic_and_statistical():
+    g = Generator(16, 16, 16, grid_spacing=8.0, pipeline="staged")
+    a = np.asarray(g.generate_delta_field(7, apply_lightcone=False))
+    b = np.asarray(g.generate_delta_field(7, apply_lightcone=False))
+    np.testing.assert_array_equal(a, b)
+    fields = np.asarray(
+        g.generate_delta_fields(np.arange(32), apply_lightcone=False), np.float64
+    )
+    pred = g.predicted_variance()
+    assert abs(fields.var() - pred) < 0.15 * pred
+
+
+def test_pick_pipeline():
+    assert pick_pipeline((64, 64, 64), "auto") == "fused"
+    assert pick_pipeline((1024, 1024, 1024), "auto") == "staged"
+    assert pick_pipeline((16, 16, 16), "staged") == "staged"
+    with pytest.raises(ValueError):
+        pick_pipeline((16, 16, 16), "bogus")
+
+
+def test_staged_lightcone():
+    g = Generator(8, 8, 32, grid_spacing=100.0, pipeline="staged")
+    lc = np.asarray(g.generate_delta_field(5, apply_lightcone=True))
+    raw = np.asarray(g.generate_delta_field(5, apply_lightcone=False))
+    growth = np.asarray(g.growth_function)
+    np.testing.assert_allclose(
+        lc, raw * growth[None, None, :].astype(np.float32), rtol=2e-5, atol=1e-7
+    )
