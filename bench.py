@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line to stdout.
+
+Headline metric (BASELINE.md): single-chip Gaussian-random-field render
+throughput (sample + Hermitian symmetrize + sigma scale + inverse c2r FFT
++ lightcone weighting) in Gcells/s, at the largest grid that fits the
+chip; vs_baseline is the speedup over the reference's CPU conditions
+(numpy float64 — pyfftw is unavailable in this sandbox; the substitution
+is recorded per BASELINE.md).
+
+Diagnostics go to stderr; the LAST stdout line is the JSON contract:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def time_tpu_render(n, iters=4):
+    """Steady-state seconds per render at n^3 (scene setup amortized)."""
+    import randomfield_tpu as rf
+
+    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n)
+    d = g.generate_delta_field(0)
+    _ = float(d[0, 0, 0])  # force completion (axon dispatch is async)
+    ts = []
+    for i in range(iters):
+        del d
+        t0 = time.perf_counter()
+        d = g.generate_delta_field(i + 1)
+        _ = float(d[0, 0, 0])
+        ts.append(time.perf_counter() - t0)
+    var, pred = float(d.var()), g.predicted_variance()
+    growth_sq = float(np.mean(np.asarray(g.growth_function) ** 2))
+    log(f"  {n}^3: {[round(t * 1e3) for t in ts]} ms; var/pred/<D^2> "
+        f"{var:.3f}/{pred:.3f}/{growth_sq:.3f}")
+    return min(ts)
+
+
+def time_cpu_render(n, iters=2):
+    """Reference CPU conditions: numpy float64, sigma grid precomputed."""
+    from randomfield_tpu.validate import oracle
+    from randomfield_tpu.ops.power import load_default_power
+
+    table = load_default_power()
+    shape = (n, n, n)
+    spacing = 2048.0 / n
+    sig = oracle.oracle_sigmas(shape, spacing, (table.k, table.Pk))
+    weights = np.linspace(1.0, 0.6, n)  # stand-in lightcone weights
+    nzh = n // 2 + 1
+    ts = []
+    rng = np.random.RandomState(0)
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        z = (rng.normal(size=(n, n, nzh)) + 1j * rng.normal(size=(n, n, nzh))) / np.sqrt(2)
+        z = oracle.oracle_symmetrize(z, nz=n)
+        c = z * sig
+        field = np.fft.irfftn(c, s=shape, axes=(0, 1, 2), norm="forward")
+        field *= weights[None, None, :]
+        ts.append(time.perf_counter() - t0)
+    log(f"  cpu {n}^3 f64: {[round(t * 1e3) for t in ts]} ms")
+    return min(ts)
+
+
+def main():
+    detail = {}
+
+    log("CPU float64 baseline (reference conditions; numpy.fft for pyfftw):")
+    cpu_n = 256
+    cpu_dt = time_cpu_render(cpu_n)
+    cpu_gcells = cpu_n**3 / cpu_dt / 1e9
+    detail["cpu_f64"] = {"n": cpu_n, "seconds": round(cpu_dt, 4),
+                         "gcells_per_s": round(cpu_gcells, 4)}
+
+    log("TPU renders:")
+    headline_n, headline_dt = None, None
+    for n in (512, 1024):
+        try:
+            dt = time_tpu_render(n)
+            detail[f"tpu_{n}"] = {"seconds": round(dt, 4),
+                                  "gcells_per_s": round(n**3 / dt / 1e9, 2)}
+            headline_n, headline_dt = n, dt
+        except Exception as e:  # 1024^3 sits at the 16 GB HBM boundary
+            log(f"  {n}^3 failed: {type(e).__name__}: {str(e)[:120]}")
+            detail[f"tpu_{n}"] = {"error": type(e).__name__}
+            break
+
+    if headline_n is None:
+        print(json.dumps({"metric": "render_throughput_single_chip",
+                          "value": 0.0, "unit": "Gcells/s",
+                          "vs_baseline": 0.0, "detail": detail}))
+        return
+
+    gcells = headline_n**3 / headline_dt / 1e9
+    out = {
+        "metric": f"{headline_n}^3 render (sample+irfftn+lightcone), single chip",
+        "value": round(gcells, 3),
+        "unit": "Gcells/s",
+        "vs_baseline": round(gcells / cpu_gcells, 1),
+        "detail": detail,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    main()

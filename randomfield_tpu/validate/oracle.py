@@ -96,7 +96,7 @@ def render_from_noise(noise_re, noise_im, shape, spacing, power,
     if smoothing_length:
         kmag = _kgrid(shape, spacing)
         c = c * np.exp(-0.5 * (kmag * smoothing_length) ** 2)
-    field = np.fft.irfftn(c, s=shape, norm="forward")
+    field = np.fft.irfftn(c, s=shape, axes=(0, 1, 2), norm="forward")
     if plane_weights is not None:
         field = field * np.asarray(plane_weights, np.float64)[None, None, :]
     return field
