@@ -79,6 +79,13 @@ def render(key, sigmas, weights, smoothing_length, shape, spacing):
     return _render_impl(key, sigmas, weights, smoothing_length, shape, spacing)
 
 
+@functools.partial(jax.jit, static_argnames=("shape",), donate_argnums=0)
+def _finish_render(c, weights, shape):
+    """irfftn + lightcone weighting of an externally sampled spectrum."""
+    delta = _transform.irfftn(c, shape, norm="forward")
+    return delta * weights[None, None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "spacing"))
 def _render_batch(keys, sigmas, weights, smoothing_length, shape, spacing):
     def one(k):
@@ -118,6 +125,10 @@ class Generator:
     dtype : render precision (float32 is native on TPU; the statistical
         fidelity gate runs against the float64 oracle).
     z0 : redshift of the nearest plane of the lightcone.
+    sampler : 'threefry' (counter-based jax.random; layout-independent,
+        oracle-reproducible — the default) or 'pallas' (fused hardware-PRNG
+        kernel, ops/pallas_sampler.py; its own deterministic stream,
+        validated statistically; TPU only).
     mesh : optional ``jax.sharding.Mesh`` with axes ('data', 'space') from
         :func:`randomfield_tpu.parallel.mesh.make_mesh`.  'space' > 1
         shards the grid spatially (slab decomposition + distributed
@@ -131,7 +142,7 @@ class Generator:
 
     def __init__(self, nx, ny, nz, grid_spacing, cosmology=None, power=None,
                  interpolation="log10k", dtype=jnp.float32, z0=0.0,
-                 mesh=None, pipeline="auto", verbose=False):
+                 mesh=None, pipeline="auto", sampler="threefry", verbose=False):
         t0 = time.perf_counter()
         self.cosmology = _cosmo.create_cosmology(cosmology)
         self.scene = _scene.Scene(
@@ -147,6 +158,10 @@ class Generator:
             self.scene.shape, pipeline
         )
         layout = "xzy" if self.pipeline == "staged" else "xyz"
+        if sampler not in ("threefry", "pallas"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        self.sampler = sampler
+        self._layout = layout
         self.state, self._aux = _scene.build_state(self.scene, power, layout=layout)
         self.mesh = mesh
         if mesh is not None:
@@ -237,6 +252,27 @@ class Generator:
                 _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
                 jnp.asarray(smoothing_length, self.state.sigmas.dtype),
             )
+        elif self.sampler == "pallas":
+            # fused Pallas PRNG sampling kernel (hardware PRNG stream,
+            # distinct from the Threefry stream; see ops/pallas_sampler.py)
+            from randomfield_tpu.ops.pallas_sampler import sample_spectrum_pallas
+
+            c = sample_spectrum_pallas(
+                int(seed), self.state.sigmas, self.scene.shape,
+                self.scene.grid_spacing, smoothing_length, layout=self._layout,
+            )
+            if self._layout == "xzy":
+                from randomfield_tpu.engine.staged import _stages
+
+                _, p2, p34 = _stages(
+                    self.scene.shape, self.scene.grid_spacing,
+                    str(self.state.sigmas.dtype),
+                )
+                out = p34(p2(c), self._weights(apply_lightcone))
+            else:
+                out = _finish_render(
+                    c, self._weights(apply_lightcone), self.scene.shape
+                )
         elif self.pipeline == "staged":
             from randomfield_tpu.engine.staged import staged_render
 

@@ -1,0 +1,87 @@
+"""Ensemble statistics: P(k) covariance and sigma(R) across seed batches.
+
+The reference generates one realization at a time and leaves ensemble
+statistics to user code (SURVEY.md section 0); here covariance studies
+are a first-class, device-resident workflow (BASELINE.json config 4:
+"1024^3 ensemble: 64 seeded realizations vmapped over DP mesh for
+P(k)/sigma(R) covariance").  All reductions run under jit, so with a
+'data'-sharded field batch XLA inserts the cross-device psums.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from randomfield_tpu.validate import stats as _stats
+
+__all__ = ["ensemble_power", "power_covariance", "sigma_r_from_field"]
+
+
+def ensemble_power(fields, spacing, nbins=32):
+    """Per-seed binned P(k) for a (nseeds, nx, ny, nz) batch.
+
+    Returns host float64 ``(k_mean, p_hat, n_modes)`` where ``p_hat`` has
+    shape (nseeds, nbins).  k_mean and n_modes are seed-independent.
+    """
+    n = fields.shape[0]
+    ks, ps = None, []
+    for i in range(n):  # serial: each estimate is one full FFT; batching
+        k, p, m = _stats.calculate_power(fields[i], spacing, nbins)
+        ks, ms = k, m
+        ps.append(p)
+    return ks, np.asarray(ps), ms
+
+
+def power_covariance(p_hat):
+    """Covariance matrix of binned P(k) estimates across seeds.
+
+    ``p_hat``: (nseeds, nbins) from :func:`ensemble_power`.  Returns the
+    (nbins, nbins) sample covariance (float64, NaN-bin safe).
+    """
+    p = np.asarray(p_hat, np.float64)
+    valid = np.all(np.isfinite(p), axis=0)
+    cov = np.full((p.shape[1], p.shape[1]), np.nan)
+    pv = p[:, valid]
+    c = np.cov(pv, rowvar=False)
+    cov[np.ix_(valid, valid)] = c
+    return cov
+
+
+@functools.partial(jax.jit, static_argnames=("spacing", "r"))
+def _sigma_r_sq_device(delta, spacing, r):
+    from randomfield_tpu.ops import grid as _grid
+    from randomfield_tpu.ops import transform as _transform
+
+    shape = delta.shape[-3:]
+    c = _transform.field_to_spectrum(delta, spacing)
+    kmag = _grid.kmag(shape, spacing, delta.dtype)
+    x = kmag * r
+    w = jnp.where(
+        x > 1e-4,
+        3.0 * (jnp.sin(x) - x * jnp.cos(x)) / jnp.where(x > 0, x, 1.0) ** 3,
+        1.0 - x * x / 10.0,
+    )
+    nx, ny, nz = shape
+    volume = nx * ny * nz * spacing**3
+    mult = jnp.full((kmag.shape[-1],), 2.0, delta.dtype)
+    mult = mult.at[0].set(1.0)
+    if nz % 2 == 0:
+        mult = mult.at[-1].set(1.0)
+    # sigma_R^2 = variance of the W-filtered field = sum |c_k W|^2 / V^2
+    p = (c.real**2 + c.imag**2) * w * w * mult[None, None, :]
+    return jnp.sum(p) / volume**2
+
+
+def sigma_r_from_field(delta, spacing, r=8.0):
+    """Realized sigma(R) of a rendered field (r in the grid's length unit).
+
+    The top-hat window is applied in k-space, so this is the rms of the
+    field smoothed on scale R — directly comparable to
+    ``ops.power.sigma_r`` of the input spectrum for R well inside the
+    resolved range.  Runs on device; returns a host float.
+    """
+    return float(jnp.sqrt(_sigma_r_sq_device(delta, float(spacing), float(r))))

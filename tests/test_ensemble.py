@@ -1,0 +1,42 @@
+"""Ensemble statistics tests (config 4: P(k)/sigma(R) covariance)."""
+
+import numpy as np
+
+from randomfield_tpu import Generator
+from randomfield_tpu.ops import power as pw
+from randomfield_tpu.validate import ensemble
+
+
+def test_ensemble_power_and_covariance():
+    g = Generator(24, 24, 24, grid_spacing=6.0)
+    fields = g.generate_delta_fields(np.arange(24), apply_lightcone=False)
+    k, p_hat, n_modes = ensemble.ensemble_power(fields, g.grid_spacing, nbins=8)
+    assert p_hat.shape == (24, 8)
+    cov = ensemble.power_covariance(p_hat)
+    assert cov.shape == (8, 8)
+    valid = np.isfinite(cov).all(axis=0)
+    # diagonal of a covariance is non-negative
+    assert np.all(np.diag(cov)[valid] >= 0)
+    # relative scatter in a well-populated bin ~ sqrt(2/n_modes)
+    i = int(np.nanargmax(n_modes))
+    rel = np.sqrt(cov[i, i]) / p_hat[:, i].mean()
+    expected = np.sqrt(2.0 / n_modes[i])
+    assert 0.3 * expected < rel < 3.0 * expected
+
+
+def test_sigma_r_from_field_matches_input_spectrum():
+    g = Generator(32, 32, 32, grid_spacing=4.0)
+    nseeds = 16
+    fields = g.generate_delta_fields(np.arange(nseeds), apply_lightcone=False)
+    r = 12.0
+    vals = [
+        ensemble.sigma_r_from_field(fields[i], g.grid_spacing, r)
+        for i in range(nseeds)
+    ]
+    realized = np.sqrt(np.mean(np.square(vals)))
+    # the input-spectrum prediction, restricted to the band the grid
+    # resolves, is approximated by the table integral; allow generous
+    # tolerance for resolution effects at 32^3
+    table = g.power
+    predicted = pw.sigma_r((table.k, table.Pk), r)
+    assert abs(realized - predicted) / predicted < 0.25, (realized, predicted)
