@@ -1,0 +1,86 @@
+"""Command-line interface: render fields and report statistics.
+
+    python -m randomfield_tpu --nx 128 --spacing 4.0 --seed 0 \
+        --smoothing 2.0 --out field.npz --stats
+
+The reference exposes no CLI; this is framework surface for production
+pipelines (render farms driving seeds through one scene).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="randomfield_tpu", description=__doc__.splitlines()[0]
+    )
+    p.add_argument("--nx", type=int, default=128)
+    p.add_argument("--ny", type=int, default=None)
+    p.add_argument("--nz", type=int, default=None)
+    p.add_argument("--spacing", type=float, required=True,
+                   help="grid spacing in Mpc/h")
+    p.add_argument("--seed", type=int, nargs="+", default=[0])
+    p.add_argument("--smoothing", type=float, default=0.0,
+                   help="Gaussian smoothing length in Mpc/h")
+    p.add_argument("--cosmology", default="Planck13",
+                   choices=["Planck13", "Planck15", "Planck18"])
+    p.add_argument("--power", default=None,
+                   help="two-column text file (k [h/Mpc], P [(Mpc/h)^3]); "
+                        "default: built-in EH98 Planck13 table")
+    p.add_argument("--no-lightcone", action="store_true")
+    p.add_argument("--out", default=None,
+                   help="output .npz path ({seed} is substituted)")
+    p.add_argument("--stats", action="store_true",
+                   help="print realized P(k) and moments per seed")
+    p.add_argument("--nbins", type=int, default=16)
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    import randomfield_tpu as rf
+    from randomfield_tpu.utils.io import save_field
+
+    power = None
+    if args.power:
+        power = np.loadtxt(args.power)
+
+    ny = args.ny or args.nx
+    nz = args.nz or args.nx
+    gen = rf.Generator(
+        args.nx, ny, nz, grid_spacing=args.spacing, cosmology=args.cosmology,
+        power=power, verbose=not args.quiet,
+    )
+    for seed in args.seed:
+        t0 = time.perf_counter()
+        delta = gen.generate_delta_field(
+            seed, smoothing_length=args.smoothing,
+            apply_lightcone=not args.no_lightcone,
+        )
+        delta.block_until_ready()
+        if not args.quiet:
+            print(f"seed {seed}: rendered in {time.perf_counter() - t0:.3f}s")
+        if args.stats:
+            mean, var = float(delta.mean()), float(delta.var())
+            print(f"  mean = {mean:+.3e}  var = {var:.5f} "
+                  f"(predicted {gen.predicted_variance(args.smoothing):.5f} "
+                  f"before lightcone weighting)")
+            k, ph, nm = gen.calculate_power(delta, nbins=args.nbins)
+            for i in range(len(k)):
+                if nm[i] > 0:
+                    print(f"  k = {k[i]:9.4f}  P^ = {ph[i]:12.2f}  "
+                          f"({nm[i]:8.0f} modes)")
+        if args.out:
+            path = args.out.replace("{seed}", str(seed))
+            save_field(path, delta, generator=gen, seed=seed)
+            if not args.quiet:
+                print(f"  wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

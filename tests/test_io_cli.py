@@ -1,0 +1,63 @@
+"""IO, scene serialization and CLI tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from randomfield_tpu import Generator
+from randomfield_tpu.utils import io as rio
+
+
+def test_save_load_field_roundtrip(tmp_path):
+    g = Generator(8, 8, 8, grid_spacing=10.0)
+    d = g.generate_delta_field(3)
+    path = rio.save_field(tmp_path / "f.npz", d, generator=g, seed=3,
+                          extra={"note": "test"})
+    back, meta = rio.load_field(path)
+    np.testing.assert_array_equal(back, np.asarray(d))
+    assert meta["seed"] == 3
+    assert meta["scene"]["nx"] == 8
+    assert meta["extra"]["note"] == "test"
+    np.testing.assert_allclose(meta["power_k"], g.power.k)
+    # regenerate from metadata: same seed -> same field
+    scene = rio.scene_from_json(json.dumps(meta["scene"]))
+    g2 = Generator(
+        scene.nx, scene.ny, scene.nz, grid_spacing=scene.grid_spacing,
+        cosmology=scene.cosmology,
+        power=(meta["power_k"], meta["power_pk"]),
+    )
+    d2 = g2.generate_delta_field(meta["seed"])
+    np.testing.assert_array_equal(np.asarray(d2), back)
+
+
+def test_scene_json_roundtrip():
+    g = Generator(8, 8, 16, grid_spacing=5.0, z0=0.25)
+    text = rio.scene_to_json(g.scene)
+    scene = rio.scene_from_json(text)
+    assert scene == g.scene
+
+
+def test_cli_end_to_end(tmp_path):
+    out = tmp_path / "field_{seed}.npz"
+    cmd = [
+        sys.executable, "-m", "randomfield_tpu",
+        "--nx", "8", "--spacing", "10.0", "--seed", "1", "2",
+        "--stats", "--out", str(out), "--quiet",
+    ]
+    import os, pathlib
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # skip TPU registration in subprocess
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "P^" in res.stdout
+    for seed in (1, 2):
+        delta, meta = rio.load_field(tmp_path / f"field_{seed}.npz")
+        assert delta.shape == (8, 8, 8)
+        assert meta["seed"] == seed
