@@ -37,7 +37,9 @@ def time_tpu_render(n, iters=4):
         d = g.generate_delta_field(i + 1)
         _ = float(d[0, 0, 0])
         ts.append(time.perf_counter() - t0)
-    var, pred = float(d.var()), g.predicted_variance()
+    from randomfield_tpu.validate.stats import field_moments
+
+    var, pred = field_moments(d)[1], g.predicted_variance()
     growth_sq = float(np.mean(np.asarray(g.growth_function) ** 2))
     log(f"  {n}^3: {[round(t * 1e3) for t in ts]} ms; var/pred/<D^2> "
         f"{var:.3f}/{pred:.3f}/{growth_sq:.3f}")

@@ -16,9 +16,12 @@ import randomfield_tpu as rf
 gen = rf.Generator(64, 64, 64, grid_spacing=4.0, verbose=True)
 delta = gen.generate_delta_field(seed=42)
 
+from randomfield_tpu.validate.stats import field_moments
+
+mean, var = field_moments(delta)  # accumulation-safe device reduction
 print(f"field: {delta.shape} {delta.dtype}")
-print(f"mean = {float(delta.mean()):.2e}  (exactly 0 in expectation)")
-print(f"var  = {float(delta.var()):.4f}  vs predicted {gen.predicted_variance():.4f}"
+print(f"mean = {mean:.2e}  (exactly 0 in expectation)")
+print(f"var  = {var:.4f}  vs predicted {gen.predicted_variance():.4f}"
       f" (x <D^2> = {np.mean(gen.growth_function**2):.3f} for the lightcone)")
 
 k, p_hat, n_modes = gen.calculate_power(delta, nbins=10)

@@ -264,11 +264,11 @@ class Generator:
             if self._layout == "xzy":
                 from randomfield_tpu.engine.staged import _stages
 
-                _, p2, p34 = _stages(
+                _, p2, p3, p4 = _stages(
                     self.scene.shape, self.scene.grid_spacing,
                     str(self.state.sigmas.dtype),
                 )
-                out = p34(p2(c), self._weights(apply_lightcone))
+                out = p4(p3(p2(c)), self._weights(apply_lightcone))
             else:
                 out = _finish_render(
                     c, self._weights(apply_lightcone), self.scene.shape

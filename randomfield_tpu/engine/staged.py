@@ -116,26 +116,38 @@ def _stages(shape, spacing, dtype_name):
             c = c.at[:, p, :].set(fixed)
         return c
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def p2(c):
-        # ifft along x; donation aliases in/out (same shape & dtype)
-        return jnp.fft.ifft(c, axis=0, norm="forward")
+    _B = jax.lax.optimization_barrier
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def p34(c, weights):
-        # per x-slab: ifft y (minor axis), c2r irfft kz, lightcone weight,
-        # transpose to user layout; lax.map sequences chunk temporaries
+    def p2(c):
+        # ifft along x — via a barrier-pinned physical transpose so the
+        # transform runs on the minor axis (the only axis the axon TPU
+        # runtime transforms correctly; see ops/transform.py)
+        t = _B(jnp.transpose(c, (1, 2, 0)))  # (nzh, ny, nx)
+        return _transform.ifft_minor(t)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def p3(a):
+        # ifft along y (minor after one more transpose), then restore the
+        # x-major order the chunked tail maps over
+        t = _B(jnp.transpose(a, (0, 2, 1)))  # (nzh, nx, ny)
+        t = _transform.ifft_minor(t)
+        return _B(jnp.transpose(t, (1, 0, 2)))  # (nx, nzh, ny)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def p4(c, weights):
+        # per x-slab: c2r along kz via Hermitian extension on the minor
+        # axis + lightcone weighting; lax.map sequences chunk temporaries
         ck = c.reshape(tail_chunks, nx // tail_chunks, nzh, ny)
 
         def one(chunk):
-            chunk = jnp.fft.ifft(chunk, axis=-1, norm="forward")
-            f = jnp.fft.irfft(chunk, n=nz, axis=1, norm="forward")
-            f = f * weights[None, :, None]  # (cx, nz, ny)
-            return f.transpose(0, 2, 1)  # -> (cx, ny, nz)
+            t = _B(jnp.transpose(chunk, (0, 2, 1)))  # (cx, ny, nzh)
+            f = _transform.irfft_minor(t, nz)  # (cx, ny, nz) real
+            return f * weights[None, None, :]
 
         return jax.lax.map(one, ck).reshape(nx, ny, nz)
 
-    return p1, p2, p34
+    return p1, p2, p3, p4
 
 
 def staged_render(key, sigmas_xzy, weights, smoothing_length, shape, spacing):
@@ -144,11 +156,18 @@ def staged_render(key, sigmas_xzy, weights, smoothing_length, shape, spacing):
     ``sigmas_xzy`` must be in (nx, nzh, ny) layout
     (``tabulate_sigmas(..., layout='xzy')``).
     """
-    p1, p2, p34 = _stages(tuple(shape), float(spacing), str(sigmas_xzy.dtype))
+    p1, p2, p3, p4 = _stages(tuple(shape), float(spacing), str(sigmas_xzy.dtype))
     kx, ky, kz = _grid.kvectors(tuple(shape), float(spacing), sigmas_xzy.dtype)
+    # block between stages: async dispatch lets consecutive programs'
+    # allocations overlap, and at the HBM ceiling that union OOMs even
+    # though each stage fits on its own
     c = p1(key, sigmas_xzy, smoothing_length, kx, kz, ky)
+    c.block_until_ready()
     c = p2(c)
-    return p34(c, weights)
+    c.block_until_ready()
+    c = p3(c)
+    c.block_until_ready()
+    return p4(c, weights)
 
 
 def pick_pipeline(shape, pipeline: str) -> str:

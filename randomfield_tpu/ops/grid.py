@@ -114,14 +114,20 @@ def conjugate_plane(z):
     """Map a (..., nx, ny) plane c(kx, ky) -> conj(c(-kx, -ky)).
 
     Operates on the last two axes (leading batch axes pass through).  The
-    index map j -> (-j) mod n is flip followed by a one-step roll; XLA
-    lowers both to cheap layout ops (and to a small collective permute when
-    the plane is sharded).
+    index map j -> (-j) mod n is flip followed by a one-step roll; both
+    run on the REAL component lattices — the axon TPU runtime mis-executes
+    some data-movement ops on complex operands (see ops/transform.py), so
+    complex values are only ever formed from already-moved real parts.
     """
-    out = jnp.conj(z)
-    out = jnp.roll(jnp.flip(out, axis=-2), 1, axis=-2)
-    out = jnp.roll(jnp.flip(out, axis=-1), 1, axis=-1)
-    return out
+    import jax
+
+    def negmap(a):
+        a = jnp.roll(jnp.flip(a, axis=-2), 1, axis=-2)
+        return jnp.roll(jnp.flip(a, axis=-1), 1, axis=-1)
+
+    if jnp.iscomplexobj(z):
+        return jax.lax.complex(negmap(z.real), -negmap(z.imag))
+    return negmap(z)
 
 
 @functools.lru_cache(maxsize=None)

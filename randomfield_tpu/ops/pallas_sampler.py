@@ -88,8 +88,12 @@ def _make_kernel(shape, spacing, layout):
         # Box-Muller from two independent uint32 lattices
         b1 = pltpu.bitcast(pltpu.prng_random_bits((d1, d2)), jnp.uint32)
         b2 = pltpu.bitcast(pltpu.prng_random_bits((d1, d2)), jnp.uint32)
-        u1 = (b1 >> 8).astype(jnp.float32) * _INV_2_24 + (0.5 * _INV_2_24)
-        u2 = (b2 >> 8).astype(jnp.float32) * _INV_2_24
+        # >> 8 leaves 24 bits, so the int32 round-trip is exact (Mosaic
+        # has no direct uint32 -> float32 cast)
+        u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * _INV_2_24 + (
+            0.5 * _INV_2_24
+        )
+        u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * _INV_2_24
         r = jnp.sqrt(-2.0 * jnp.log(u1))
         theta = _TWO_PI * u2
 
@@ -104,8 +108,8 @@ def _make_kernel(shape, spacing, layout):
 @functools.partial(
     jax.jit, static_argnames=("shape", "spacing", "layout", "interpret")
 )
-def _sample_lattices(seed, smoothing_length, sigmas, shape, spacing, layout,
-                     interpret):
+def _sample_jit(seed, smoothing_length, sigmas, shape, spacing, layout,
+                interpret):
     kernel, (nx, d1, d2) = _make_kernel(shape, spacing, layout)
     out = jax.ShapeDtypeStruct((nx, d1, d2), sigmas.dtype)
     row = pl.BlockSpec((1, d1, d2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -127,7 +131,19 @@ def _sample_lattices(seed, smoothing_length, sigmas, shape, spacing, layout,
         jnp.asarray([smoothing_length], sigmas.dtype).ravel(),
         sigmas,
     )
-    return re, im
+    # complex formation + Hermitian plane fixup stay inside this jit: the
+    # axon runtime cannot execute eager complex ops or transfer complex
+    # arrays across the host boundary
+    z = jax.lax.complex(re, im)
+    nz = shape[2]
+    if layout == "xyz":
+        return _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
+    from randomfield_tpu.ops import grid as _grid
+
+    for p in _grid.self_conjugate_kz_planes(nz):
+        fixed = _transform._symmetrize_plane(z[:, p, :], True)
+        z = z.at[:, p, :].set(fixed)
+    return z
 
 
 def sample_spectrum_pallas(seed, sigmas, shape, spacing, smoothing_length=0.0,
@@ -139,18 +155,7 @@ def sample_spectrum_pallas(seed, sigmas, shape, spacing, smoothing_length=0.0,
     ``seed``: python/int32 scalar.  Returns complex64 with the Hermitian
     planes fixed up.
     """
-    re, im = _sample_lattices(
+    return _sample_jit(
         int(seed) & 0x7FFFFFFF, smoothing_length, sigmas,
         tuple(int(s) for s in shape), float(spacing), layout, bool(interpret)
     )
-    z = jax.lax.complex(re, im)
-    nz = shape[2]
-    if layout == "xyz":
-        return _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
-    # xzy: self-conjugate planes are z[:, p, :]
-    from randomfield_tpu.ops import grid as _grid
-
-    for p in _grid.self_conjugate_kz_planes(nz):
-        fixed = _transform._symmetrize_plane(z[:, p, :], True)
-        z = z.at[:, p, :].set(fixed)
-    return z

@@ -21,16 +21,18 @@ from randomfield_tpu.validate import stats as _stats
 __all__ = ["ensemble_power", "power_covariance", "sigma_r_from_field"]
 
 
-def ensemble_power(fields, spacing, nbins=32):
+def ensemble_power(fields, spacing, nbins=32, mesh=None):
     """Per-seed binned P(k) for a (nseeds, nx, ny, nz) batch.
 
     Returns host float64 ``(k_mean, p_hat, n_modes)`` where ``p_hat`` has
     shape (nseeds, nbins).  k_mean and n_modes are seed-independent.
+    Pass the generator's ``mesh`` for spatially sharded batches.
     """
     n = fields.shape[0]
-    ks, ps = None, []
-    for i in range(n):  # serial: each estimate is one full FFT; batching
-        k, p, m = _stats.calculate_power(fields[i], spacing, nbins)
+    ks = ms = None
+    ps = []
+    for i in range(n):  # serial: each estimate is one full FFT
+        k, p, m = _stats.calculate_power(fields[i], spacing, nbins, mesh=mesh)
         ks, ms = k, m
         ps.append(p)
     return ks, np.asarray(ps), ms

@@ -50,22 +50,47 @@ def _binned(delta, shape, spacing, nbins):
     valid = (idx >= 0) & (idx < nbins) & (kmag > 0)
     idx = jnp.where(valid, idx, nbins)
     w = jnp.where(valid, w, 0.0)
-    flat_idx, flat_w = idx.ravel(), w.ravel()
-    counts = jnp.zeros(nbins + 1, p.dtype).at[flat_idx].add(flat_w)
-    psum = jnp.zeros(nbins + 1, p.dtype).at[flat_idx].add(flat_w * p.ravel())
-    ksum = jnp.zeros(nbins + 1, p.dtype).at[flat_idx].add(flat_w * kmag.ravel())
+
+    # accumulate per x-slab, then reduce across slabs: keeps every f32
+    # partial sum short enough to avoid sequential-accumulation bias at
+    # 512^3+ (see _mean_axiswise)
+    def slab(ix, wx, px, kx):
+        fi, fw = ix.ravel(), wx.ravel()
+        c = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw)
+        ps = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw * px.ravel())
+        ks = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw * kx.ravel())
+        return c, ps, ks
+
+    km3 = jnp.broadcast_to(kmag, p.shape)
+    counts, psum, ksum = jax.vmap(slab)(idx, w, p, km3)
+    counts, psum, ksum = (
+        jnp.sum(counts, axis=0),
+        jnp.sum(psum, axis=0),
+        jnp.sum(ksum, axis=0),
+    )
     return counts[:nbins], psum[:nbins], ksum[:nbins]
 
 
-def calculate_power(delta, spacing, nbins=32):
+def calculate_power(delta, spacing, nbins=32, mesh=None):
     """Realized isotropic P(k) of a field, binned in log |k|.
 
     Returns ``(k_mean, p_hat, n_modes)`` numpy arrays: per-bin
     mode-weighted mean |k|, mean estimated power <|c_k|^2>/V, and the
     effective number of (full-spectrum) modes.  Empty bins yield NaN.
+
+    With ``mesh`` (a ('data','space') mesh whose 'space' axis shards the
+    field), the forward FFT runs as the distributed slab transform and
+    binning happens shard-locally with a psum — the full spectrum is
+    never gathered (ref: powertools.calculate_power, scaled out).
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
-    counts, psum, ksum = _binned(delta, shape, float(spacing), int(nbins))
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+
+    if mesh is not None and mesh.shape.get(SPACE_AXIS, 1) > 1:
+        fn = _make_sharded_binned(mesh, shape, float(spacing), int(nbins))
+        counts, psum, ksum = fn(delta)
+    else:
+        counts, psum, ksum = _binned(delta, shape, float(spacing), int(nbins))
     counts = np.asarray(counts, np.float64)
     psum = np.asarray(psum, np.float64)
     ksum = np.asarray(ksum, np.float64)
@@ -73,9 +98,89 @@ def calculate_power(delta, spacing, nbins=32):
         return ksum / counts, psum / counts, counts
 
 
+@functools.lru_cache(maxsize=16)
+def _make_sharded_binned(mesh, shape, spacing, nbins):
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+    from randomfield_tpu.ops import grid as _grid
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    volume = nx * ny * nz * spacing**3
+    n_space = mesh.shape[SPACE_AXIS]
+    ny_loc = ny // n_space
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+
+    def _local_bins(cl):
+        # cl: (nx, ny/P, nzh) local block of the packed spectrum
+        j = jax.lax.axis_index(SPACE_AXIS)
+        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (j * ny_loc,), (ny_loc,))
+        km = jnp.sqrt(
+            jnp.asarray(kx * kx)[:, None, None]
+            + (ky_l * ky_l)[None, :, None]
+            + jnp.asarray(kz * kz)[None, None, :]
+        ).astype(cl.real.dtype)
+        p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        w = jnp.asarray(mult)[None, None, :] * jnp.ones_like(p)
+        idx = jnp.searchsorted(jnp.asarray(edges, p.dtype), km) - 1
+        valid = (idx >= 0) & (idx < nbins) & (km > 0)
+        idx = jnp.where(valid, idx, nbins)
+        w = jnp.where(valid, w, 0.0)
+
+        def slab(ix, wx, px, kx):  # per x-slab: short f32 partial sums
+            fi, fw = ix.ravel(), wx.ravel()
+            c_ = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw)
+            ps = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw * px.ravel())
+            ks = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw * kx.ravel())
+            return c_, ps, ks
+
+        counts, psum_, ksum = jax.vmap(slab)(idx, w, p, jnp.broadcast_to(km, p.shape))
+        out = jnp.stack([
+            jnp.sum(counts, axis=0)[:nbins],
+            jnp.sum(psum_, axis=0)[:nbins],
+            jnp.sum(ksum, axis=0)[:nbins],
+        ])
+        return jax.lax.psum(out, SPACE_AXIS)
+
+    @jax.jit
+    def fn(delta):
+        c = dfft.rfftn_slab(delta, shape, mesh)  # sharded along ky
+        bins = jax.shard_map(
+            _local_bins,
+            mesh=mesh,
+            in_specs=P(None, SPACE_AXIS, None),
+            out_specs=P(),
+            check_vma=False,
+        )(c)
+        return bins[0], bins[1], bins[2]
+
+    return fn
+
+
+def _mean_axiswise(x):
+    """Mean via one axis at a time — each reduction sums only O(n) terms.
+
+    A flat f32 mean over ~10^8+ elements on TPU accumulates sequentially
+    enough to saturate the mantissa (measured: -11% at 256^3, -24% at
+    512^3 for x^2 sums); per-axis reductions keep every partial sum short
+    so the bias is O(n * eps) instead.
+    """
+    while x.ndim:
+        x = jnp.mean(x, axis=-1)
+    return x
+
+
+@jax.jit
+def _moments(delta):
+    m = _mean_axiswise(delta)
+    v = _mean_axiswise((delta - m) ** 2)
+    return m, v
+
+
 def field_moments(delta):
-    """(mean, variance) of a field as float64 host scalars."""
-    d = jnp.asarray(delta)
-    m = jnp.mean(d)
-    v = jnp.mean((d - m) ** 2)
+    """(mean, variance) of a field as host floats (accumulation-safe)."""
+    m, v = _moments(jnp.asarray(delta))
     return float(m), float(v)

@@ -41,7 +41,11 @@ def run_checks(n_seeds=200, shape=(16, 16, 16), layout="xyz", interpret=False):
     assert np.array_equal(a_h, b_h), "same seed must reproduce"
     assert not np.allclose(a_h, c_h), "different seeds must differ"
     z = a_h if layout == "xyz" else a_h.transpose(0, 2, 1)
-    assert transform.is_hermitian(jnp.asarray(z), nz=nz), "Hermitian planes"
+    # Hermitian check on host (complex arrays cannot transfer to axon)
+    from randomfield_tpu.validate import oracle
+
+    proj = oracle.oracle_symmetrize(z, nz=nz, scale_self_conjugate=False)
+    assert np.allclose(z, proj, rtol=1e-5, atol=1e-6), "Hermitian planes"
 
     acc = 0.0
     mean = 0.0

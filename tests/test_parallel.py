@@ -121,3 +121,18 @@ def test_indivisible_slab_raises():
 def test_make_mesh_too_few_devices():
     with pytest.raises(ValueError, match="devices"):
         M.make_mesh(data=4, space=4)
+
+
+def test_sharded_power_estimator_matches_single_device():
+    from randomfield_tpu.validate import stats
+
+    shape, spacing = (16, 16, 16), 8.0
+    mesh = _mesh(2, 4)
+    g = Generator(*shape, grid_spacing=spacing, mesh=mesh)
+    f = g.generate_delta_field(9, apply_lightcone=False)
+    k0, p0, n0 = stats.calculate_power(jnp.asarray(np.asarray(f)), spacing, nbins=8)
+    k1, p1, n1 = stats.calculate_power(f, spacing, nbins=8, mesh=mesh)
+    np.testing.assert_allclose(n1, n0, rtol=1e-6)
+    mask = n0 > 0
+    np.testing.assert_allclose(k1[mask], k0[mask], rtol=1e-5)
+    np.testing.assert_allclose(p1[mask], p0[mask], rtol=2e-4)

@@ -96,3 +96,35 @@ def test_symmetrized_spectrum_gives_real_full_ifft():
         )
     out = np.fft.ifftn(full, norm="forward")
     assert np.max(np.abs(out.imag)) < 1e-9 * max(1.0, np.max(np.abs(out.real)))
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 8), (4, 6, 10), (8, 6, 9)])
+def test_safe_backend_matches_xla(shape):
+    # the 'safe' minor-axis-only FFT path (used on TPU, where the axon
+    # runtime miscomputes non-minor-axis FFTs) must agree with the native
+    # XLA path exactly
+    rng = np.random.RandomState(11)
+    nzh = shape[2] // 2 + 1
+    c = (rng.normal(size=(*shape[:2], nzh))
+         + 1j * rng.normal(size=(*shape[:2], nzh))).astype(np.complex64)
+    c = transform.symmetrize_with_shape(jnp.asarray(c), nz=shape[2])
+    a = np.asarray(transform._irfftn_safe(c, shape))
+    b = np.asarray(jnp.fft.irfftn(c, s=shape, axes=(0, 1, 2), norm="forward"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4 * np.abs(b).max())
+
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    f = np.asarray(transform._rfftn_safe(x))
+    g = np.asarray(jnp.fft.rfftn(x, axes=(0, 1, 2), norm="backward"))
+    np.testing.assert_allclose(f, g, rtol=1e-4, atol=1e-4 * np.abs(g).max())
+
+
+def test_safe_backend_batched():
+    rng = np.random.RandomState(12)
+    shape = (6, 8, 10)
+    nzh = 6
+    c = (rng.normal(size=(3, 6, 8, nzh))
+         + 1j * rng.normal(size=(3, 6, 8, nzh))).astype(np.complex64)
+    c = transform.symmetrize_with_shape(jnp.asarray(c), nz=10)
+    a = np.asarray(transform._irfftn_safe(c, shape))
+    b = np.asarray(jnp.fft.irfftn(c, s=shape, axes=(1, 2, 3), norm="forward"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4 * np.abs(b).max())
