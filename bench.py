@@ -46,7 +46,7 @@ def time_tpu_render(n, iters=4):
     return min(ts)
 
 
-def time_cpu_render(n, iters=2):
+def time_cpu_render(n, iters=3):
     """Reference CPU conditions: numpy float64, sigma grid precomputed."""
     from randomfield_tpu.validate import oracle
     from randomfield_tpu.ops.power import load_default_power

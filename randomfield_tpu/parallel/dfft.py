@@ -31,9 +31,54 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from randomfield_tpu.ops import transform as _transform
 from randomfield_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 
 __all__ = ["irfftn_slab", "rfftn_slab"]
+
+_B = jax.lax.optimization_barrier
+
+
+def _ifft_axis(x, axis):
+    """Local unnormalized inverse FFT along ``axis`` via the minor axis.
+
+    Same discipline as ops/transform.py's safe backend: the TPU runtime
+    in this sandbox miscomputes non-minor-axis FFTs, so transform on the
+    minor axis with barrier-pinned physical transposes.  Identical
+    results (and passing tests) on CPU.
+    """
+    if axis == x.ndim - 1 or axis == -1:
+        return _transform.ifft_minor(x)
+    perm = list(range(x.ndim))
+    perm[axis], perm[-1] = perm[-1], perm[axis]
+    t = _B(jnp.transpose(x, perm))
+    t = _transform.ifft_minor(t)
+    return _B(jnp.transpose(t, perm))
+
+
+def _fft_axis(x, axis):
+    """Local unnormalized forward FFT along ``axis`` via the minor axis."""
+    cdtype = jnp.complex64 if x.dtype in (jnp.float32, jnp.complex64) else jnp.complex128
+    x = x.astype(cdtype)
+    if axis == x.ndim - 1 or axis == -1:
+        return jnp.fft.fft(x, axis=-1, norm="backward")
+    perm = list(range(x.ndim))
+    perm[axis], perm[-1] = perm[-1], perm[axis]
+    t = _B(jnp.transpose(x, perm))
+    t = jnp.fft.fft(t, axis=-1, norm="backward")
+    return _B(jnp.transpose(t, perm))
+
+
+def _irfft_last(x, n):
+    """Local c2r along the last axis (safe Hermitian-extension path)."""
+    return _transform.irfft_minor(x, n)
+
+
+def _rfft_last(x):
+    """Local r2c along the last axis via complex FFT + slice."""
+    nzh = x.shape[-1] // 2 + 1
+    c = _fft_axis(x, x.ndim - 1)
+    return _B(c[..., :nzh])
 
 
 def _check_divisible(shape, n_space):
@@ -71,13 +116,13 @@ def irfftn_slab(c, shape, mesh: Mesh, batched=False):
     off = 1 if batched else 0
 
     def local(cl):
-        cl = jnp.fft.ifft(cl, axis=-3, norm="forward")
+        cl = _ifft_axis(cl, cl.ndim - 3)
         if n_space > 1:
             cl = jax.lax.all_to_all(
                 cl, SPACE_AXIS, split_axis=off, concat_axis=off + 1, tiled=True
             )
-        cl = jnp.fft.ifft(cl, axis=-2, norm="forward")
-        return jnp.fft.irfft(cl, n=nz, axis=-1, norm="forward")
+        cl = _ifft_axis(cl, cl.ndim - 2)
+        return _irfft_last(cl, nz)
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=in_spec, out_specs=out_spec, check_vma=False
@@ -97,13 +142,13 @@ def rfftn_slab(x, shape, mesh: Mesh, batched=False):
     off = 1 if batched else 0
 
     def local(xl):
-        cl = jnp.fft.rfft(xl, axis=-1, norm="backward")
-        cl = jnp.fft.fft(cl, axis=-2, norm="backward")
+        cl = _rfft_last(xl)
+        cl = _fft_axis(cl, cl.ndim - 2)
         if n_space > 1:
             cl = jax.lax.all_to_all(
                 cl, SPACE_AXIS, split_axis=off + 1, concat_axis=off, tiled=True
             )
-        return jnp.fft.fft(cl, axis=-3, norm="backward")
+        return _fft_axis(cl, cl.ndim - 3)
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=in_spec, out_specs=out_spec, check_vma=False

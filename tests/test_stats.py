@@ -1,0 +1,37 @@
+"""Direct unit tests of the statistics estimators."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from randomfield_tpu.validate import stats
+
+
+def test_calculate_power_single_cosine():
+    # delta = A cos(k0 x): c(k0) = A V/2 => per-mode P = |c|^2/V = A^2 V/4,
+    # two modes (k0, -k0) fall in one bin with multiplicity handling
+    n, spacing, amp = 32, 2.0, 0.7
+    x = np.arange(n) * spacing
+    k0 = 2 * np.pi / (n * spacing) * 5
+    delta = np.broadcast_to(amp * np.cos(k0 * x)[:, None, None], (n, n, n))
+    k, p, m = stats.calculate_power(jnp.asarray(delta, jnp.float32), spacing, nbins=16)
+    volume = n**3 * spacing**3
+    i = np.nanargmax(np.nan_to_num(p))
+    assert abs(k[i] - k0) / k0 < 0.2
+    # bin-average power: 2 modes carry A^2 V^2/4 / V each, spread over the
+    # bin's mode count
+    expected_sum = 2 * (amp * volume / 2) ** 2 / volume
+    np.testing.assert_allclose(p[i] * m[i], expected_sum, rtol=1e-3)
+
+
+def test_field_moments_accumulation_safe():
+    rng = np.random.RandomState(0)
+    x = rng.normal(loc=0.3, scale=2.0, size=(64, 64, 64)).astype(np.float32)
+    mean, var = stats.field_moments(jnp.asarray(x))
+    assert abs(mean - x.astype(np.float64).mean()) < 1e-5
+    assert abs(var - x.astype(np.float64).var()) / x.var() < 1e-4
+
+
+def test_field_moments_batched_scalar():
+    x = jnp.zeros((8, 8, 8)) + 1.5
+    mean, var = stats.field_moments(x)
+    assert mean == 1.5 and var == 0.0
