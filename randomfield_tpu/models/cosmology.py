@@ -132,8 +132,9 @@ class Cosmology:
         """
         z = np.asarray(z, dtype=np.float64)
         a_eval = 1.0 / (1.0 + z)
-        # cumulative integral on a fixed fine log-a grid
-        lna = np.linspace(np.log(1e-8), 0.0, 20001)
+        # cumulative integral on a fixed fine log-a grid; extends past
+        # a = 1 so growth-rate finite differences at z = 0 stay two-sided
+        lna = np.linspace(np.log(1e-8), 0.25, 20001)
         a = np.exp(lna)
         f = 1.0 / (a * self._efunc_matter_lambda(a)) ** 3 * a  # d(lna) measure
         cum = np.zeros_like(a)
@@ -142,6 +143,19 @@ class Cosmology:
         d_unnorm = self._efunc_matter_lambda(a) * cum
         d_of_a = lambda aq: np.interp(np.log(aq), lna, d_unnorm)
         return d_of_a(a_eval) / d_of_a(1.0)
+
+    def growth_rate(self, z):
+        """Logarithmic growth rate f = dlnD/dlna (central difference).
+
+        In matter domination f -> 1; at z = 0 for Planck-like parameters
+        f ~ Om(z)^0.55 ~ 0.52.
+        """
+        z = np.asarray(z, dtype=np.float64)
+        a = 1.0 / (1.0 + z)
+        eps = 1e-4
+        d_hi = self.growth_function(1.0 / (a * np.exp(eps)) - 1.0)
+        d_lo = self.growth_function(1.0 / (a * np.exp(-eps)) - 1.0)
+        return (np.log(d_hi) - np.log(d_lo)) / (2 * eps)
 
 
 Planck13 = Cosmology()

@@ -1,0 +1,131 @@
+"""Derived fields: Newtonian potential, Zel'dovich displacement, velocity.
+
+Spectral Poisson machinery on top of rendered density fields — the
+products downstream pipelines (N-body initial conditions, weak-lensing
+integrations) need from a Gaussian-field engine.  All pure jnp device
+programs sharing the engine's Fourier conventions (ops/transform.py):
+
+* potential:      Phi_k / c^2 = -(3/2) Om (1+z) delta_k / (k D_H)^2
+                  (comoving Poisson eq., D_H = c/H0 = 2997.92 Mpc/h —
+                  the h's cancel with k in h/Mpc)
+* displacement:   psi_k = +i k / k^2 delta_k   (Zel'dovich; x = q + D psi)
+* velocity:       v_k = i a H(a) f(a) delta_k k / k^2  [km/s]
+                  (linear continuity eq.; f = dlnD/dlna)
+
+DC modes are zero in all cases (sigma(0) = 0 upstream).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from randomfield_tpu.ops import grid as _grid
+from randomfield_tpu.ops import transform as _transform
+
+__all__ = ["delta_to_potential", "delta_to_displacement", "delta_to_velocity"]
+
+D_H_MPC_H = 2997.92458  # Hubble distance in Mpc/h (c / (100 km/s/Mpc))
+
+
+def _inv_ksq(shape, spacing, dtype):
+    k2 = _grid.ksq(shape, spacing, dtype)
+    return jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "prefactor"))
+def _scalar_inverse_laplacian(delta, shape, spacing, prefactor):
+    """irfftn( prefactor * delta_k / k^2 ) with the engine's conventions."""
+    a = _transform.rfftn(delta, norm="forward")
+    a = a * (jnp.asarray(prefactor, delta.dtype) * _inv_ksq(shape, spacing, delta.dtype))
+    return _transform.irfftn(a, shape, norm="forward")
+
+
+def _grad_kvectors(shape, spacing, dtype):
+    """k vectors with Nyquist entries zeroed (even axes).
+
+    An odd spectral derivative (factor i*k) of a Nyquist mode has no
+    real-field representation — the packed c2r transform would silently
+    truncate it and break identities like delta = -div(psi).  Zeroing
+    the Nyquist gradient is the standard convention (the affected modes
+    carry no phase information to differentiate anyway).
+    """
+    nx, ny, nz = shape
+    out = []
+    for n in (nx, ny):
+        f = 2.0 * np.pi * np.fft.fftfreq(n, d=spacing)
+        if n % 2 == 0:
+            f[n // 2] = 0.0
+        out.append(jnp.asarray(f, dtype))
+    f = 2.0 * np.pi * np.fft.rfftfreq(nz, d=spacing)
+    if nz % 2 == 0:
+        f[-1] = 0.0
+    out.append(jnp.asarray(f, dtype))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "prefactor"))
+def _gradient_inverse_laplacian(delta, shape, spacing, prefactor):
+    """irfftn( prefactor * i k delta_k / k^2 ) -> (3, nx, ny, nz)."""
+    a = _transform.rfftn(delta, norm="forward")
+    inv = _inv_ksq(shape, spacing, delta.dtype)
+    kx, ky, kz = _grad_kvectors(shape, spacing, delta.dtype)
+    comps = []
+    for kvec, bcast in (
+        (kx, (slice(None), None, None)),
+        (ky, (None, slice(None), None)),
+        (kz, (None, None, slice(None))),
+    ):
+        grad_k = a * (1j * kvec[bcast] * inv * jnp.asarray(prefactor, delta.dtype))
+        comps.append(_transform.irfftn(grad_k, shape, norm="forward"))
+    return jnp.stack(comps)
+
+
+def delta_to_potential(delta, spacing, cosmology, z=0.0):
+    """Dimensionless peculiar potential Phi/c^2 of a density field.
+
+    Solves the comoving Poisson equation
+    ``grad^2 Phi = (3/2) Om H0^2 (1+z) delta`` spectrally.
+    """
+    from randomfield_tpu.models.cosmology import create_cosmology
+
+    cosmology = create_cosmology(cosmology)
+    shape = tuple(int(s) for s in delta.shape[-3:])
+    pref = -1.5 * cosmology.Om0 * (1.0 + float(z)) / D_H_MPC_H**2
+    return _scalar_inverse_laplacian(delta, shape, float(spacing), pref)
+
+
+def delta_to_displacement(delta, spacing):
+    """Zel'dovich displacement field psi [Mpc/h], shape (3, nx, ny, nz).
+
+    First-order Lagrangian displacement: ``psi_k = i k delta_k / k^2``;
+    particles move as ``x = q + D(z) psi(q)`` — the standard N-body
+    initial-conditions recipe from a linear density field.
+    """
+    shape = tuple(int(s) for s in delta.shape[-3:])
+    # continuity: delta = -div(psi)  =>  psi_k = +i k/k^2 delta_k
+    return _gradient_inverse_laplacian(delta, shape, float(spacing), 1.0)
+
+
+def delta_to_velocity(delta, spacing, cosmology, z=0.0):
+    """Linear peculiar velocity field [km/s], shape (3, nx, ny, nz).
+
+    ``v = a H(a) f(a) psi`` with f the logarithmic growth rate.
+    """
+    from randomfield_tpu.models.cosmology import create_cosmology
+
+    cosmology = create_cosmology(cosmology)
+    z = float(z)
+    a = 1.0 / (1.0 + z)
+    H = cosmology.H0 * float(cosmology.efunc(z))  # km/s/Mpc
+    f = cosmology.growth_rate(z)
+    # psi in Mpc/h; v = a H f psi -> (km/s/Mpc) * Mpc/h = km/s / h... the
+    # h cancels against H expressed per Mpc/h: use H in km/s/(Mpc/h) = H/h
+    pref = a * H * f / cosmology.h
+    shape = tuple(int(s) for s in delta.shape[-3:])
+    return _gradient_inverse_laplacian(delta, shape, float(spacing), 1.0) * jnp.asarray(
+        pref, delta.dtype
+    )

@@ -1,0 +1,91 @@
+"""Derived-field tests: Poisson potential, Zel'dovich, velocities."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randomfield_tpu import Generator
+from randomfield_tpu.models.cosmology import Planck13
+from randomfield_tpu.ops import derived
+
+
+def _cosine_field(n, spacing, kidx, amp=0.8, axis=0):
+    x = np.arange(n) * spacing
+    k0 = 2 * np.pi / (n * spacing) * kidx
+    wave = amp * np.cos(k0 * x)
+    shape = [1, 1, 1]
+    shape[axis] = n
+    return (
+        jnp.asarray(np.broadcast_to(wave.reshape(shape), (n, n, n)), jnp.float32),
+        k0,
+    )
+
+
+def test_potential_single_mode():
+    n, spacing, kidx = 32, 4.0, 3
+    delta, k0 = _cosine_field(n, spacing, kidx)
+    phi = np.asarray(derived.delta_to_potential(delta, spacing, Planck13, z=0.0))
+    # grad^2 Phi = C delta with C = 1.5 Om / D_H^2  =>  Phi = -C/k0^2 delta
+    pref = 1.5 * Planck13.Om0 / derived.D_H_MPC_H**2
+    expected = -pref / k0**2 * np.asarray(delta)
+    np.testing.assert_allclose(phi, expected, rtol=1e-4, atol=1e-10)
+
+
+def test_displacement_single_mode():
+    # delta = A cos(k0 x) => psi_x = (A/k0) sin(k0 x), psi_y = psi_z = 0
+    n, spacing, kidx = 32, 2.0, 5
+    delta, k0 = _cosine_field(n, spacing, kidx)
+    psi = np.asarray(derived.delta_to_displacement(delta, spacing))
+    x = np.arange(n) * spacing
+    # psi_k = +ik/k^2 delta_k => psi_x = -(A/k0) sin(k0 x): flows point
+    # toward the overdensity at x = 0
+    expected_x = -(0.8 / k0) * np.sin(k0 * x)
+    np.testing.assert_allclose(
+        psi[0], np.broadcast_to(expected_x[:, None, None], (n, n, n)),
+        rtol=1e-4, atol=1e-6,
+    )
+    assert np.abs(psi[1]).max() < 1e-6 and np.abs(psi[2]).max() < 1e-6
+    # divergence closes the loop: delta = -div(psi) (spectral consistency)
+
+
+def test_divergence_of_displacement_recovers_delta():
+    g = Generator(16, 16, 16, grid_spacing=8.0)
+    # smooth away Nyquist power: the gradient operator zeroes Nyquist
+    # modes by convention, so the identity holds on the band-limited field
+    delta = g.generate_delta_field(3, smoothing_length=20.0, apply_lightcone=False)
+    psi = derived.delta_to_displacement(delta, 8.0)
+    # spectral divergence
+    from randomfield_tpu.ops import grid, transform
+
+    shape = (16, 16, 16)
+    kx, ky, kz = grid.kvectors(shape, 8.0)
+    div_k = 0
+    for i, (kv, b) in enumerate([
+        (kx, (slice(None), None, None)),
+        (ky, (None, slice(None), None)),
+        (kz, (None, None, slice(None))),
+    ]):
+        div_k = div_k + 1j * kv[b] * transform.rfftn(psi[i], norm="forward")
+    recovered = np.asarray(transform.irfftn(div_k, shape, norm="forward"))
+    # continuity convention: delta = -div(psi)
+    np.testing.assert_allclose(
+        -recovered, np.asarray(delta), rtol=1e-3,
+        atol=1e-4 * np.std(np.asarray(delta)),
+    )
+
+
+def test_growth_rate_limits():
+    assert 0.4 < Planck13.growth_rate(0.0) < 0.6  # ~ Om^0.55 ~ 0.52
+    assert abs(Planck13.growth_rate(50.0) - 1.0) < 0.02  # matter domination
+    approx = Planck13.Om0 ** 0.55
+    # Om(z=0)^0.55 approximation good to ~2%
+    assert abs(Planck13.growth_rate(0.0) - approx ** 1.0) < 0.05
+
+
+def test_velocity_magnitude_sane():
+    g = Generator(32, 32, 32, grid_spacing=8.0)
+    delta = g.generate_delta_field(0, apply_lightcone=False)
+    v = np.asarray(derived.delta_to_velocity(delta, 8.0, Planck13, z=0.0))
+    rms = np.sqrt((v**2).sum(axis=0).mean())
+    # linear-theory pairwise velocities are a few hundred km/s
+    assert 50 < rms < 1500, rms
