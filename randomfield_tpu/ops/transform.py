@@ -72,13 +72,22 @@ __all__ = [
 
 @functools.lru_cache(maxsize=1)
 def fft_backend() -> str:
+    """'xla' (native), 'safe' (minor-axis + barriered transposes), or
+    'ct' (Cooley-Tukey einsum matmuls, ops/ctfft.py — fastest correct
+    path on TPU: the native lowering computes 1-D transforms as direct
+    O(n)-per-element DFT matmuls, and miscomputes non-minor axes here).
+    """
     env = os.environ.get("RF_FFT_BACKEND")
-    if env in ("xla", "safe"):
+    if env in ("xla", "safe", "ct"):
         return env
     try:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
+    # 'safe' beats 'ct' at every size measured here (the native
+    # minor-axis kernel outruns 32-wide einsum contractions on the MXU);
+    # 'ct' remains available for runtimes whose minor-axis FFT is also
+    # suspect, or for odd transform axes without transposes.
     return "safe" if platform == "tpu" else "xla"
 
 
@@ -143,6 +152,23 @@ def _rfftn_safe(x):
     return rotate_last3(c)       # back to (..., kx, ky, kz)
 
 
+def _irfftn_ct(c, shape):
+    from randomfield_tpu.ops import ctfft
+
+    x = ctfft.ifft_ct(c, axis=-3)
+    x = ctfft.ifft_ct(x, axis=-2)
+    return ctfft.irfft_ct(x, shape[-1], axis=-1)
+
+
+def _rfftn_ct(x):
+    from randomfield_tpu.ops import ctfft
+
+    nzh = x.shape[-1] // 2 + 1
+    c = ctfft.fft_ct(x, axis=-1)[..., :nzh]
+    c = ctfft.fft_ct(c, axis=-2)
+    return ctfft.fft_ct(c, axis=-3)
+
+
 def irfftn(c, shape, norm="forward"):
     """Unnormalized-inverse packed c2r transform (sum over modes).
 
@@ -150,7 +176,11 @@ def irfftn(c, shape, norm="forward"):
     direct analog of FFTW's unnormalized c2r that the reference's
     ``Plan.execute`` runs (ref: transform.py:Plan).
     """
-    if fft_backend() == "safe":
+    backend = fft_backend()
+    if backend == "ct":
+        assert norm == "forward"
+        return _irfftn_ct(c, shape)
+    if backend == "safe":
         assert norm == "forward"
         return _irfftn_safe(c, shape)
     return jnp.fft.irfftn(c, s=shape, axes=(-3, -2, -1), norm=norm)
@@ -158,8 +188,9 @@ def irfftn(c, shape, norm="forward"):
 
 def rfftn(x, norm="forward"):
     """Packed r2c transform matching :func:`irfftn`'s convention."""
-    if fft_backend() == "safe":
-        c = _rfftn_safe(x)
+    backend = fft_backend()
+    if backend in ("safe", "ct"):
+        c = _rfftn_ct(x) if backend == "ct" else _rfftn_safe(x)
         if norm == "forward":
             n = x.shape[-3] * x.shape[-2] * x.shape[-1]
             c = c / jnp.asarray(n, c.real.dtype)
