@@ -268,7 +268,14 @@ class Generator:
                     self.scene.shape, self.scene.grid_spacing,
                     str(self.state.sigmas.dtype),
                 )
-                out = p4(p3(p2(c)), self._weights(apply_lightcone))
+                # block between stages (see staged.staged_render): async
+                # stage-allocation overlap OOMs at the HBM ceiling
+                c.block_until_ready()
+                c = p2(c)
+                c.block_until_ready()
+                c = p3(c)
+                c.block_until_ready()
+                out = p4(c, self._weights(apply_lightcone))
             else:
                 out = _finish_render(
                     c, self._weights(apply_lightcone), self.scene.shape

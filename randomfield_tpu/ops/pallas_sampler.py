@@ -67,15 +67,27 @@ def _make_kernel(shape, spacing, layout):
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     d1, d2 = (ny, nzh) if layout == "xyz" else (nzh, ny)
+    # tile the middle axis so all VMEM-resident lattices (sigma, two bit
+    # lattices, re/im outputs, temps) stay well under the ~16 MB budget
+    blk1 = d1
+    while blk1 * d2 * 4 * 7 > 10 * 2**20:
+        blk1 = (blk1 + 1) // 2
+    if blk1 != d1:
+        blk1 = max(8, ((blk1 + 7) // 8) * 8)  # sublane-divisible tiles
+    n1_tiles = pl.cdiv(d1, blk1)
     dk = _TWO_PI / spacing  # per-axis scale is dk / n_axis
 
     def kernel(seed_ref, smooth_ref, sig_ref, re_ref, im_ref):
         i = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0], i)
+        j = pl.program_id(1)
+        # hardware seeding accepts at most 2 values: fold the 2-D tile
+        # coordinate into one stream index
+        pltpu.prng_seed(seed_ref[0], i * n1_tiles + j)
 
-        # |k|^2 for this x-row tile: axis 0 index is i, axes 1-2 via iota
-        a1 = jax.lax.broadcasted_iota(jnp.int32, (d1, d2), 0)
-        a2 = jax.lax.broadcasted_iota(jnp.int32, (d1, d2), 1)
+        # |k|^2 for this tile: axis 0 index is i, axes 1-2 via iota (+ tile
+        # offset along the tiled middle axis)
+        a1 = jax.lax.broadcasted_iota(jnp.int32, (blk1, d2), 0) + j * blk1
+        a2 = jax.lax.broadcasted_iota(jnp.int32, (blk1, d2), 1)
         kx = (dk / nx) * _signed_index(i, nx).astype(jnp.float32)
         if layout == "xyz":
             k1 = (dk / ny) * _signed_index(a1, ny).astype(jnp.float32)
@@ -86,8 +98,8 @@ def _make_kernel(shape, spacing, layout):
         ksq = kx * kx + k1 * k1 + k2 * k2
 
         # Box-Muller from two independent uint32 lattices
-        b1 = pltpu.bitcast(pltpu.prng_random_bits((d1, d2)), jnp.uint32)
-        b2 = pltpu.bitcast(pltpu.prng_random_bits((d1, d2)), jnp.uint32)
+        b1 = pltpu.bitcast(pltpu.prng_random_bits((blk1, d2)), jnp.uint32)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits((blk1, d2)), jnp.uint32)
         # >> 8 leaves 24 bits, so the int32 round-trip is exact (Mosaic
         # has no direct uint32 -> float32 cast)
         u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * _INV_2_24 + (
@@ -102,7 +114,7 @@ def _make_kernel(shape, spacing, layout):
         re_ref[0] = amp * (r * jnp.cos(theta))
         im_ref[0] = amp * (r * jnp.sin(theta))
 
-    return kernel, (nx, d1, d2)
+    return kernel, (nx, d1, d2, blk1, n1_tiles)
 
 
 @functools.partial(
@@ -110,12 +122,14 @@ def _make_kernel(shape, spacing, layout):
 )
 def _sample_jit(seed, smoothing_length, sigmas, shape, spacing, layout,
                 interpret):
-    kernel, (nx, d1, d2) = _make_kernel(shape, spacing, layout)
+    kernel, (nx, d1, d2, blk1, n1_tiles) = _make_kernel(shape, spacing, layout)
     out = jax.ShapeDtypeStruct((nx, d1, d2), sigmas.dtype)
-    row = pl.BlockSpec((1, d1, d2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec(
+        (1, blk1, d2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
     re, im = pl.pallas_call(
         kernel,
-        grid=(nx,),
+        grid=(nx, n1_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
