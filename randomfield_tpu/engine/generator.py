@@ -79,6 +79,13 @@ def render(key, sigmas, weights, smoothing_length, shape, spacing):
     return _render_impl(key, sigmas, weights, smoothing_length, shape, spacing)
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "spacing"))
+def _sample_spectrum_jit(key, sigmas, smoothing_length, shape, spacing):
+    nx, ny, nz = shape
+    draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), dtype=sigmas.dtype)
+    return _spectrum_from_noise_impl(draws, sigmas, smoothing_length, shape, spacing)
+
+
 @functools.partial(jax.jit, static_argnames=("shape",), donate_argnums=0)
 def _finish_render(c, weights, shape):
     """irfftn + lightcone weighting of an externally sampled spectrum."""
@@ -345,4 +352,45 @@ class Generator:
         """Realized binned P(k) of a rendered field (validation helper)."""
         from randomfield_tpu.validate import stats
 
-        return stats.calculate_power(delta, self.scene.grid_spacing, nbins)
+        return stats.calculate_power(
+            delta, self.scene.grid_spacing, nbins, mesh=self.mesh
+        )
+
+    def sample_power(self, seed=0, smoothing_length=0.0, nbins=32):
+        """Realized binned P(k) of seed's spectrum — WITHOUT any FFT.
+
+        The sampled packed spectrum c_k already determines the
+        realization's power (P_hat = |c_k|^2 V); binning it directly
+        skips both the inverse render and the forward estimate, making
+        P(k)/covariance ensembles (BASELINE config 4) cheap at sizes
+        where fields barely fit in HBM.  Identical statistics to
+        ``calculate_power(generate_delta_field(seed))`` up to transform
+        rounding.
+        """
+        from randomfield_tpu.validate import stats
+
+        sm = jnp.asarray(smoothing_length, self.state.sigmas.dtype)
+        if self.sampler == "pallas":
+            from randomfield_tpu.ops.pallas_sampler import sample_spectrum_pallas
+
+            c = sample_spectrum_pallas(
+                int(seed), self.state.sigmas, self.scene.shape,
+                self.scene.grid_spacing, sm, layout=self._layout,
+            )
+        elif self.pipeline == "staged" and self.mesh is None:
+            from randomfield_tpu.engine.staged import _stages
+            from randomfield_tpu.ops.grid import kvectors
+
+            p1 = _stages(self.scene.shape, self.scene.grid_spacing,
+                         str(self.state.sigmas.dtype))[0]
+            kx, ky, kz = kvectors(self.scene.shape, self.scene.grid_spacing,
+                                  self.state.sigmas.dtype)
+            c = p1(_as_key(seed), self.state.sigmas, sm, kx, kz, ky)
+        else:
+            c = _sample_spectrum_jit(
+                _as_key(seed), self.state.sigmas, sm,
+                self.scene.shape, self.scene.grid_spacing,
+            )
+        return stats.spectrum_power(
+            c, self.scene.shape, self.scene.grid_spacing, nbins, self._layout
+        )

@@ -18,7 +18,31 @@ import numpy as np
 
 from randomfield_tpu.validate import stats as _stats
 
-__all__ = ["ensemble_power", "power_covariance", "sigma_r_from_field"]
+__all__ = [
+    "ensemble_power",
+    "sample_power_ensemble",
+    "power_covariance",
+    "sigma_r_from_field",
+]
+
+
+def sample_power_ensemble(generator, seeds, smoothing_length=0.0, nbins=32):
+    """Streaming P(k) ensemble with O(1) memory — no fields, no FFTs.
+
+    Uses ``Generator.sample_power`` per seed: the sampled spectrum is
+    binned directly, so 1024^3-class covariance studies (BASELINE
+    config 4) run on a single 16 GB chip, one spectrum at a time.
+    Returns host float64 ``(k_mean, p_hat[nseeds, nbins], n_modes)``.
+    """
+    ks = ms = None
+    ps = []
+    for s in np.asarray(seeds).tolist():
+        k, p, m = generator.sample_power(
+            s, smoothing_length=smoothing_length, nbins=nbins
+        )
+        ks, ms = k, m
+        ps.append(p)
+    return ks, np.asarray(ps), ms
 
 
 def ensemble_power(fields, spacing, nbins=32, mesh=None):

@@ -18,7 +18,7 @@ import numpy as np
 from randomfield_tpu.ops import grid as _grid
 from randomfield_tpu.ops import transform as _transform
 
-__all__ = ["calculate_power", "field_moments"]
+__all__ = ["calculate_power", "spectrum_power", "field_moments"]
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "spacing"))
@@ -158,6 +158,81 @@ def _make_sharded_binned(mesh, shape, spacing, nbins):
         return bins[0], bins[1], bins[2]
 
     return fn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "spacing", "nbins", "layout")
+)
+def _binned_spectrum(c, shape, spacing, nbins, layout):
+    """Bin |c_k|^2 * V of a packed spectrum (no FFT; layout-aware).
+
+    |k| is rebuilt per x-slab from 1-D frequency vectors inside a
+    lax.map body — a precomputed |k| cube at 1024^3 would bake a >4 GB
+    constant into the executable (resident HBM + minutes of transfer).
+    """
+    nx, ny, nz = shape
+    volume = nx * ny * nz * spacing**3
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    two_pi = 2.0 * np.pi
+    kx = two_pi * np.fft.fftfreq(nx, d=spacing)
+    ky = two_pi * np.fft.fftfreq(ny, d=spacing)
+    kz = two_pi * np.fft.rfftfreq(nz, d=spacing)
+    dtype = c.real.dtype
+    if layout == "xyz":
+        kmid, klast = ky, kz
+        m2 = np.broadcast_to(mult[None, :], (ny, nz // 2 + 1))
+    elif layout == "xzy":
+        kmid, klast = kz, ky
+        m2 = np.broadcast_to(mult[:, None], (nz // 2 + 1, ny))
+    else:
+        raise ValueError(layout)
+    kmid_j = jnp.asarray(kmid, dtype)
+    klast_j = jnp.asarray(klast, dtype)
+    m2_j = jnp.asarray(np.ascontiguousarray(m2), dtype)
+    edges_j = jnp.asarray(edges, dtype)
+    kx_sq = jnp.asarray(kx * kx, dtype)
+
+    def slab(args):
+        kxs, cs = args  # scalar kx^2, (d1, d2) spectrum slab
+        km = jnp.sqrt(
+            kxs + (kmid_j * kmid_j)[:, None] + (klast_j * klast_j)[None, :]
+        )
+        p = (cs.real**2 + cs.imag**2) * jnp.asarray(volume, dtype)
+        idx = jnp.searchsorted(edges_j, km) - 1
+        valid = (idx >= 0) & (idx < nbins) & (km > 0)
+        idx = jnp.where(valid, idx, nbins)
+        w = jnp.where(valid, m2_j, 0.0)
+        fi, fw = idx.ravel(), w.ravel()
+        c_ = jnp.zeros(nbins + 1, dtype).at[fi].add(fw)
+        ps = jnp.zeros(nbins + 1, dtype).at[fi].add(fw * p.ravel())
+        ks = jnp.zeros(nbins + 1, dtype).at[fi].add(fw * km.ravel())
+        return c_, ps, ks
+
+    counts, psum, ksum = jax.lax.map(slab, (kx_sq, c))
+    return (
+        jnp.sum(counts, axis=0)[:nbins],
+        jnp.sum(psum, axis=0)[:nbins],
+        jnp.sum(ksum, axis=0)[:nbins],
+    )
+
+
+def spectrum_power(c, shape, spacing, nbins=32, layout="xyz"):
+    """Realized binned P(k) directly from a packed sampled spectrum.
+
+    No FFT involved: the render pipeline already holds c_k, and
+    ``P_hat = |c_k|^2 * V`` under the engine's conventions — so
+    covariance studies can skip the inverse transform entirely (and the
+    expensive forward estimate).  Returns host float64 (k_mean, p_hat,
+    n_modes) like :func:`calculate_power`.
+    """
+    counts, psum, ksum = _binned_spectrum(
+        c, tuple(int(s) for s in shape), float(spacing), int(nbins), layout
+    )
+    counts = np.asarray(counts, np.float64)
+    psum = np.asarray(psum, np.float64)
+    ksum = np.asarray(ksum, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return ksum / counts, psum / counts, counts
 
 
 def _mean_axiswise(x):

@@ -35,3 +35,38 @@ def test_field_moments_batched_scalar():
     x = jnp.zeros((8, 8, 8)) + 1.5
     mean, var = stats.field_moments(x)
     assert mean == 1.5 and var == 0.0
+
+
+def test_spectrum_power_matches_field_power():
+    from randomfield_tpu import Generator
+
+    g = Generator(32, 32, 32, grid_spacing=4.0)
+    seed = 7
+    k0, p0, n0 = g.sample_power(seed, nbins=10)
+    delta = g.generate_delta_field(seed, apply_lightcone=False)
+    k1, p1, n1 = g.calculate_power(delta, nbins=10)
+    np.testing.assert_allclose(n0, n1, rtol=1e-6)
+    mask = n0 > 0
+    np.testing.assert_allclose(p0[mask], p1[mask], rtol=1e-3)
+    np.testing.assert_allclose(k0[mask], k1[mask], rtol=1e-4)
+
+
+def test_spectrum_power_staged_pipeline():
+    from randomfield_tpu import Generator
+
+    g = Generator(16, 16, 16, grid_spacing=8.0, pipeline="staged")
+    k0, p0, n0 = g.sample_power(3, nbins=8)
+    delta = g.generate_delta_field(3, apply_lightcone=False)
+    k1, p1, n1 = stats.calculate_power(delta, 8.0, nbins=8)
+    mask = n0 > 0
+    np.testing.assert_allclose(p0[mask], p1[mask], rtol=1e-3)
+
+
+def test_spectrum_power_with_smoothing():
+    from randomfield_tpu import Generator
+
+    g = Generator(16, 16, 16, grid_spacing=8.0)
+    k0, p_raw, _ = g.sample_power(0, nbins=6)
+    _, p_sm, _ = g.sample_power(0, smoothing_length=16.0, nbins=6)
+    mask = np.isfinite(p_raw) & (p_raw > 0)
+    assert np.all(p_sm[mask] <= p_raw[mask] * 1.0001)
