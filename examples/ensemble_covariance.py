@@ -33,3 +33,10 @@ for i in range(len(k)):
 s8 = [ensemble.sigma_r_from_field(fields[i], gen.grid_spacing, 8.0)
       for i in range(8)]
 print(f"\nsigma(8 Mpc/h) realized: {np.mean(s8):.4f} +- {np.std(s8):.4f}")
+
+# For grids near the HBM ceiling, skip fields entirely: the sampled
+# spectrum already determines P-hat (no FFT at all) —
+k2, p2, n2 = ensemble.sample_power_ensemble(gen, seeds[:16], nbins=12)
+print("\nFFT-free spectrum-space ensemble (16 seeds): "
+      f"mean P ratio to field-space = "
+      f"{np.nanmean(p2.mean(axis=0) / p_hat.mean(axis=0)):.4f}")
