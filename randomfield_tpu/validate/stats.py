@@ -71,6 +71,78 @@ def _binned(delta, shape, spacing, nbins):
     return counts[:nbins], psum[:nbins], ksum[:nbins]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("shape", "spacing", "nbins", "chunks")
+)
+def _staged_field_power(delta, shape, spacing, nbins, chunks):
+    """Forward estimate for fields near the HBM ceiling.
+
+    Chunked r2c over (z, y) per x-slab, one full transpose + minor-axis
+    fft over x, then kz-slab binning — never more than two full-size
+    complex buffers live (the one-shot path needs an (nx, ny, nz) full
+    complex intermediate that cannot fit at 1024^3 on 16 GB).
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    volume = nx * ny * nz * spacing**3
+    _Bar = jax.lax.optimization_barrier
+    cdt = jnp.complex64 if delta.dtype == jnp.float32 else jnp.complex128
+
+    def f1(chunk):  # (cx, ny, nz) real -> (cx, nzh, ny) spectrum in z,y
+        c = jnp.fft.fft(chunk.astype(cdt), axis=-1, norm="backward")
+        c = _Bar(c[..., :nzh])
+        c = _Bar(jnp.transpose(c, (0, 2, 1)))  # (cx, nzh, ny)
+        return jnp.fft.fft(c, axis=-1, norm="backward")
+
+    c1 = jax.lax.map(
+        f1, delta.reshape(chunks, nx // chunks, ny, nz)
+    ).reshape(nx, nzh, ny)
+    # fft over x on the minor axis
+    c2 = _Bar(jnp.transpose(c1, (1, 2, 0)))  # (nzh, ny, nx)
+    c2 = jnp.fft.fft(c2, axis=-1, norm="backward")
+
+    # bin per kz slab: multiplicity is constant within a slab
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    two_pi = 2.0 * np.pi
+    kxv = two_pi * np.fft.fftfreq(nx, d=spacing)
+    kyv = two_pi * np.fft.fftfreq(ny, d=spacing)
+    kzv = two_pi * np.fft.rfftfreq(nz, d=spacing)
+    dtype = delta.dtype
+    edges_j = jnp.asarray(edges, dtype)
+    ky_sq = jnp.asarray(kyv * kyv, dtype)
+    kx_sq = jnp.asarray(kxv * kxv, dtype)
+    scale = jnp.asarray(spacing**6 / volume, dtype)
+
+    def slab(args):
+        kz_sq, m, cs = args  # scalars + (ny, nx) slab
+        km = jnp.sqrt(kz_sq + ky_sq[:, None] + kx_sq[None, :])
+        p = (cs.real**2 + cs.imag**2) * scale
+        idx = jnp.searchsorted(edges_j, km) - 1
+        valid = (idx >= 0) & (idx < nbins) & (km > 0)
+        idx = jnp.where(valid, idx, nbins)
+        w = jnp.where(valid, m, 0.0)
+        fi, fw = idx.ravel(), w.ravel()
+        cc = jnp.zeros(nbins + 1, dtype).at[fi].add(fw)
+        ps = jnp.zeros(nbins + 1, dtype).at[fi].add(fw * p.ravel())
+        ks = jnp.zeros(nbins + 1, dtype).at[fi].add(fw * km.ravel())
+        return cc, ps, ks
+
+    counts, psum, ksum = jax.lax.map(
+        slab,
+        (jnp.asarray(kzv * kzv, dtype), jnp.asarray(mult, dtype), c2),
+    )
+    return (
+        jnp.sum(counts, axis=0)[:nbins],
+        jnp.sum(psum, axis=0)[:nbins],
+        jnp.sum(ksum, axis=0)[:nbins],
+    )
+
+
+# one-shot forward estimates above this need an (nx, ny, nz) complex
+# intermediate that exceeds a 16 GB chip
+_STAGED_POWER_THRESHOLD = 256 * 1024 * 1024
+
+
 def calculate_power(delta, spacing, nbins=32, mesh=None):
     """Realized isotropic P(k) of a field, binned in log |k|.
 
@@ -89,6 +161,15 @@ def calculate_power(delta, spacing, nbins=32, mesh=None):
     if mesh is not None and mesh.shape.get(SPACE_AXIS, 1) > 1:
         fn = _make_sharded_binned(mesh, shape, float(spacing), int(nbins))
         counts, psum, ksum = fn(delta)
+    elif shape[0] * shape[1] * shape[2] > _STAGED_POWER_THRESHOLD:
+        chunks = 1
+        for c in range(min(16, shape[0]), 0, -1):
+            if shape[0] % c == 0:
+                chunks = c
+                break
+        counts, psum, ksum = _staged_field_power(
+            delta, shape, float(spacing), int(nbins), chunks
+        )
     else:
         counts, psum, ksum = _binned(delta, shape, float(spacing), int(nbins))
     counts = np.asarray(counts, np.float64)

@@ -70,3 +70,21 @@ def test_spectrum_power_with_smoothing():
     _, p_sm, _ = g.sample_power(0, smoothing_length=16.0, nbins=6)
     mask = np.isfinite(p_raw) & (p_raw > 0)
     assert np.all(p_sm[mask] <= p_raw[mask] * 1.0001)
+
+
+def test_staged_field_power_matches_oneshot():
+    from randomfield_tpu import Generator
+
+    g = Generator(32, 32, 32, grid_spacing=4.0)
+    delta = g.generate_delta_field(5, apply_lightcone=False)
+    k0, p0, n0 = stats.calculate_power(delta, 4.0, nbins=9)
+    c1, ps1, ks1 = stats._staged_field_power(delta, (32, 32, 32), 4.0, 9, 4)
+    import numpy as np
+
+    n1 = np.asarray(c1, np.float64)
+    p1 = np.asarray(ps1, np.float64) / n1
+    k1 = np.asarray(ks1, np.float64) / n1
+    mask = n0 > 0
+    np.testing.assert_allclose(n1, n0, rtol=1e-6)
+    np.testing.assert_allclose(p1[mask], p0[mask], rtol=2e-3)
+    np.testing.assert_allclose(k1[mask], k0[mask], rtol=1e-4)
