@@ -65,7 +65,11 @@ def main(argv=None):
         if not args.quiet:
             print(f"seed {seed}: rendered in {time.perf_counter() - t0:.3f}s")
         if args.stats:
-            mean, var = float(delta.mean()), float(delta.var())
+            # axiswise moments: flat f32 mean/var on TPU underestimates
+            # variance 10-25% at >=256^3 (sequential accumulation)
+            from randomfield_tpu.validate.stats import field_moments
+
+            mean, var = field_moments(delta)
             print(f"  mean = {mean:+.3e}  var = {var:.5f} "
                   f"(predicted {gen.predicted_variance(args.smoothing):.5f} "
                   f"before lightcone weighting)")

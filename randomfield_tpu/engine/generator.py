@@ -161,12 +161,23 @@ class Generator:
             power = _power.load_default_power()
         from randomfield_tpu.engine.staged import pick_pipeline
 
-        self.pipeline = "fused" if mesh is not None else pick_pipeline(
-            self.scene.shape, pipeline
-        )
+        self.pipeline = pick_pipeline(self.scene.shape, pipeline)
+        if mesh is not None:
+            if pipeline == "staged":
+                raise ValueError(
+                    "pipeline='staged' is incompatible with mesh mode "
+                    "(the sharded render is its own pipeline); use "
+                    "pipeline='auto' or 'fused'"
+                )
+            self.pipeline = "fused"
         layout = "xzy" if self.pipeline == "staged" else "xyz"
         if sampler not in ("threefry", "pallas"):
             raise ValueError(f"unknown sampler {sampler!r}")
+        if sampler == "pallas" and mesh is not None:
+            raise ValueError(
+                "sampler='pallas' is single-device; mesh mode samples with "
+                "the partitionable Threefry stream"
+            )
         self.sampler = sampler
         self._layout = layout
         self.state, self._aux = _scene.build_state(self.scene, power, layout=layout)
@@ -317,7 +328,20 @@ class Generator:
 
         The leading axis of the result is the seed axis; shard it over a
         'data' mesh axis for data-parallel covariance studies (config 4).
+        With ``sampler='pallas'`` the batch loops the single-seed kernel
+        (its hardware-PRNG stream has no vmapped form), so batch and
+        single-seed renders agree exactly on every configuration.
         """
+        if self.sampler == "pallas":
+            # reuse the single-seed Pallas stream so a batch of [s] equals
+            # generate_delta_field(s) exactly (the vmapped path below would
+            # silently switch to the Threefry stream)
+            return jnp.stack([
+                self.generate_delta_field(
+                    int(s), smoothing_length, apply_lightcone
+                )
+                for s in np.asarray(seeds)
+            ])
         keys = seeds_to_keys(seeds)
         if self.mesh is None and self.pipeline == "staged":
             # staged grids are near the HBM ceiling: render sequentially

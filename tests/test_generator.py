@@ -111,3 +111,26 @@ def test_verbose_prints(capsys):
     g.generate_delta_field(0)
     out = capsys.readouterr().out
     assert "scene setup" in out and "render" in out
+
+
+def test_invalid_pipeline_rejected_even_with_mesh():
+    from randomfield_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="unknown pipeline"):
+        Generator(8, 8, 8, grid_spacing=8.0, pipeline="bogus")
+    mesh = make_mesh(data=2, space=4)
+    with pytest.raises(ValueError, match="unknown pipeline"):
+        Generator(8, 8, 8, grid_spacing=8.0, mesh=mesh, pipeline="bogus")
+    with pytest.raises(ValueError, match="incompatible with mesh"):
+        Generator(8, 8, 8, grid_spacing=8.0, mesh=mesh, pipeline="staged")
+    # explicit 'fused' and 'auto' remain fine in mesh mode
+    assert Generator(8, 8, 8, grid_spacing=8.0, mesh=mesh,
+                     pipeline="fused").pipeline == "fused"
+
+
+def test_pallas_sampler_rejected_with_mesh():
+    from randomfield_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=2, space=4)
+    with pytest.raises(ValueError, match="single-device"):
+        Generator(8, 8, 8, grid_spacing=8.0, mesh=mesh, sampler="pallas")
