@@ -40,35 +40,51 @@ def _bin_setup(shape, spacing, nbins):
     return edges, mult
 
 
+def _dot_bin(idx, w, pw, km, nbins):
+    """Per-bin (sum w, sum w*p, sum w*|k|) via a one-hot MXU contraction.
+
+    TPU scatter-add serializes colliding updates — binning one 512^3
+    spectrum with ``.at[].add`` measured 1.8 s on a v5e; contracting the
+    same modes against an exact {0,1} one-hot runs in ~50 ms (XLA fuses
+    the one-hot generation into the dot, so it is never materialized).
+    HIGHEST precision keeps the f32 value operand un-truncated: the
+    default bf16 passes bias the power sums by ~0.1%, HIGHEST is within
+    ~1e-5 of float64 (and the {0,1} operand is exact in any precision).
+    Invalid modes must arrive with ``w == 0`` and an ``idx`` outside
+    [0, nbins).
+    """
+    dt = w.dtype
+    oh = (idx.ravel()[:, None] == jnp.arange(nbins, dtype=idx.dtype)).astype(dt)
+    wf = w.ravel()
+    mat = jnp.stack([wf, wf * pw.ravel(), wf * km.ravel()])
+    out = jax.lax.dot(mat, oh, precision=jax.lax.Precision.HIGHEST)
+    return out[0], out[1], out[2]
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "spacing", "nbins"))
 def _binned(delta, shape, spacing, nbins):
     p = _mode_power(delta, shape, spacing)
     kmag = _grid.kmag(shape, spacing, p.dtype)
     edges, mult = _bin_setup(shape, spacing, nbins)
     w = jnp.asarray(mult)[None, None, :] * jnp.ones_like(p)
-    idx = jnp.searchsorted(jnp.asarray(edges, p.dtype), kmag) - 1
+    idx = jnp.searchsorted(
+        jnp.asarray(edges, p.dtype), kmag, method="compare_all"
+    ) - 1
     valid = (idx >= 0) & (idx < nbins) & (kmag > 0)
     idx = jnp.where(valid, idx, nbins)
     w = jnp.where(valid, w, 0.0)
 
-    # accumulate per x-slab, then reduce across slabs: keeps every f32
-    # partial sum short enough to avoid sequential-accumulation bias at
-    # 512^3+ (see _mean_axiswise)
-    def slab(ix, wx, px, kx):
-        fi, fw = ix.ravel(), wx.ravel()
-        c = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw)
-        ps = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw * px.ravel())
-        ks = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw * kx.ravel())
-        return c, ps, ks
-
+    # one-hot contraction per x-slab (exact partial sums stay short,
+    # avoiding f32 sequential-accumulation bias; see _mean_axiswise)
     km3 = jnp.broadcast_to(kmag, p.shape)
-    counts, psum, ksum = jax.vmap(slab)(idx, w, p, km3)
-    counts, psum, ksum = (
+    counts, psum, ksum = jax.vmap(
+        lambda ix, wx, px, kx: _dot_bin(ix, wx, px, kx, nbins)
+    )(idx, w, p, km3)
+    return (
         jnp.sum(counts, axis=0),
         jnp.sum(psum, axis=0),
         jnp.sum(ksum, axis=0),
     )
-    return counts[:nbins], psum[:nbins], ksum[:nbins]
 
 
 @functools.partial(
@@ -117,24 +133,20 @@ def _staged_field_power(delta, shape, spacing, nbins, chunks):
         kz_sq, m, cs = args  # scalars + (ny, nx) slab
         km = jnp.sqrt(kz_sq + ky_sq[:, None] + kx_sq[None, :])
         p = (cs.real**2 + cs.imag**2) * scale
-        idx = jnp.searchsorted(edges_j, km) - 1
+        idx = jnp.searchsorted(edges_j, km, method="compare_all") - 1
         valid = (idx >= 0) & (idx < nbins) & (km > 0)
         idx = jnp.where(valid, idx, nbins)
         w = jnp.where(valid, m, 0.0)
-        fi, fw = idx.ravel(), w.ravel()
-        cc = jnp.zeros(nbins + 1, dtype).at[fi].add(fw)
-        ps = jnp.zeros(nbins + 1, dtype).at[fi].add(fw * p.ravel())
-        ks = jnp.zeros(nbins + 1, dtype).at[fi].add(fw * km.ravel())
-        return cc, ps, ks
+        return _dot_bin(idx, w, p, km, nbins)
 
     counts, psum, ksum = jax.lax.map(
         slab,
         (jnp.asarray(kzv * kzv, dtype), jnp.asarray(mult, dtype), c2),
     )
     return (
-        jnp.sum(counts, axis=0)[:nbins],
-        jnp.sum(psum, axis=0)[:nbins],
-        jnp.sum(ksum, axis=0)[:nbins],
+        jnp.sum(counts, axis=0),
+        jnp.sum(psum, axis=0),
+        jnp.sum(ksum, axis=0),
     )
 
 
@@ -206,23 +218,20 @@ def _make_sharded_binned(mesh, shape, spacing, nbins):
         ).astype(cl.real.dtype)
         p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
         w = jnp.asarray(mult)[None, None, :] * jnp.ones_like(p)
-        idx = jnp.searchsorted(jnp.asarray(edges, p.dtype), km) - 1
+        idx = jnp.searchsorted(
+            jnp.asarray(edges, p.dtype), km, method="compare_all"
+        ) - 1
         valid = (idx >= 0) & (idx < nbins) & (km > 0)
         idx = jnp.where(valid, idx, nbins)
         w = jnp.where(valid, w, 0.0)
 
-        def slab(ix, wx, px, kx):  # per x-slab: short f32 partial sums
-            fi, fw = ix.ravel(), wx.ravel()
-            c_ = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw)
-            ps = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw * px.ravel())
-            ks = jnp.zeros(nbins + 1, p.dtype).at[fi].add(fw * kx.ravel())
-            return c_, ps, ks
-
-        counts, psum_, ksum = jax.vmap(slab)(idx, w, p, jnp.broadcast_to(km, p.shape))
+        counts, psum_, ksum = jax.vmap(  # per x-slab: short partial sums
+            lambda ix, wx, px, kx: _dot_bin(ix, wx, px, kx, nbins)
+        )(idx, w, p, jnp.broadcast_to(km, p.shape))
         out = jnp.stack([
-            jnp.sum(counts, axis=0)[:nbins],
-            jnp.sum(psum_, axis=0)[:nbins],
-            jnp.sum(ksum, axis=0)[:nbins],
+            jnp.sum(counts, axis=0),
+            jnp.sum(psum_, axis=0),
+            jnp.sum(ksum, axis=0),
         ])
         return jax.lax.psum(out, SPACE_AXIS)
 
@@ -273,27 +282,37 @@ def _binned_spectrum(c, shape, spacing, nbins, layout):
     edges_j = jnp.asarray(edges, dtype)
     kx_sq = jnp.asarray(kx * kx, dtype)
 
-    def slab(args):
-        kxs, cs = args  # scalar kx^2, (d1, d2) spectrum slab
+    # a handful of x-slabs per map step amortizes per-step dispatch while
+    # keeping the live |k|/index temporaries a small fraction of the
+    # full-size spectrum
+    ch = 1
+    for cand in range(min(16, nx), 0, -1):
+        if nx % cand == 0:
+            ch = cand
+            break
+
+    def chunk(args):
+        kxs, cs = args  # (ch,) kx^2, (ch, d1, d2) spectrum slabs
         km = jnp.sqrt(
-            kxs + (kmid_j * kmid_j)[:, None] + (klast_j * klast_j)[None, :]
+            kxs[:, None, None]
+            + (kmid_j * kmid_j)[None, :, None]
+            + (klast_j * klast_j)[None, None, :]
         )
         p = (cs.real**2 + cs.imag**2) * jnp.asarray(volume, dtype)
-        idx = jnp.searchsorted(edges_j, km) - 1
+        idx = jnp.searchsorted(edges_j, km, method="compare_all") - 1
         valid = (idx >= 0) & (idx < nbins) & (km > 0)
         idx = jnp.where(valid, idx, nbins)
-        w = jnp.where(valid, m2_j, 0.0)
-        fi, fw = idx.ravel(), w.ravel()
-        c_ = jnp.zeros(nbins + 1, dtype).at[fi].add(fw)
-        ps = jnp.zeros(nbins + 1, dtype).at[fi].add(fw * p.ravel())
-        ks = jnp.zeros(nbins + 1, dtype).at[fi].add(fw * km.ravel())
-        return c_, ps, ks
+        w = jnp.where(valid, m2_j[None], 0.0)
+        return _dot_bin(idx, w, p, km, nbins)
 
-    counts, psum, ksum = jax.lax.map(slab, (kx_sq, c))
+    counts, psum, ksum = jax.lax.map(
+        chunk,
+        (kx_sq.reshape(-1, ch), c.reshape(-1, ch, *c.shape[1:])),
+    )
     return (
-        jnp.sum(counts, axis=0)[:nbins],
-        jnp.sum(psum, axis=0)[:nbins],
-        jnp.sum(ksum, axis=0)[:nbins],
+        jnp.sum(counts, axis=0),
+        jnp.sum(psum, axis=0),
+        jnp.sum(ksum, axis=0),
     )
 
 
