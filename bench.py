@@ -6,13 +6,15 @@ throughput (sample + Hermitian symmetrize + sigma scale + inverse c2r FFT
 + lightcone weighting) in Gcells/s, at the largest grid that fits the
 chip; vs_baseline is the speedup over the reference's CPU conditions
 (numpy float64 — pyfftw is unavailable in this sandbox; the substitution
-is recorded per BASELINE.md).
+is recorded per BASELINE.md), measured at 512^3 with the REAL
+growth-function lightcone weights and median-of-5 timing.
 
 Diagnostics go to stderr; the LAST stdout line is the JSON contract:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -23,7 +25,16 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_tpu_render(n, iters=4):
+def _stats(ts):
+    return {
+        "median_s": round(statistics.median(ts), 4),
+        "min_s": round(min(ts), 4),
+        "max_s": round(max(ts), 4),
+        "n_iters": len(ts),
+    }
+
+
+def time_tpu_render(n, iters=6):
     """Steady-state seconds per render at n^3 (scene setup amortized)."""
     import randomfield_tpu as rf
 
@@ -43,19 +54,24 @@ def time_tpu_render(n, iters=4):
     growth_sq = float(np.mean(np.asarray(g.growth_function) ** 2))
     log(f"  {n}^3: {[round(t * 1e3) for t in ts]} ms; var/pred/<D^2> "
         f"{var:.3f}/{pred:.3f}/{growth_sq:.3f}")
-    return min(ts)
+    return statistics.median(ts), ts
 
 
-def time_cpu_render(n, iters=3):
-    """Reference CPU conditions: numpy float64, sigma grid precomputed."""
-    from randomfield_tpu.validate import oracle
+def time_cpu_render(n, iters=5):
+    """Reference CPU conditions: numpy float64, sigma grid + growth
+    weights precomputed (exactly what the reference's Generator caches)."""
+    from randomfield_tpu.models.cosmology import (
+        Planck13, get_growth_function, get_redshifts,
+    )
     from randomfield_tpu.ops.power import load_default_power
+    from randomfield_tpu.validate import oracle
 
     table = load_default_power()
     shape = (n, n, n)
     spacing = 2048.0 / n
     sig = oracle.oracle_sigmas(shape, spacing, (table.k, table.Pk))
-    weights = np.linspace(1.0, 0.6, n)  # stand-in lightcone weights
+    redshifts = get_redshifts(Planck13, n, spacing, scaled_by_h=True)
+    weights = np.asarray(get_growth_function(Planck13, redshifts), np.float64)
     nzh = n // 2 + 1
     ts = []
     rng = np.random.RandomState(0)
@@ -68,31 +84,52 @@ def time_cpu_render(n, iters=3):
         field *= weights[None, None, :]
         ts.append(time.perf_counter() - t0)
     log(f"  cpu {n}^3 f64: {[round(t * 1e3) for t in ts]} ms")
-    return min(ts)
+    return statistics.median(ts), ts
+
+
+def pallas_gate():
+    """Standing per-round hardware check of the Pallas sampler stream."""
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
+    try:
+        from validate_pallas_sampler import run_checks
+
+        run_checks(n_seeds=100, shape=(16, 16, 16), layout="xyz")
+        run_checks(n_seeds=50, shape=(16, 16, 16), layout="xzy")
+        return {"ok": True}
+    except Exception as e:  # never fail the bench contract on the gate
+        log(f"  pallas gate FAILED: {type(e).__name__}: {str(e)[:200]}")
+        return {"ok": False, "error": f"{type(e).__name__}: {str(e)[:200]}"}
 
 
 def main():
     detail = {}
 
     log("CPU float64 baseline (reference conditions; numpy.fft for pyfftw):")
-    cpu_n = 256
-    cpu_dt = time_cpu_render(cpu_n)
-    cpu_gcells = cpu_n**3 / cpu_dt / 1e9
-    detail["cpu_f64"] = {"n": cpu_n, "seconds": round(cpu_dt, 4),
-                         "gcells_per_s": round(cpu_gcells, 4)}
+    cpu_gcells = None
+    for n in (256, 512):
+        dt, ts = time_cpu_render(n)
+        cpu_gcells = n**3 / dt / 1e9
+        detail[f"cpu_f64_{n}"] = dict(_stats(ts), gcells_per_s=round(cpu_gcells, 4))
 
     log("TPU renders:")
     headline_n, headline_dt = None, None
     for n in (512, 1024):
         try:
-            dt = time_tpu_render(n)
-            detail[f"tpu_{n}"] = {"seconds": round(dt, 4),
-                                  "gcells_per_s": round(n**3 / dt / 1e9, 2)}
+            dt, ts = time_tpu_render(n)
+            detail[f"tpu_{n}"] = dict(
+                _stats(ts), gcells_per_s=round(n**3 / dt / 1e9, 2)
+            )
             headline_n, headline_dt = n, dt
         except Exception as e:  # 1024^3 sits at the 16 GB HBM boundary
             log(f"  {n}^3 failed: {type(e).__name__}: {str(e)[:120]}")
             detail[f"tpu_{n}"] = {"error": type(e).__name__}
             break
+
+    log("Pallas sampler hardware gate:")
+    detail["pallas_gate"] = pallas_gate()
+    log(f"  pallas gate: {detail['pallas_gate']}")
 
     if headline_n is None:
         print(json.dumps({"metric": "render_throughput_single_chip",

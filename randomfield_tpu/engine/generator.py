@@ -182,15 +182,24 @@ class Generator:
         self._layout = layout
         self.state, self._aux = _scene.build_state(self.scene, power, layout=layout)
         self.mesh = mesh
+        self._multiprocess = False
         if mesh is not None:
+            from randomfield_tpu.parallel import multihost as _mh
             from randomfield_tpu.parallel.dfft import _check_divisible
             from randomfield_tpu.parallel.mesh import SPACE_AXIS, spectrum_sharding
 
             _check_divisible(self.scene.shape, mesh.shape.get(SPACE_AXIS, 1))
+            self._multiprocess = _mh.is_multiprocess()
 
             self.state = self.state._replace(
-                sigmas=jax.device_put(self.state.sigmas, spectrum_sharding(mesh))
+                sigmas=_mh.place(self.state.sigmas, spectrum_sharding(mesh))
             )
+            if self._multiprocess:
+                # small per-call inputs must be process-replicated host
+                # values, not arrays committed to one process's device
+                self.state = self.state._replace(
+                    lightcone_weights=np.asarray(self.state.lightcone_weights)
+                )
         self.verbose = bool(verbose)
         if self.verbose:
             mb = self.state.sigmas.size * self.state.sigmas.dtype.itemsize / 2**20
@@ -248,9 +257,28 @@ class Generator:
 
     # ---- rendering -----------------------------------------------------------
     def _weights(self, apply_lightcone):
+        w = self.state.lightcone_weights
         if apply_lightcone:
-            return self.state.lightcone_weights
-        return jnp.ones_like(self.state.lightcone_weights)
+            return w
+        # multiprocess keeps weights as host numpy (process-replicated)
+        return np.ones_like(w) if isinstance(w, np.ndarray) else jnp.ones_like(w)
+
+    def _smoothing(self, smoothing_length):
+        dt = self.state.sigmas.dtype
+        if self._multiprocess:
+            return np.asarray(smoothing_length, dt)
+        return jnp.asarray(smoothing_length, dt)
+
+    def _seed_u32(self, seed):
+        if hasattr(seed, "dtype") and jnp.issubdtype(
+            jnp.asarray(seed).dtype, jax.dtypes.prng_key
+        ):
+            raise ValueError(
+                "multi-process meshes take integer seeds (keys are derived "
+                "inside the global program; a key committed to one "
+                "process's device cannot enter it)"
+            )
+        return np.uint32(int(seed))
 
     def generate_delta_field(self, seed=0, smoothing_length=0.0,
                              apply_lightcone=True):
@@ -264,11 +292,13 @@ class Generator:
             from randomfield_tpu.parallel.render import make_sharded_render
 
             fn = make_sharded_render(
-                self.mesh, self.scene.shape, self.scene.grid_spacing
+                self.mesh, self.scene.shape, self.scene.grid_spacing,
+                from_seed=self._multiprocess,
             )
             out = fn(
-                _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
-                jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+                self._seed_u32(seed) if self._multiprocess else _as_key(seed),
+                self.state.sigmas, self._weights(apply_lightcone),
+                self._smoothing(smoothing_length),
             )
         elif self.sampler == "pallas":
             # fused Pallas PRNG sampling kernel (hardware PRNG stream,
@@ -342,7 +372,7 @@ class Generator:
                 )
                 for s in np.asarray(seeds)
             ])
-        keys = seeds_to_keys(seeds)
+        keys = None if self._multiprocess else seeds_to_keys(seeds)
         if self.mesh is None and self.pipeline == "staged":
             # staged grids are near the HBM ceiling: render sequentially
             from randomfield_tpu.engine.staged import staged_render
@@ -360,11 +390,15 @@ class Generator:
             from randomfield_tpu.parallel.render import make_sharded_render_batch
 
             fn = make_sharded_render_batch(
-                self.mesh, self.scene.shape, self.scene.grid_spacing
+                self.mesh, self.scene.shape, self.scene.grid_spacing,
+                from_seed=self._multiprocess,
+            )
+            first = (
+                np.asarray(seeds, np.uint32) if self._multiprocess else keys
             )
             return fn(
-                keys, self.state.sigmas, self._weights(apply_lightcone),
-                jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+                first, self.state.sigmas, self._weights(apply_lightcone),
+                self._smoothing(smoothing_length),
             )
         return _render_batch(
             keys, self.state.sigmas, self._weights(apply_lightcone),

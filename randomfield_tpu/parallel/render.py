@@ -48,12 +48,21 @@ def _core(draws, sigmas, weights, smoothing_length, shape, spacing, mesh, batche
 
 
 @functools.lru_cache(maxsize=32)
-def make_sharded_render(mesh: Mesh, shape, spacing):
-    """Compile a single-realization spatially-sharded render for a mesh."""
+def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False):
+    """Compile a single-realization spatially-sharded render for a mesh.
+
+    ``from_seed=True`` makes the program take a uint32 seed scalar and
+    derive the PRNG key *inside* jit — required on multi-host meshes,
+    where a key committed to one process's local device cannot enter a
+    global program (parallel/multihost.py).  Identical draws either way
+    (the key value is the same).
+    """
     nx, ny, nz = shape
     draws_sharding = NamedSharding(mesh, P(None, None, SPACE_AXIS, None))
 
     def fn(key, sigmas, weights, smoothing_length):
+        if from_seed:
+            key = jax.random.key(key)
         draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), sigmas.dtype)
         draws = jax.lax.with_sharding_constraint(draws, draws_sharding)
         return _core(
@@ -64,13 +73,15 @@ def make_sharded_render(mesh: Mesh, shape, spacing):
 
 
 @functools.lru_cache(maxsize=32)
-def make_sharded_render_batch(mesh: Mesh, shape, spacing):
+def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False):
     """Compile a seed-batched render: batch over 'data', slabs over 'space'."""
     nx, ny, nz = shape
     data = DATA_AXIS if DATA_AXIS in mesh.shape else None
     draws_sharding = NamedSharding(mesh, P(data, None, None, SPACE_AXIS, None))
 
     def fn(keys, sigmas, weights, smoothing_length):
+        if from_seed:
+            keys = jax.vmap(jax.random.key)(keys)
         draws = jax.vmap(
             lambda k: jax.random.normal(k, (2, nx, ny, nz // 2 + 1), sigmas.dtype)
         )(keys)

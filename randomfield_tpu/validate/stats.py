@@ -184,9 +184,11 @@ def calculate_power(delta, spacing, nbins=32, mesh=None):
         )
     else:
         counts, psum, ksum = _binned(delta, shape, float(spacing), int(nbins))
-    counts = np.asarray(counts, np.float64)
-    psum = np.asarray(psum, np.float64)
-    ksum = np.asarray(ksum, np.float64)
+    from randomfield_tpu.parallel.multihost import replicated_to_host
+
+    counts = replicated_to_host(counts).astype(np.float64)
+    psum = replicated_to_host(psum).astype(np.float64)
+    ksum = replicated_to_host(ksum).astype(np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         return ksum / counts, psum / counts, counts
 
@@ -356,6 +358,16 @@ def _moments(delta):
 
 
 def field_moments(delta):
-    """(mean, variance) of a field as host floats (accumulation-safe)."""
-    m, v = _moments(jnp.asarray(delta))
-    return float(m), float(v)
+    """(mean, variance) of a field as host floats (accumulation-safe).
+
+    Works on sharded (including multi-process) fields: the per-axis
+    reductions run where the data lives and the replicated scalars are
+    read from a local shard.
+    """
+    from randomfield_tpu.parallel.multihost import replicated_to_host
+
+    if isinstance(delta, jax.Array) and not delta.is_fully_addressable:
+        m, v = _moments(delta)
+    else:
+        m, v = _moments(jnp.asarray(delta))
+    return float(replicated_to_host(m)), float(replicated_to_host(v))

@@ -61,3 +61,38 @@ def test_cli_end_to_end(tmp_path):
         delta, meta = rio.load_field(tmp_path / f"field_{seed}.npz")
         assert delta.shape == (8, 8, 8)
         assert meta["seed"] == seed
+
+
+def test_sharded_io_roundtrip_host_array(tmp_path):
+    # plain host arrays write one chunk and round-trip exactly
+    rng = np.random.RandomState(0)
+    delta = rng.normal(size=(8, 8, 8)).astype(np.float32)
+    d = tmp_path / "chunks"
+    rio.save_field_sharded(d, delta, seed=42)
+    back, meta = rio.load_field_sharded(d)
+    np.testing.assert_array_equal(back, delta)
+    assert meta["seed"] == 42
+
+
+def test_sharded_io_roundtrip_mesh(tmp_path):
+    # sharded render -> per-shard chunks -> host reassembly == gather,
+    # and resharded load returns identical shards (verdict item 8)
+    import jax
+    from randomfield_tpu.parallel.mesh import field_sharding, make_mesh
+
+    mesh = make_mesh(data=2, space=4)
+    g = Generator(16, 16, 16, grid_spacing=8.0, mesh=mesh)
+    delta = g.generate_delta_field(5)
+    d = tmp_path / "chunks"
+    rio.save_field_sharded(d, delta, generator=g, seed=5)
+    # one chunk per unique 'space' slab: replicas collapse onto one file
+    assert len(list(d.glob("chunk_*.npz"))) == 4
+
+    full, meta = rio.load_field_sharded(d)
+    np.testing.assert_allclose(full, np.asarray(delta), rtol=0, atol=0)
+    assert meta["scene"]["nx"] == 16
+    assert meta["dtype"] == "float32"
+
+    resharded, _ = rio.load_field_sharded(d, sharding=field_sharding(mesh))
+    assert resharded.sharding == field_sharding(mesh)
+    np.testing.assert_array_equal(np.asarray(resharded), np.asarray(delta))
