@@ -310,20 +310,12 @@ class Generator:
                 self.scene.grid_spacing, smoothing_length, layout=self._layout,
             )
             if self._layout == "xzy":
-                from randomfield_tpu.engine.staged import _stages
+                from randomfield_tpu.engine.staged import finish_staged
 
-                _, p2, p3, p4 = _stages(
-                    self.scene.shape, self.scene.grid_spacing,
-                    str(self.state.sigmas.dtype),
+                out = finish_staged(
+                    c, self._weights(apply_lightcone), self.scene.shape,
+                    self.scene.grid_spacing, str(self.state.sigmas.dtype),
                 )
-                # block between stages (see staged.staged_render): async
-                # stage-allocation overlap OOMs at the HBM ceiling
-                c.block_until_ready()
-                c = p2(c)
-                c.block_until_ready()
-                c = p3(c)
-                c.block_until_ready()
-                out = p4(c, self._weights(apply_lightcone))
             else:
                 out = _finish_render(
                     c, self._weights(apply_lightcone), self.scene.shape
@@ -436,11 +428,11 @@ class Generator:
                 self.scene.grid_spacing, sm, layout=self._layout,
             )
         elif self.pipeline == "staged" and self.mesh is None:
-            from randomfield_tpu.engine.staged import _stages
+            from randomfield_tpu.engine.staged import _stage_p1
             from randomfield_tpu.ops.grid import kvectors
 
-            p1 = _stages(self.scene.shape, self.scene.grid_spacing,
-                         str(self.state.sigmas.dtype))[0]
+            p1 = _stage_p1(self.scene.shape, self.scene.grid_spacing,
+                           str(self.state.sigmas.dtype))
             kx, ky, kz = kvectors(self.scene.shape, self.scene.grid_spacing,
                                   self.state.sigmas.dtype)
             c = p1(_as_key(seed), self.state.sigmas, sm, kx, kz, ky)

@@ -41,6 +41,7 @@ at sizes where fused fits.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +49,7 @@ import jax.numpy as jnp
 from randomfield_tpu.ops import grid as _grid
 from randomfield_tpu.ops import transform as _transform
 
-__all__ = ["staged_render", "pick_pipeline", "AUTO_STAGED_THRESHOLD"]
+__all__ = ["staged_render", "finish_staged", "pick_pipeline", "AUTO_STAGED_THRESHOLD"]
 
 _INV_SQRT2 = 0.7071067811865476
 
@@ -67,16 +68,17 @@ def _pick_chunks(n: int, target: int = 8) -> int:
 
 
 @functools.lru_cache(maxsize=16)
-def _stages(shape, spacing, dtype_name):
+def _stage_p1(shape, spacing, dtype_name):
+    """Sampling stage: unit Hermitian noise * sigma * filter, (x, kz, y).
+
+    Shared by the v1 and v2 pipelines so both render the SAME
+    realization for a given seed (the staged stream is defined by this
+    stage alone).
+    """
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     dtype = jnp.dtype(dtype_name)
-    cdtype = jnp.dtype(f"complex{2 * dtype.itemsize * 8}")
     chunks = _pick_chunks(nx, 16)
-    # the c2r tail's DFT temporaries are the tightest allocation at the
-    # 16 GB ceiling — use finer slabs there
-    tail_chunks = _pick_chunks(nx, 64 if nx * ny * nz > AUTO_STAGED_THRESHOLD else 8)
-
     planes = _grid.self_conjugate_kz_planes(nz)
 
     @jax.jit
@@ -116,6 +118,19 @@ def _stages(shape, spacing, dtype_name):
             c = c.at[:, p, :].set(fixed)
         return c
 
+    return p1
+
+
+@functools.lru_cache(maxsize=16)
+def _stages(shape, spacing, dtype_name):
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    # the c2r tail's DFT temporaries are the tightest allocation at the
+    # 16 GB ceiling — use finer slabs there
+    tail_chunks = _pick_chunks(nx, 64 if nx * ny * nz > AUTO_STAGED_THRESHOLD else 8)
+
+    p1 = _stage_p1(shape, spacing, dtype_name)
+
     _B = jax.lax.optimization_barrier
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -149,24 +164,107 @@ def _stages(shape, spacing, dtype_name):
     return p1, p2, p3, p4
 
 
-def staged_render(key, sigmas_xzy, weights, smoothing_length, shape, spacing):
-    """Render one realization through the staged donated pipeline.
+def _can_v2(shape) -> bool:
+    """v2 needs composite nx/ny and an even nz with composite nz/2."""
+    from randomfield_tpu.ops.ctfft import can_ct
 
-    ``sigmas_xzy`` must be in (nx, nzh, ny) layout
-    (``tabulate_sigmas(..., layout='xzy')``).
+    nx, ny, nz = shape
+    return (
+        can_ct(nx) and can_ct(ny) and nz % 2 == 0
+        and (nz // 2 == 1 or can_ct(nz // 2))
+    )
+
+
+def _pipeline_version(shape) -> str:
+    env = os.environ.get("RF_STAGED_PIPELINE", "")
+    if env in ("v1", "v2"):
+        return env
+    return "v2" if _can_v2(tuple(shape)) else "v1"
+
+
+@functools.lru_cache(maxsize=16)
+def _stages_v2(shape, spacing, dtype_name):
+    """v2 = v1 with the c2r tail upgraded to the half-length pack.
+
+    Measured reality on the axon v5e (documented in
+    docs/performance.md): every extra program boundary costs ~30-60 ms
+    of dispatch/sync, and fused transpose+einsum programs at 1024^3
+    OOM (a transpose's donation is never usable, so such a program
+    holds three full-size buffers plus the complex einsum's real/imag
+    decomposition temporaries).  A full "CT-einsum everywhere,
+    transpose-free" pipeline was built and benchmarked at 1.11 s vs
+    v1's 0.82 s — the boundary overhead ate the kernel gains.
+
+    What survives is the one upgrade with NO new boundaries: p4's c2r
+    runs per x-slab as the half-length complex pack
+    (ops/ctfft.py:irfft_half_axis) — an nz/2-point CT einsum inverse
+    replaces the Hermitian extension + nz-point native inverse (4x
+    less matmul work, half the intermediate bytes), inside the same
+    chunked lax.map program shape as v1.
     """
-    p1, p2, p3, p4 = _stages(tuple(shape), float(spacing), str(sigmas_xzy.dtype))
-    kx, ky, kz = _grid.kvectors(tuple(shape), float(spacing), sigmas_xzy.dtype)
-    # block between stages: async dispatch lets consecutive programs'
-    # allocations overlap, and at the HBM ceiling that union OOMs even
-    # though each stage fits on its own
-    c = p1(key, sigmas_xzy, smoothing_length, kx, kz, ky)
+    from randomfield_tpu.ops import ctfft
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    tail_chunks = _pick_chunks(nx, 64 if nx * ny * nz > AUTO_STAGED_THRESHOLD else 8)
+    _Bar = jax.lax.optimization_barrier
+
+    _, p2, p3, _ = _stages(shape, spacing, dtype_name)
+
+    @jax.jit
+    def p4(c, weights):
+        # no donate: a real output cannot alias a complex input, and
+        # marking it only emits the XLA "not usable" warning
+        ck = c.reshape(tail_chunks, nx // tail_chunks, nzh, ny)
+
+        def one(chunk):
+            f = ctfft.irfft_half_axis(chunk, nz, 1)  # (cx, nz, ny) real
+            f = _Bar(jnp.transpose(f, (0, 2, 1)))    # (cx, ny, nz)
+            return f * weights[None, None, :]
+
+        return jax.lax.map(one, ck).reshape(nx, ny, nz)
+
+    return p2, p3, p4
+
+
+def finish_staged(c, weights, shape, spacing, dtype_name):
+    """Inverse-transform + weight a sampled (nx, nzh, ny) spectrum.
+
+    The post-sampling half of the staged pipeline, shared by the
+    Threefry path (:func:`staged_render`) and the Pallas-sampler path
+    (engine/generator.py).  Blocks between programs: async dispatch lets
+    consecutive programs' allocations overlap, and at the HBM ceiling
+    that union OOMs even though each stage fits on its own.
+    """
+    shape = tuple(shape)
+    if _pipeline_version(shape) == "v2":
+        p2, p3, p4 = _stages_v2(shape, float(spacing), dtype_name)
+        c.block_until_ready()
+        c = p2(c)
+        c.block_until_ready()
+        c = p3(c)
+        c.block_until_ready()
+        return p4(c, weights)
+    _, p2, p3, p4 = _stages(shape, float(spacing), dtype_name)
     c.block_until_ready()
     c = p2(c)
     c.block_until_ready()
     c = p3(c)
     c.block_until_ready()
     return p4(c, weights)
+
+
+def staged_render(key, sigmas_xzy, weights, smoothing_length, shape, spacing):
+    """Render one realization through the staged donated pipeline.
+
+    ``sigmas_xzy`` must be in (nx, nzh, ny) layout
+    (``tabulate_sigmas(..., layout='xzy')``).
+    """
+    dtype_name = str(sigmas_xzy.dtype)
+    p1 = _stage_p1(tuple(shape), float(spacing), dtype_name)
+    kx, ky, kz = _grid.kvectors(tuple(shape), float(spacing), sigmas_xzy.dtype)
+    c = p1(key, sigmas_xzy, smoothing_length, kx, kz, ky)
+    return finish_staged(c, weights, shape, spacing, dtype_name)
 
 
 def pick_pipeline(shape, pipeline: str) -> str:

@@ -129,3 +129,115 @@ def irfft_ct(c, n, axis=-1):
     full = jax.lax.complex(re, im)
     out = ifft_ct(full, axis=-1).real
     return jnp.moveaxis(out, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# In-place-axis variants: no moveaxis, no physical transposes.
+#
+# ``_apply`` moves the transform axis to the front — a full physical
+# transpose either side of the matmuls.  For the staged render pipeline
+# that traffic is pure waste: a Cooley-Tukey stage only needs the axis
+# *split* (a free reshape), and einsum can contract any dimension — XLA
+# feeds the MXU directly from the strided layout.  Measured on the v5e:
+# the chained-marginal cost of one 1024-length inverse over a 2 GB
+# operand is ~30 ms for these einsums vs ~46 ms for the native
+# minor-axis kernel (and the native kernel additionally needs its axis
+# minor, i.e. physical transposes for every other axis).
+# ---------------------------------------------------------------------------
+
+
+def ifft_ct_axis(x, axis):
+    """Unnormalized inverse FFT over ``axis`` with zero data movement.
+
+    Requires the axis length to be composite (``can_ct``); prime lengths
+    fall back to :func:`ifft_ct` (moveaxis + native minor-axis kernel).
+    """
+    return _apply_axis(x, axis, +1)
+
+
+def fft_ct_axis(x, axis):
+    """Unnormalized forward FFT over ``axis`` with zero data movement."""
+    return _apply_axis(x, axis, -1)
+
+
+def _apply_axis(x, axis, sign):
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    a_size, b_size = _factor(n)
+    if a_size == 1:
+        return ifft_ct(x, axis) if sign > 0 else fft_ct(x, axis)
+    cdt = x.dtype if jnp.issubdtype(x.dtype, jnp.complexfloating) else (
+        jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
+    )
+    wa, wb, tw, A, B = _matrices(n, sign, str(jnp.dtype(cdt)))
+    pre = x.shape[:axis]
+    post = x.shape[axis + 1:]
+    xm = x.astype(cdt).reshape(*pre, A, B, *post)
+    # build einsum specs around the split axis: p = pre dims, q = post
+    p = "".join(chr(ord("i") + k) for k in range(len(pre)))
+    q = "".join(chr(ord("t") + k) for k in range(len(post)))
+    s1 = jnp.einsum(
+        f"ac,{p}ab{q}->{p}cb{q}", wa, xm,
+        preferred_element_type=cdt, precision=jax.lax.Precision.HIGHEST,
+    )
+    shape_tw = (1,) * len(pre) + (A, B) + (1,) * len(post)
+    s1 = s1 * tw.reshape(shape_tw)
+    out = jnp.einsum(
+        f"bd,{p}cb{q}->{p}dc{q}", wb, s1,
+        preferred_element_type=cdt, precision=jax.lax.Precision.HIGHEST,
+    )
+    # flattening (d, c) row-major is exactly k = c + A*d
+    return out.reshape(*pre, n, *post)
+
+
+def irfft_half_axis(c, n, axis):
+    """c2r over ``axis`` via the half-length complex pack (n even).
+
+    Valid when this is the LAST transform (the packed spectrum along the
+    axis is Hermitian: C[n-k] = conj(C[k])).  Instead of materializing
+    the full Hermitian extension and running a length-n complex inverse
+    (4x the matmul work, 2x the buffer width), fold the real output's
+    even/odd interleave into a length-M = n/2 complex inverse:
+
+        x[2j] + i x[2j+1] = z[j],   z = ifft_M(G),
+        G[m] = (C[m] + conj(C[M-m])) + i W_n^m (C[m] - conj(C[M-m]))
+
+    (derived by splitting the unnormalized synthesis sum over k and
+    k+M; W_n = exp(2 pi i / n)).  All reversals act on REAL lattices
+    (the axon runtime corrupts flipped/concatenated complex arrays at
+    >= 512^3 — ops/transform.py:irfft_minor), and the interleave is a
+    stack+reshape of real arrays.
+    """
+    assert n % 2 == 0, "half-pack c2r requires an even length"
+    m_len = n // 2
+    axis = axis % c.ndim
+    cre, cim = c.real, c.imag
+    rdt = cre.dtype
+
+    def ax(sl):
+        return (slice(None),) * axis + (sl,)
+
+    head_re = cre[ax(slice(0, m_len))]
+    head_im = cim[ax(slice(0, m_len))]
+    rev_re = cre[ax(slice(1, m_len + 1))][ax(slice(None, None, -1))]
+    rev_im = cim[ax(slice(1, m_len + 1))][ax(slice(None, None, -1))]
+
+    er = head_re + rev_re          # Re(C[m] + conj(C[M-m]))
+    ei = head_im - rev_im
+    orr = head_re - rev_re         # Re(C[m] - conj(C[M-m]))
+    oi = head_im + rev_im
+
+    theta = 2.0 * np.pi * np.arange(m_len) / n
+    shape_w = [1] * c.ndim
+    shape_w[axis] = m_len
+    wr = jnp.asarray(np.cos(theta), rdt).reshape(shape_w)
+    wi = jnp.asarray(np.sin(theta), rdt).reshape(shape_w)
+
+    # G = E + i W O  with W = wr + i wi, O = orr + i oi
+    g_re = er - (wr * oi + wi * orr)
+    g_im = ei + (wr * orr - wi * oi)
+    z = ifft_ct_axis(jax.lax.complex(g_re, g_im), axis)
+
+    # interleave: x[..., 2j, ...] = Re z[j], x[..., 2j+1, ...] = Im z[j]
+    pair = jnp.stack([z.real, z.imag], axis=axis + 1)
+    return pair.reshape(*c.shape[:axis], n, *c.shape[axis + 1:])

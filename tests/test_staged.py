@@ -85,3 +85,40 @@ def test_staged_lightcone():
     np.testing.assert_allclose(
         lc, raw * growth[None, None, :].astype(np.float32), rtol=2e-5, atol=1e-7
     )
+
+
+def test_v2_pipeline_matches_v1_exactly():
+    # same p1 stream, two different inverse-transform implementations
+    import os
+
+    from randomfield_tpu.engine import staged as st
+
+    shape, spacing = (16, 16, 16), 4.0
+    assert st._can_v2(shape)
+    g = Generator(*shape, grid_spacing=spacing, pipeline="staged")
+    os.environ["RF_STAGED_PIPELINE"] = "v1"
+    try:
+        a = np.asarray(g.generate_delta_field(9, smoothing_length=2.0))
+        os.environ["RF_STAGED_PIPELINE"] = "v2"
+        b = np.asarray(g.generate_delta_field(9, smoothing_length=2.0))
+    finally:
+        del os.environ["RF_STAGED_PIPELINE"]
+    scale = np.std(a)
+    np.testing.assert_allclose(a, b, atol=2e-5 * scale, rtol=2e-4)
+
+
+def test_v2_requires_compatible_shape():
+    from randomfield_tpu.engine import staged as st
+
+    assert not st._can_v2((17, 16, 16))   # prime nx
+    assert not st._can_v2((16, 16, 15))   # odd nz
+    assert not st._can_v2((16, 16, 26))   # nz/2 = 13 prime
+    assert st._can_v2((12, 20, 36))
+
+
+def test_odd_grid_staged_falls_back_to_v1():
+    # odd nz cannot use the half-pack; the render must still be correct
+    g = Generator(12, 12, 15, grid_spacing=4.0, pipeline="staged")
+    d = np.asarray(g.generate_delta_field(3))
+    assert d.shape == (12, 12, 15)
+    assert np.isfinite(d).all()
