@@ -48,7 +48,8 @@ def _spectrum_from_noise_impl(draws, sigmas, smoothing_length, shape, spacing):
 
 def _render_from_noise_impl(draws, sigmas, weights, smoothing_length, shape, spacing):
     c = _spectrum_from_noise_impl(draws, sigmas, smoothing_length, shape, spacing)
-    delta = _transform.irfftn(c, shape, norm="forward")
+    # the spectrum is symmetrized -> the fast half-pack c2r tail is exact
+    delta = _transform.irfftn(c, shape, norm="forward", assume_hermitian=True)
     return delta * weights[None, None, :]
 
 
@@ -89,7 +90,7 @@ def _sample_spectrum_jit(key, sigmas, smoothing_length, shape, spacing):
 @functools.partial(jax.jit, static_argnames=("shape",), donate_argnums=0)
 def _finish_render(c, weights, shape):
     """irfftn + lightcone weighting of an externally sampled spectrum."""
-    delta = _transform.irfftn(c, shape, norm="forward")
+    delta = _transform.irfftn(c, shape, norm="forward", assume_hermitian=True)
     return delta * weights[None, None, :]
 
 

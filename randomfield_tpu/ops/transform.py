@@ -105,18 +105,34 @@ def ifft_minor(x):
     return jnp.fft.ifft(x, axis=-1, norm="forward")
 
 
-def irfft_minor(c, n):
-    """c2r along the minor axis via Hermitian extension + complex iFFT.
+def irfft_minor(c, n, assume_hermitian=False):
+    """c2r along the minor axis (last transform of an inverse chain).
 
     Valid when the pre-transform is complete in all other axes (i.e. this
     is the LAST transform), where Hermitianity of the original packed
     spectrum makes the result real; the imaginary residue is rounding.
+
+    ``assume_hermitian=True`` (render paths, where the spectrum has been
+    through ``symmetrize``) dispatches even composite-half lengths to
+    the half-length complex pack (ops/ctfft.py:irfft_half_axis): an
+    n/2-point inverse replaces the full Hermitian extension + n-point
+    inverse — 4x less transform work and half the intermediate bytes.
+    Measured identical to the extension path to ~1e-7 relative on
+    Hermitian input (CPU float64 oracle; on-chip 1024^3 fields).  The
+    default stays False because the pack is ONLY exact for genuinely
+    Hermitian input: the extension path (like numpy/FFTW c2r) silently
+    projects non-Hermitian residue away, and public transforms keep
+    that reference-parity semantic.
 
     The extension is built with ``.at[].set`` on real/imag lattices
     rather than flip+concat of complex values: the axon runtime executes
     the flip/concat form incorrectly at >= 512^3 (the conjugate tail is
     dropped), while set-based construction is exact (measured).
     """
+    from randomfield_tpu.ops import ctfft
+
+    if assume_hermitian and n % 2 == 0 and ctfft.can_ct(n // 2):
+        return ctfft.irfft_half_axis(c, n, axis=-1)
     nh = c.shape[-1]
     cre, cim = c.real, c.imag  # all reversals on REAL lattices only
     tail_re = cre[..., 1:(n - n // 2)][..., ::-1]
@@ -129,14 +145,14 @@ def irfft_minor(c, n):
     return ifft_minor(full).real
 
 
-def _irfftn_safe(c, shape):
+def _irfftn_safe(c, shape, assume_hermitian=False):
     nx, ny, nz = shape
     x = rotate_last3(c)          # (..., ky, kz, kx)
     x = ifft_minor(x)            # x done
     x = rotate_last3(x)          # (..., kz, x, ky)
     x = ifft_minor(x)            # y done
     x = rotate_last3(x)          # (..., x, y, kz)
-    return irfft_minor(x, nz)    # z done -> real (..., x, y, z)
+    return irfft_minor(x, nz, assume_hermitian)  # z done -> real
 
 
 def _rfftn_safe(x):
@@ -169,12 +185,16 @@ def _rfftn_ct(x):
     return ctfft.fft_ct(c, axis=-3)
 
 
-def irfftn(c, shape, norm="forward"):
+def irfftn(c, shape, norm="forward", assume_hermitian=False):
     """Unnormalized-inverse packed c2r transform (sum over modes).
 
     ``norm='forward'`` means the inverse applies no 1/N scaling — the
     direct analog of FFTW's unnormalized c2r that the reference's
     ``Plan.execute`` runs (ref: transform.py:Plan).
+
+    ``assume_hermitian=True`` lets the safe backend use the faster
+    half-pack c2r tail; only pass it for spectra that went through
+    ``symmetrize`` (see :func:`irfft_minor`).
     """
     backend = fft_backend()
     if backend == "ct":
@@ -182,7 +202,7 @@ def irfftn(c, shape, norm="forward"):
         return _irfftn_ct(c, shape)
     if backend == "safe":
         assert norm == "forward"
-        return _irfftn_safe(c, shape)
+        return _irfftn_safe(c, shape, assume_hermitian)
     return jnp.fft.irfftn(c, s=shape, axes=(-3, -2, -1), norm=norm)
 
 

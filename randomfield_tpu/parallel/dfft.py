@@ -69,9 +69,9 @@ def _fft_axis(x, axis):
     return _B(jnp.transpose(t, perm))
 
 
-def _irfft_last(x, n):
-    """Local c2r along the last axis (safe Hermitian-extension path)."""
-    return _transform.irfft_minor(x, n)
+def _irfft_last(x, n, assume_hermitian=False):
+    """Local c2r along the last axis (ops/transform.py:irfft_minor)."""
+    return _transform.irfft_minor(x, n, assume_hermitian)
 
 
 def _rfft_last(x):
@@ -102,12 +102,14 @@ def _specs(mesh, batched, k_axis, x_axis):
     return P(*k), P(*x)
 
 
-def irfftn_slab(c, shape, mesh: Mesh, batched=False):
+def irfftn_slab(c, shape, mesh: Mesh, batched=False, assume_hermitian=False):
     """Distributed inverse c2r FFT (norm='forward', i.e. pure mode sum).
 
     ``c``: packed half-spectrum (..., nx, ny, nz//2+1), sharded along ky
     over the mesh's 'space' axis (and optionally a leading batch axis over
     'data').  Returns the real field (..., nx, ny, nz) sharded along x.
+    ``assume_hermitian=True`` (render paths, symmetrized spectra) uses
+    the faster half-pack c2r tail (see transform.irfft_minor).
     """
     nx, ny, nz = shape
     n_space = mesh.shape[SPACE_AXIS]
@@ -122,7 +124,7 @@ def irfftn_slab(c, shape, mesh: Mesh, batched=False):
                 cl, SPACE_AXIS, split_axis=off, concat_axis=off + 1, tiled=True
             )
         cl = _ifft_axis(cl, cl.ndim - 2)
-        return _irfft_last(cl, nz)
+        return _irfft_last(cl, nz, assume_hermitian)
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=in_spec, out_specs=out_spec, check_vma=False

@@ -43,7 +43,7 @@ def _core(draws, sigmas, weights, smoothing_length, shape, spacing, mesh, batche
     z = _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
     c = z * sigmas.astype(real_dtype)
     c = _power.filter_modes(c, shape, spacing, smoothing_length)
-    delta = dfft.irfftn_slab(c, shape, mesh, batched=batched)
+    delta = dfft.irfftn_slab(c, shape, mesh, batched=batched, assume_hermitian=True)
     return delta * weights[None, None, :]
 
 
