@@ -25,6 +25,22 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _enable_compile_cache():
+    """Compile times through the axon tunnel vary 20 s - 7 min for the
+    same program; a persistent cache makes the bench re-runnable."""
+    import os
+
+    import jax
+
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:
+        log(f"compile cache unavailable: {e}")
+
+
 def _stats(ts):
     return {
         "median_s": round(statistics.median(ts), 4),
@@ -105,6 +121,7 @@ def pallas_gate():
 
 def main():
     detail = {}
+    _enable_compile_cache()
 
     log("CPU float64 baseline (reference conditions; numpy.fft for pyfftw):")
     cpu_gcells = None

@@ -26,23 +26,59 @@ __all__ = [
 ]
 
 
-def sample_power_ensemble(generator, seeds, smoothing_length=0.0, nbins=32):
+def sample_power_ensemble(generator, seeds, smoothing_length=0.0, nbins=32,
+                          checkpoint_path=None):
     """Streaming P(k) ensemble with O(1) memory — no fields, no FFTs.
 
     Uses ``Generator.sample_power`` per seed: the sampled spectrum is
     binned directly, so 1024^3-class covariance studies (BASELINE
     config 4) run on a single 16 GB chip, one spectrum at a time.
     Returns host float64 ``(k_mean, p_hat[nseeds, nbins], n_modes)``.
+
+    ``checkpoint_path`` makes long runs restartable (the failure-recovery
+    analog of SURVEY.md section 5 for this workflow; the durable state
+    is tiny — nbins floats per seed — because fields regenerate from
+    seeds): after every seed the accumulated results are written
+    atomically to ``<path>`` (.npz); rerunning the same call skips seeds
+    already recorded there and returns the union in ``seeds`` order.
+    Seeds not in ``seeds`` are kept in the file but not returned, so a
+    checkpoint can serve overlapping studies.
     """
+    seeds_list = [int(s) for s in np.asarray(seeds).ravel()]
+    done = {}
     ks = ms = None
-    ps = []
-    for s in np.asarray(seeds).tolist():
+    if checkpoint_path is not None:
+        import pathlib
+
+        checkpoint_path = pathlib.Path(checkpoint_path)
+        if checkpoint_path.exists():
+            with np.load(checkpoint_path, allow_pickle=False) as f:
+                ks, ms = f["k_mean"], f["n_modes"]
+                for s, row in zip(f["seeds"].tolist(), f["p_hat"]):
+                    done[int(s)] = row
+
+    def _write():
+        order = sorted(done)
+        tmp = checkpoint_path.with_suffix(".tmp.npz")
+        np.savez(
+            tmp, seeds=np.asarray(order, np.int64),
+            p_hat=np.asarray([done[s] for s in order]),
+            k_mean=ks, n_modes=ms,
+            smoothing_length=float(smoothing_length), nbins=int(nbins),
+        )
+        tmp.replace(checkpoint_path)
+
+    for s in seeds_list:
+        if s in done:
+            continue
         k, p, m = generator.sample_power(
             s, smoothing_length=smoothing_length, nbins=nbins
         )
         ks, ms = k, m
-        ps.append(p)
-    return ks, np.asarray(ps), ms
+        done[s] = p
+        if checkpoint_path is not None:
+            _write()
+    return ks, np.asarray([done[s] for s in seeds_list]), ms
 
 
 def ensemble_power(fields, spacing, nbins=32, mesh=None):

@@ -40,3 +40,38 @@ def test_sigma_r_from_field_matches_input_spectrum():
     table = g.power
     predicted = pw.sigma_r((table.k, table.Pk), r)
     assert abs(realized - predicted) / predicted < 0.25, (realized, predicted)
+
+
+def test_sample_power_ensemble_checkpoint_resume(tmp_path):
+    # interrupt after 2 seeds; the resumed run skips them and the final
+    # result equals a clean uncheckpointed run
+    from randomfield_tpu.validate.ensemble import sample_power_ensemble
+
+    g = Generator(16, 16, 16, grid_spacing=8.0)
+    ckpt = tmp_path / "ens.npz"
+
+    k0, p0, m0 = sample_power_ensemble(g, [3, 5, 7, 9], nbins=8)
+
+    sample_power_ensemble(g, [3, 5], nbins=8, checkpoint_path=ckpt)
+    assert ckpt.exists()
+
+    calls = []
+    orig = g.sample_power
+
+    def counting(seed, **kw):
+        calls.append(seed)
+        return orig(seed, **kw)
+
+    g.sample_power = counting
+    k1, p1, m1 = sample_power_ensemble(g, [3, 5, 7, 9], nbins=8,
+                                       checkpoint_path=ckpt)
+    assert sorted(calls) == [7, 9]  # 3 and 5 came from the checkpoint
+    np.testing.assert_allclose(p1, p0, rtol=1e-6)
+    np.testing.assert_allclose(k1, k0)
+    np.testing.assert_allclose(m1, m0)
+
+    # a subset query returns rows in request order without recomputing
+    calls.clear()
+    k2, p2, _ = sample_power_ensemble(g, [9, 3], nbins=8, checkpoint_path=ckpt)
+    assert calls == []
+    np.testing.assert_allclose(p2, p0[[3, 0]], rtol=1e-6)
