@@ -137,11 +137,14 @@ class Generator:
         oracle-reproducible — the default) or 'pallas' (fused hardware-PRNG
         kernel, ops/pallas_sampler.py; its own deterministic stream,
         validated statistically; TPU only).
-    mesh : optional ``jax.sharding.Mesh`` with axes ('data', 'space') from
-        :func:`randomfield_tpu.parallel.mesh.make_mesh`.  'space' > 1
+    mesh : optional ``jax.sharding.Mesh``.  Either ('data', 'space') from
+        :func:`randomfield_tpu.parallel.mesh.make_mesh` — 'space' > 1
         shards the grid spatially (slab decomposition + distributed
         irfftn, config 5); 'data' > 1 shards ensemble seed batches
-        (config 4).  None = single device.
+        (config 4) — or ('data', 'spx', 'spy') from
+        :func:`randomfield_tpu.parallel.pencil.make_pencil_mesh` for the
+        2-D pencil decomposition (scales past the slab limit of
+        min(nx, ny) devices).  None = single device.
     verbose : print per-stage timings (ref: the verbose ctor flag).
 
     The constructor performs all O(N^3) precomputation; every
@@ -186,14 +189,25 @@ class Generator:
         self._multiprocess = False
         if mesh is not None:
             from randomfield_tpu.parallel import multihost as _mh
+            from randomfield_tpu.parallel import pencil as _pencil
             from randomfield_tpu.parallel.dfft import _check_divisible
             from randomfield_tpu.parallel.mesh import SPACE_AXIS, spectrum_sharding
 
-            _check_divisible(self.scene.shape, mesh.shape.get(SPACE_AXIS, 1))
+            if _pencil.is_pencil_mesh(mesh):
+                # 2-D (pencil) spatial decomposition — scales past the
+                # slab limit of min(nx, ny) devices (parallel/pencil.py)
+                _pencil._check_pencil(
+                    self.scene.shape,
+                    mesh.shape[_pencil.SPX_AXIS], mesh.shape[_pencil.SPY_AXIS],
+                )
+                sig_sharding = _pencil.pencil_sigma_sharding(mesh)
+            else:
+                _check_divisible(self.scene.shape, mesh.shape.get(SPACE_AXIS, 1))
+                sig_sharding = spectrum_sharding(mesh)
             self._multiprocess = _mh.is_multiprocess()
 
             self.state = self.state._replace(
-                sigmas=_mh.place(self.state.sigmas, spectrum_sharding(mesh))
+                sigmas=_mh.place(self.state.sigmas, sig_sharding)
             )
             if self._multiprocess:
                 # small per-call inputs must be process-replicated host

@@ -1,0 +1,224 @@
+"""Pencil (2-D) decomposition: distributed FFTs beyond the slab limit.
+
+The slab transform (parallel/dfft.py) shards ONE grid axis, so its mesh
+cannot exceed min(nx, ny) devices and its all-to-all moves every byte
+through a single axis's links.  A pencil decomposition shards TWO axes
+over a ('spx', 'spy') sub-mesh, scaling to nx*ny/(block) devices —
+the standard shape for pod-scale grids (AccFFT / P3DFFT pattern,
+PAPERS.md; SURVEY.md section 5 "long-context analog", next step past
+config 5).
+
+Inverse (k -> x), z always transformed locally as the LAST axis (c2r):
+
+  state 1  block (nx, ny/Px, kzp/Py)   ifft over x (local axis 0)
+  A2A(Px)  x <-> ky                    block (nx/Px, ny, kzp/Py)
+  state 2                              ifft over y (local axis 1)
+  A2A(Py)  y <-> kz                    block (nx/Px, ny/Py, nzh)
+  state 3                              c2r over z (local, half-pack)
+
+  output: real field, x sharded over 'spx', y over 'spy', z local.
+
+The packed kz axis (nz//2 + 1, usually odd) is zero-padded to a
+multiple of Py for equal all-to-all tiles and sliced back before the
+c2r; the pad shards carry zeros and are never transformed.
+
+Forward (x -> k) is the exact reverse.  Both directions are shard_map
+programs: one all_to_all per stage, each riding a single mesh axis's
+ICI links.
+
+Requirements: nx % Px == 0, ny % Px == 0, ny % Py == 0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from randomfield_tpu.ops import transform as _transform
+from randomfield_tpu.parallel.dfft import _fft_axis, _ifft_axis
+from randomfield_tpu.parallel.mesh import DATA_AXIS
+
+__all__ = [
+    "SPX_AXIS",
+    "SPY_AXIS",
+    "make_pencil_mesh",
+    "is_pencil_mesh",
+    "pencil_spectrum_sharding",
+    "pencil_sigma_sharding",
+    "pencil_field_sharding",
+    "irfftn_pencil",
+    "rfftn_pencil",
+]
+
+SPX_AXIS = "spx"
+SPY_AXIS = "spy"
+
+
+def make_pencil_mesh(data=1, spx=1, spy=1, devices=None) -> Mesh:
+    """('data', 'spx', 'spy') mesh from the first data*spx*spy devices.
+
+    Keep 'spy' innermost (fastest-varying device order) so the second,
+    kz-facing all-to-all uses the densest links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = data * spx * spy
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices for mesh ({data=}, {spx=}, "
+                         f"{spy=}); have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(data, spx, spy)
+    return Mesh(grid, (DATA_AXIS, SPX_AXIS, SPY_AXIS))
+
+
+def is_pencil_mesh(mesh: Mesh) -> bool:
+    return SPX_AXIS in mesh.shape and SPY_AXIS in mesh.shape
+
+
+def _check_pencil(shape, px, py):
+    nx, ny, _ = shape
+    if nx % px or ny % px or ny % py:
+        raise ValueError(
+            f"pencil decomposition needs nx ({nx}) divisible by spx ({px}) "
+            f"and ny ({ny}) divisible by both spx ({px}) and spy ({py})"
+        )
+
+
+def pencil_spectrum_sharding(mesh, batched=False) -> NamedSharding:
+    """Packed spectra shard ky over 'spx' and kz over 'spy' (state 1).
+
+    Only valid for kz lengths divisible by 'spy' (e.g. after
+    :func:`irfftn_pencil`'s internal pad); for raw (nz//2 + 1)-wide
+    arrays like the sigma grid use :func:`pencil_sigma_sharding`.
+    """
+    spec = ((DATA_AXIS, None, SPX_AXIS, SPY_AXIS) if batched
+            else (None, SPX_AXIS, SPY_AXIS))
+    return NamedSharding(mesh, P(*spec))
+
+
+def pencil_sigma_sharding(mesh, batched=False) -> NamedSharding:
+    """Scene arrays (sigma grid): ky over 'spx', kz replicated.
+
+    The packed kz axis (nz//2 + 1, usually odd) rarely divides 'spy';
+    replicating it across 'spy' costs spy-fold sigma memory per device
+    but keeps placement exact — the render's elementwise sigma multiply
+    then needs no communication (the draws are sharded the same way and
+    the transform's shard_map redistributes after its kz pad).
+    """
+    spec = ((DATA_AXIS, None, SPX_AXIS, None) if batched
+            else (None, SPX_AXIS, None))
+    return NamedSharding(mesh, P(*spec))
+
+
+def pencil_field_sharding(mesh, batched=False) -> NamedSharding:
+    """Real fields shard x over 'spx' and y over 'spy'; z local (state 3)."""
+    spec = ((DATA_AXIS, SPX_AXIS, SPY_AXIS, None) if batched
+            else (SPX_AXIS, SPY_AXIS, None))
+    return NamedSharding(mesh, P(*spec))
+
+
+def _kz_pad(nzh: int, py: int) -> int:
+    return (-nzh) % py
+
+
+def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False):
+    """Distributed inverse c2r FFT over a pencil mesh (norm='forward').
+
+    ``c``: packed half-spectrum (..., nx, ny, nzh) sharded per
+    :func:`pencil_spectrum_sharding`.  Returns the real field sharded per
+    :func:`pencil_field_sharding`.
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    px, py = mesh.shape[SPX_AXIS], mesh.shape[SPY_AXIS]
+    _check_pencil(shape, px, py)
+    pad = _kz_pad(nzh, py)
+    off = 1 if batched else 0
+    data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
+
+    def local(cl):
+        # state 1: (nx, ny/px, kzp/py) — x fully local
+        cl = _ifft_axis(cl, cl.ndim - 3)
+        if px > 1:
+            cl = jax.lax.all_to_all(
+                cl, SPX_AXIS, split_axis=off, concat_axis=off + 1, tiled=True
+            )
+        # state 2: (nx/px, ny, kzp/py) — y fully local
+        cl = _ifft_axis(cl, cl.ndim - 2)
+        if py > 1:
+            cl = jax.lax.all_to_all(
+                cl, SPY_AXIS, split_axis=off + 1, concat_axis=off + 2,
+                tiled=True,
+            )
+        # state 3: (nx/px, ny/py, kzp) — kz fully local; drop the pad
+        if pad:
+            cl = cl[..., :nzh]
+        return _transform.irfft_minor(cl, nz, assume_hermitian)
+
+    in_spec = (P(data, None, SPX_AXIS, SPY_AXIS) if batched
+               else P(None, SPX_AXIS, SPY_AXIS))
+    out_spec = (P(data, SPX_AXIS, SPY_AXIS, None) if batched
+                else P(SPX_AXIS, SPY_AXIS, None))
+
+    if pad:
+        # zero-pad kz so each 'spy' shard is an equal all-to-all tile;
+        # pad BEFORE shard_map so the pad itself is sharded
+        widths = [(0, 0)] * c.ndim
+        widths[-1] = (0, pad)
+        c = jnp.pad(c, widths)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
+        check_vma=False,
+    )(c)
+
+
+def rfftn_pencil(x, shape, mesh: Mesh, batched=False):
+    """Distributed forward r2c FFT over a pencil mesh (norm='backward').
+
+    Exact reverse of :func:`irfftn_pencil`: local r2c over z, all_to_all
+    kz <-> y over 'spy', local fft over y, all_to_all ky <-> x over
+    'spx', local fft over x.
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    px, py = mesh.shape[SPX_AXIS], mesh.shape[SPY_AXIS]
+    _check_pencil(shape, px, py)
+    pad = _kz_pad(nzh, py)
+    off = 1 if batched else 0
+    data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
+
+    def local(xl):
+        # state 3: (nx/px, ny/py, nz) — z fully local: r2c, pad kz
+        cl = _fft_axis(xl, xl.ndim - 1)
+        cl = cl[..., : nzh]
+        if pad:
+            widths = [(0, 0)] * cl.ndim
+            widths[-1] = (0, pad)
+            cl = jnp.pad(cl, widths)
+        if py > 1:
+            cl = jax.lax.all_to_all(
+                cl, SPY_AXIS, split_axis=off + 2, concat_axis=off + 1,
+                tiled=True,
+            )
+        # state 2: (nx/px, ny, kzp/py) — y fully local
+        cl = _fft_axis(cl, cl.ndim - 2)
+        if px > 1:
+            cl = jax.lax.all_to_all(
+                cl, SPX_AXIS, split_axis=off + 1, concat_axis=off, tiled=True
+            )
+        # state 1: (nx, ny/px, kzp/py) — x fully local
+        return _fft_axis(cl, cl.ndim - 3)
+
+    in_spec = (P(data, SPX_AXIS, SPY_AXIS, None) if batched
+               else P(SPX_AXIS, SPY_AXIS, None))
+    out_spec = (P(data, None, SPX_AXIS, SPY_AXIS) if batched
+                else P(None, SPX_AXIS, SPY_AXIS))
+
+    c = jax.shard_map(
+        local, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
+        check_vma=False,
+    )(x)
+    if pad:
+        c = c[..., :nzh]
+    return c

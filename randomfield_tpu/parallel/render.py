@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from randomfield_tpu.ops import power as _power
 from randomfield_tpu.ops import transform as _transform
 from randomfield_tpu.parallel import dfft
+from randomfield_tpu.parallel import pencil as _pencil
 from randomfield_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS, field_sharding
 
 __all__ = ["make_sharded_render", "make_sharded_render_batch"]
@@ -43,7 +44,14 @@ def _core(draws, sigmas, weights, smoothing_length, shape, spacing, mesh, batche
     z = _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
     c = z * sigmas.astype(real_dtype)
     c = _power.filter_modes(c, shape, spacing, smoothing_length)
-    delta = dfft.irfftn_slab(c, shape, mesh, batched=batched, assume_hermitian=True)
+    if _pencil.is_pencil_mesh(mesh):
+        delta = _pencil.irfftn_pencil(
+            c, shape, mesh, batched=batched, assume_hermitian=True
+        )
+    else:
+        delta = dfft.irfftn_slab(
+            c, shape, mesh, batched=batched, assume_hermitian=True
+        )
     return delta * weights[None, None, :]
 
 
@@ -58,7 +66,16 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False):
     (the key value is the same).
     """
     nx, ny, nz = shape
-    draws_sharding = NamedSharding(mesh, P(None, None, SPACE_AXIS, None))
+    if _pencil.is_pencil_mesh(mesh):
+        # kz stays unsharded here (nzh rarely divides 'spy'); the
+        # transform pads kz and reshards inside (pencil_sigma_sharding)
+        draws_sharding = NamedSharding(
+            mesh, P(None, None, _pencil.SPX_AXIS, None)
+        )
+        out = _pencil.pencil_field_sharding(mesh)
+    else:
+        draws_sharding = NamedSharding(mesh, P(None, None, SPACE_AXIS, None))
+        out = field_sharding(mesh)
 
     def fn(key, sigmas, weights, smoothing_length):
         if from_seed:
@@ -69,7 +86,7 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False):
             draws, sigmas, weights, smoothing_length, shape, spacing, mesh, False
         )
 
-    return jax.jit(fn, out_shardings=field_sharding(mesh))
+    return jax.jit(fn, out_shardings=out)
 
 
 @functools.lru_cache(maxsize=32)
@@ -77,7 +94,16 @@ def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False):
     """Compile a seed-batched render: batch over 'data', slabs over 'space'."""
     nx, ny, nz = shape
     data = DATA_AXIS if DATA_AXIS in mesh.shape else None
-    draws_sharding = NamedSharding(mesh, P(data, None, None, SPACE_AXIS, None))
+    if _pencil.is_pencil_mesh(mesh):
+        draws_sharding = NamedSharding(
+            mesh, P(data, None, None, _pencil.SPX_AXIS, None)
+        )
+        out = _pencil.pencil_field_sharding(mesh, batched=True)
+    else:
+        draws_sharding = NamedSharding(
+            mesh, P(data, None, None, SPACE_AXIS, None)
+        )
+        out = field_sharding(mesh, batched=True)
 
     def fn(keys, sigmas, weights, smoothing_length):
         if from_seed:
@@ -90,4 +116,4 @@ def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False):
             draws, sigmas, weights, smoothing_length, shape, spacing, mesh, True
         )
 
-    return jax.jit(fn, out_shardings=field_sharding(mesh, batched=True))
+    return jax.jit(fn, out_shardings=out)

@@ -169,8 +169,12 @@ def calculate_power(delta, spacing, nbins=32, mesh=None):
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
     from randomfield_tpu.parallel.mesh import SPACE_AXIS
+    from randomfield_tpu.parallel.pencil import is_pencil_mesh
 
-    if mesh is not None and mesh.shape.get(SPACE_AXIS, 1) > 1:
+    if mesh is not None and is_pencil_mesh(mesh):
+        fn = _make_pencil_binned(mesh, shape, float(spacing), int(nbins))
+        counts, psum, ksum = fn(delta)
+    elif mesh is not None and mesh.shape.get(SPACE_AXIS, 1) > 1:
         fn = _make_sharded_binned(mesh, shape, float(spacing), int(nbins))
         counts, psum, ksum = fn(delta)
     elif shape[0] * shape[1] * shape[2] > _STAGED_POWER_THRESHOLD:
@@ -244,6 +248,88 @@ def _make_sharded_binned(mesh, shape, spacing, nbins):
             _local_bins,
             mesh=mesh,
             in_specs=P(None, SPACE_AXIS, None),
+            out_specs=P(),
+            check_vma=False,
+        )(c)
+        return bins[0], bins[1], bins[2]
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def _make_pencil_binned(mesh, shape, spacing, nbins):
+    """Pencil-mesh P(k): distributed forward FFT + shard-local binning.
+
+    The spectrum comes back in pencil state 1 (ky over 'spx', kz over
+    'spy'); each device bins its (nx, ny/px, nzh/py) block against the
+    |k| values and kz multiplicities of its own slices, then psums over
+    both spatial axes.  The full spectrum is never gathered.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.ops import grid as _grid
+    from randomfield_tpu.parallel import pencil as _pencil
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    volume = nx * ny * nz * spacing**3
+    px = mesh.shape[_pencil.SPX_AXIS]
+    py = mesh.shape[_pencil.SPY_AXIS]
+    ny_loc = ny // px
+    # kz is padded to a multiple of py for equal blocks; pad modes are
+    # masked out of the binning below
+    nzp = nzh + (-nzh) % py
+    nz_loc = nzp // py
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    mult_p = np.zeros(nzp, np.float32)
+    mult_p[:nzh] = mult
+    kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+    kz_p = np.zeros(nzp, kz.dtype)
+    kz_p[:nzh] = kz
+
+    def _local_bins(cl):
+        j = jax.lax.axis_index(_pencil.SPX_AXIS)
+        m = jax.lax.axis_index(_pencil.SPY_AXIS)
+        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (j * ny_loc,), (ny_loc,))
+        kz_l = jax.lax.dynamic_slice(jnp.asarray(kz_p), (m * nz_loc,), (nz_loc,))
+        mult_l = jax.lax.dynamic_slice(
+            jnp.asarray(mult_p), (m * nz_loc,), (nz_loc,)
+        )
+        km = jnp.sqrt(
+            jnp.asarray(kx * kx)[:, None, None]
+            + (ky_l * ky_l)[None, :, None]
+            + (kz_l * kz_l)[None, None, :]
+        ).astype(cl.real.dtype)
+        p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        w = mult_l[None, None, :] * jnp.ones_like(p)
+        idx = jnp.searchsorted(
+            jnp.asarray(edges, p.dtype), km, method="compare_all"
+        ) - 1
+        valid = (idx >= 0) & (idx < nbins) & (km > 0) & (w > 0)
+        idx = jnp.where(valid, idx, nbins)
+        w = jnp.where(valid, w, 0.0)
+
+        counts, psum_, ksum = jax.vmap(
+            lambda ix, wx, pxv, kxv: _dot_bin(ix, wx, pxv, kxv, nbins)
+        )(idx, w, p, jnp.broadcast_to(km, p.shape))
+        out = jnp.stack([
+            jnp.sum(counts, axis=0),
+            jnp.sum(psum_, axis=0),
+            jnp.sum(ksum, axis=0),
+        ])
+        return jax.lax.psum(out, (_pencil.SPX_AXIS, _pencil.SPY_AXIS))
+
+    @jax.jit
+    def fn(delta):
+        c = _pencil.rfftn_pencil(delta, shape, mesh)
+        if nzp != nzh:  # restore equal blocks for the shard-local view
+            widths = [(0, 0)] * c.ndim
+            widths[-1] = (0, nzp - nzh)
+            c = jnp.pad(c, widths)
+        bins = jax.shard_map(
+            _local_bins,
+            mesh=mesh,
+            in_specs=P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS),
             out_specs=P(),
             check_vma=False,
         )(c)

@@ -1,0 +1,132 @@
+"""Pencil (2-D) decomposition transforms on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from randomfield_tpu.parallel import pencil as pc
+
+
+def _random_packed(shape, seed=0):
+    nx, ny, nz = shape
+    rng = np.random.RandomState(seed)
+    return (rng.normal(size=(nx, ny, nz // 2 + 1))
+            + 1j * rng.normal(size=(nx, ny, nz // 2 + 1)))
+
+
+@pytest.mark.parametrize("data,spx,spy", [(1, 2, 4), (1, 4, 2), (2, 2, 2)])
+def test_irfftn_pencil_matches_numpy(data, spx, spy):
+    shape = (16, 16, 16)
+    c = _random_packed(shape)
+    mesh = pc.make_pencil_mesh(data=data, spx=spx, spy=spy)
+    cd = jnp.asarray(c, jnp.complex64)
+    got = np.asarray(pc.irfftn_pencil(cd, shape, mesh))
+    ref = np.fft.irfftn(c, s=shape, norm="forward")
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-4 * scale, rtol=2e-4)
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 16), (8, 16, 12), (16, 8, 20)])
+def test_rfftn_pencil_matches_numpy(shape):
+    rng = np.random.RandomState(1)
+    x = rng.normal(size=shape)
+    mesh = pc.make_pencil_mesh(data=1, spx=2, spy=4)
+    c = pc.rfftn_pencil(jnp.asarray(x, jnp.float32), shape, mesh)
+    got = np.asarray(c.real) + 1j * np.asarray(c.imag)
+    ref = np.fft.rfftn(x, norm="backward")
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-4 * scale, rtol=2e-4)
+
+
+def test_pencil_matches_slab():
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel.mesh import make_mesh
+
+    shape = (16, 16, 16)
+    c = _random_packed(shape, seed=3)
+    cd = jnp.asarray(c, jnp.complex64)
+    pmesh = pc.make_pencil_mesh(data=1, spx=2, spy=4)
+    smesh = make_mesh(data=2, space=4)
+    a = np.asarray(pc.irfftn_pencil(cd, shape, pmesh))
+    b = np.asarray(dfft.irfftn_slab(cd, shape, smesh))
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a, b, atol=2e-5 * scale, rtol=2e-4)
+
+
+def test_pencil_batched():
+    shape = (16, 16, 16)
+    cs = np.stack([_random_packed(shape, seed=s) for s in (4, 5)])
+    mesh = pc.make_pencil_mesh(data=2, spx=2, spy=2)
+    got = np.asarray(pc.irfftn_pencil(
+        jnp.asarray(cs, jnp.complex64), shape, mesh, batched=True
+    ))
+    for i in range(2):
+        ref = np.fft.irfftn(cs[i], s=shape, norm="forward")
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got[i], ref, atol=2e-4 * scale, rtol=2e-4)
+
+
+def test_pencil_shape_validation():
+    mesh = pc.make_pencil_mesh(data=1, spx=2, spy=4)
+    with pytest.raises(ValueError):
+        pc.irfftn_pencil(
+            jnp.zeros((15, 16, 9), jnp.complex64), (15, 16, 16), mesh
+        )
+
+
+def test_pencil_roundtrip():
+    shape = (16, 16, 16)
+    rng = np.random.RandomState(7)
+    x = rng.normal(size=shape).astype(np.float32)
+    mesh = pc.make_pencil_mesh(data=1, spx=2, spy=4)
+    c = pc.rfftn_pencil(jnp.asarray(x), shape, mesh)
+    back = np.asarray(pc.irfftn_pencil(c, shape, mesh)) / np.prod(shape)
+    np.testing.assert_allclose(back, x, atol=2e-5 * np.abs(x).max(), rtol=2e-4)
+
+
+def test_pencil_render_equals_single_device():
+    from randomfield_tpu import Generator
+
+    shape, spacing = (16, 16, 16), 8.0
+    g0 = Generator(*shape, grid_spacing=spacing)
+    g1 = Generator(*shape, grid_spacing=spacing,
+                   mesh=pc.make_pencil_mesh(data=1, spx=2, spy=4))
+    for seed in (0, 7):
+        a = np.asarray(g0.generate_delta_field(seed))
+        b = np.asarray(g1.generate_delta_field(seed))
+        scale = np.std(a)
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=2e-4)
+    out = g1.generate_delta_field(0)
+    assert out.sharding.spec == pc.pencil_field_sharding(g1.mesh).spec
+
+
+def test_pencil_batch_and_power():
+    from randomfield_tpu import Generator
+
+    shape, spacing = (16, 16, 16), 8.0
+    mesh = pc.make_pencil_mesh(data=2, spx=2, spy=2)
+    g0 = Generator(*shape, grid_spacing=spacing)
+    g1 = Generator(*shape, grid_spacing=spacing, mesh=mesh)
+    seeds = np.arange(4)
+    a = np.asarray(g0.generate_delta_fields(seeds, smoothing_length=4.0))
+    b = np.asarray(g1.generate_delta_fields(seeds, smoothing_length=4.0))
+    scale = np.std(a)
+    np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=2e-4)
+
+    # pencil-sharded P(k) equals the single-device estimate
+    d = g1.generate_delta_field(3)
+    k1, p1, m1 = g1.calculate_power(d, nbins=8)
+    d0 = g0.generate_delta_field(3)
+    k0, p0, m0 = g0.calculate_power(d0, nbins=8)
+    np.testing.assert_allclose(m1, m0)
+    np.testing.assert_allclose(p1, p0, rtol=1e-3)
+    np.testing.assert_allclose(k1, k0, rtol=1e-5)
+
+
+def test_pencil_shape_validation_generator():
+    from randomfield_tpu import Generator
+
+    with pytest.raises(ValueError):
+        Generator(15, 16, 16, grid_spacing=8.0,
+                  mesh=pc.make_pencil_mesh(data=1, spx=2, spy=4))
