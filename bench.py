@@ -124,11 +124,27 @@ def main():
     _enable_compile_cache()
 
     log("CPU float64 baseline (reference conditions; numpy.fft for pyfftw):")
-    cpu_gcells = None
-    for n in (256, 512):
-        dt, ts = time_cpu_render(n)
-        cpu_gcells = n**3 / dt / 1e9
-        detail[f"cpu_f64_{n}"] = dict(_stats(ts), gcells_per_s=round(cpu_gcells, 4))
+    # vs_baseline anchors on the 256^3 median (5 iterations — this VM's
+    # CPU throughput swings ~20x with noisy neighbors, so the median of
+    # more short iterations is the robust anchor); 512^3 is recorded as
+    # a second data point with its own spread
+    t_cpu = time.perf_counter()
+    dt, ts = time_cpu_render(256, iters=5)
+    cpu_gcells = 256**3 / dt / 1e9
+    detail["cpu_f64_256"] = dict(_stats(ts), gcells_per_s=round(cpu_gcells, 4))
+    elapsed = time.perf_counter() - t_cpu
+    if elapsed < 180.0:
+        dt, ts = time_cpu_render(512, iters=2)
+        detail["cpu_f64_512"] = dict(
+            _stats(ts), gcells_per_s=round(512**3 / dt / 1e9, 4)
+        )
+    else:
+        # this VM's CPU throughput swings ~20-70x (noisy neighbors /
+        # steal); in a slow phase the 512^3 f64 point alone would take
+        # tens of minutes and endanger the whole artifact
+        detail["cpu_f64_512"] = {
+            "skipped": f"cpu slow phase ({elapsed:.0f}s for the 256^3 run)"
+        }
 
     log("TPU renders:")
     headline_n, headline_dt = None, None

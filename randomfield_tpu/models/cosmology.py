@@ -157,6 +157,23 @@ class Cosmology:
         d_lo = self.growth_function(1.0 / (a * np.exp(-eps)) - 1.0)
         return (np.log(d_hi) - np.log(d_lo)) / (2 * eps)
 
+    @property
+    def critical_density0(self) -> float:
+        """Critical density today, Msun / Mpc^3 (= 2.775e11 h^2)."""
+        return 2.77536627e11 * self.h**2
+
+    def mean_matter_density(self, z):
+        """Physical mean matter density rho_m(z) in Msun / Mpc^3.
+
+        rho_m(z) = Om0 * rho_crit0 * (1+z)^3 (ref: cosmotools' mean
+        matter density helper; astropy units Msun/Mpc^3, physical not
+        comoving — divide by (1+z)^3 for the constant comoving value).
+        Converts a rendered density contrast delta(x) into mass density
+        rho = rho_m (1 + delta).
+        """
+        z = np.asarray(z, dtype=np.float64)
+        return self.Om0 * self.critical_density0 * (1.0 + z) ** 3
+
 
 Planck13 = Cosmology()
 Planck15 = Cosmology(

@@ -92,3 +92,18 @@ def test_get_growth_function_api():
     d = cosmo.get_growth_function("Planck13", zs)
     assert d.shape == (16,)
     assert np.isclose(d[0], 1.0, atol=1e-8)
+
+
+def test_mean_matter_density():
+    c = cosmo.Planck13
+    # rho_crit0 = 2.775e11 h^2 Msun/Mpc^3; Planck13 h = 0.6777
+    rho_c = c.critical_density0
+    np.testing.assert_allclose(rho_c, 2.77536627e11 * 0.6777**2, rtol=1e-6)
+    rho0 = c.mean_matter_density(0.0)
+    np.testing.assert_allclose(rho0, c.Om0 * rho_c, rtol=1e-12)
+    # physical density scales as (1+z)^3
+    np.testing.assert_allclose(
+        c.mean_matter_density(1.0) / rho0, 8.0, rtol=1e-12
+    )
+    # astropy Planck13 cross-check: rho_m(0) ~ 3.9e10 Msun/Mpc^3
+    assert 3.5e10 < rho0 < 4.3e10
