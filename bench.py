@@ -130,7 +130,10 @@ def main():
     # a second data point with its own spread
     t_cpu = time.perf_counter()
     dt, ts = time_cpu_render(256, iters=5)
-    cpu_gcells = 256**3 / dt / 1e9
+    # conservative anchor: the FASTEST iteration, i.e. the reference's
+    # best observed conditions on this VM (its CPU throughput swings
+    # 20-70x; the median would flatter vs_baseline in a slow phase)
+    cpu_gcells = 256**3 / min(ts) / 1e9
     detail["cpu_f64_256"] = dict(_stats(ts), gcells_per_s=round(cpu_gcells, 4))
     elapsed = time.perf_counter() - t_cpu
     if elapsed < 180.0:

@@ -80,6 +80,38 @@ def render(key, sigmas, weights, smoothing_length, shape, spacing):
     return _render_impl(key, sigmas, weights, smoothing_length, shape, spacing)
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "layout"))
+def _predicted_variance_device(sigmas, smoothing_length, shape, spacing, layout):
+    """<delta^2> = sum over packed modes of mult * (sigma * filter)^2.
+
+    The engine folds 1/V into sigma, so the per-mode contribution to the
+    field variance is exactly sigma^2 (times the Gaussian filter and the
+    kz multiplicity).  Device reduction with axiswise partial sums
+    (accumulation-safe, see validate/stats.py:_mean_axiswise); the host
+    float64 oracle sum it replaces costs MINUTES at 1024^3 on this VM.
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    dt = sigmas.dtype
+    mult = jnp.full((nzh,), 2.0, dt).at[0].set(1.0)
+    if nz % 2 == 0:
+        mult = mult.at[-1].set(1.0)
+    kx, ky, kz = _grid.kvectors(shape, spacing, dt)
+    s = jnp.asarray(smoothing_length, dt)
+    if layout == "xzy":
+        k2 = (kx * kx)[:, None, None] + (kz * kz)[None, :, None] \
+            + (ky * ky)[None, None, :]
+        m = mult[None, :, None]
+    else:
+        k2 = (kx * kx)[:, None, None] + (ky * ky)[None, :, None] \
+            + (kz * kz)[None, None, :]
+        m = mult[None, None, :]
+    contrib = m * sigmas * sigmas * jnp.exp(-k2 * s * s)
+    while contrib.ndim:
+        contrib = jnp.sum(contrib, axis=-1)
+    return contrib
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "spacing"))
 def _sample_spectrum_jit(key, sigmas, smoothing_length, shape, spacing):
     nx, ny, nz = shape
@@ -261,14 +293,22 @@ class Generator:
         return self.state.sigmas
 
     def predicted_variance(self, smoothing_length=0.0):
-        """Exact expected variance of a (non-lightcone) field."""
-        from randomfield_tpu.validate import oracle
+        """Exact expected variance of a (non-lightcone) field.
 
-        table = self._aux["power"]
-        return oracle.predicted_variance(
-            self.scene.shape, self.scene.grid_spacing, (table.k, table.Pk),
-            smoothing_length, self.scene.interpolation,
+        Computed on device from the tabulated sigma grid (matches the
+        float64 oracle sum to ~1e-5 relative — asserted in tests; the
+        host sum costs minutes at 1024^3).
+        """
+        from randomfield_tpu.parallel.multihost import replicated_to_host
+
+        out = _predicted_variance_device(
+            self.state.sigmas,
+            jnp.asarray(smoothing_length, self.state.sigmas.dtype)
+            if not self._multiprocess
+            else np.asarray(smoothing_length, np.float32),
+            self.scene.shape, self.scene.grid_spacing, self._layout,
         )
+        return float(replicated_to_host(out))
 
     # ---- rendering -----------------------------------------------------------
     def _weights(self, apply_lightcone):

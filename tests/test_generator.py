@@ -134,3 +134,18 @@ def test_pallas_sampler_rejected_with_mesh():
     mesh = make_mesh(data=2, space=4)
     with pytest.raises(ValueError, match="single-device"):
         Generator(8, 8, 8, grid_spacing=8.0, mesh=mesh, sampler="pallas")
+
+
+def test_predicted_variance_matches_oracle():
+    # the device reduction must agree with the float64 oracle sum
+    from randomfield_tpu.validate import oracle
+
+    for shape, pipeline in (((16, 16, 16), "fused"), ((16, 16, 16), "staged")):
+        g = Generator(*shape, grid_spacing=8.0, pipeline=pipeline)
+        table = g.power
+        for s in (0.0, 12.0):
+            ref = oracle.predicted_variance(
+                shape, 8.0, (table.k, table.Pk), smoothing_length=s
+            )
+            got = g.predicted_variance(smoothing_length=s)
+            assert abs(got - ref) < 2e-4 * ref, (pipeline, s, got, ref)
