@@ -103,6 +103,21 @@ def time_cpu_render(n, iters=5):
     return statistics.median(ts), ts
 
 
+def time_sample_power(n=1024, seeds=3):
+    """Config-4 workload: FFT-free spectrum-space P(k) per seed at n^3."""
+    import randomfield_tpu as rf
+
+    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n)
+    g.sample_power(0)  # compile + warm
+    ts = []
+    for s in range(1, seeds + 1):
+        t0 = time.perf_counter()
+        g.sample_power(s)
+        ts.append(time.perf_counter() - t0)
+    log(f"  {n}^3 sample_power: {[round(t * 1e3) for t in ts]} ms/seed")
+    return statistics.median(ts), ts
+
+
 def pallas_gate():
     """Standing per-round hardware check of the Pallas sampler stream."""
     import pathlib
@@ -162,6 +177,17 @@ def main():
             log(f"  {n}^3 failed: {type(e).__name__}: {str(e)[:120]}")
             detail[f"tpu_{n}"] = {"error": type(e).__name__}
             break
+
+    if headline_n == 1024:
+        try:
+            log("Config-4 ensemble rate (FFT-free spectrum-space P(k)):")
+            dt, ts = time_sample_power(1024)
+            detail["tpu_1024_sample_power"] = dict(
+                _stats(ts), seeds_per_s=round(1.0 / dt, 2)
+            )
+        except Exception as e:
+            detail["tpu_1024_sample_power"] = {"error": type(e).__name__}
+            log(f"  sample_power failed: {type(e).__name__}: {str(e)[:120]}")
 
     log("Pallas sampler hardware gate:")
     detail["pallas_gate"] = pallas_gate()
