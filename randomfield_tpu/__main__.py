@@ -37,6 +37,12 @@ def main(argv=None):
     p.add_argument("--stats", action="store_true",
                    help="print realized P(k) and moments per seed")
     p.add_argument("--nbins", type=int, default=16)
+    p.add_argument("--sample-power", action="store_true",
+                   help="FFT-free spectrum-space P(k) per seed (config-4 "
+                        "ensemble mode: no field is rendered; O(1) memory)")
+    p.add_argument("--checkpoint", default=None,
+                   help="with --sample-power: persist per-seed spectra to "
+                        "this .npz and resume interrupted ensembles")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -55,6 +61,37 @@ def main(argv=None):
         args.nx, ny, nz, grid_spacing=args.spacing, cosmology=args.cosmology,
         power=power, verbose=not args.quiet,
     )
+    if args.sample_power:
+        from randomfield_tpu.validate.ensemble import (
+            power_covariance, sample_power_ensemble,
+        )
+
+        t0 = time.perf_counter()
+        k, p_hat, nm = sample_power_ensemble(
+            gen, args.seed, smoothing_length=args.smoothing,
+            nbins=args.nbins, checkpoint_path=args.checkpoint,
+        )
+        if not args.quiet:
+            print(f"{len(args.seed)} seeds in {time.perf_counter() - t0:.2f}s"
+                  + (f" (checkpoint: {args.checkpoint})" if args.checkpoint
+                     else ""))
+        mean_p = np.nanmean(p_hat, axis=0)
+        std_p = np.nanstd(p_hat, axis=0) if len(args.seed) > 1 else None
+        for i in range(len(k)):
+            if nm[i] > 0:
+                line = f"  k = {k[i]:9.4f}  <P^> = {mean_p[i]:12.2f}"
+                if std_p is not None:
+                    line += f"  scatter = {std_p[i]:10.2f}"
+                print(line + f"  ({nm[i]:8.0f} modes)")
+        if args.out and len(args.seed) > 1:
+            cov = power_covariance(p_hat)
+            np.savez(args.out.replace("{seed}", "ensemble"),
+                     k=k, p_hat=p_hat, n_modes=nm, covariance=cov,
+                     seeds=np.asarray(args.seed))
+            if not args.quiet:
+                print(f"  wrote {args.out.replace('{seed}', 'ensemble')}")
+        return 0
+
     for seed in args.seed:
         t0 = time.perf_counter()
         delta = gen.generate_delta_field(

@@ -96,3 +96,27 @@ def test_sharded_io_roundtrip_mesh(tmp_path):
     resharded, _ = rio.load_field_sharded(d, sharding=field_sharding(mesh))
     assert resharded.sharding == field_sharding(mesh)
     np.testing.assert_array_equal(np.asarray(resharded), np.asarray(delta))
+
+
+def test_cli_sample_power_ensemble(tmp_path):
+    out = tmp_path / "cov.npz"
+    ckpt = tmp_path / "ck.npz"
+    cmd = [sys.executable, "-m", "randomfield_tpu", "--nx", "16",
+           "--spacing", "8.0", "--seed", "1", "2", "3", "--sample-power",
+           "--nbins", "8", "--checkpoint", str(ckpt),
+           "--out", str(tmp_path / "{seed}.npz"), "--quiet"]
+    import os, pathlib
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       env=env, cwd=repo, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "<P^>" in r.stdout and "scatter" in r.stdout
+    assert ckpt.exists()
+    with np.load(tmp_path / "ensemble.npz") as f:
+        assert f["p_hat"].shape[0] == 3
+        assert f["covariance"].shape == (8, 8)
