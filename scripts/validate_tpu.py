@@ -1,22 +1,33 @@
 """On-hardware fidelity gate: render statistics across grid sizes.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/validate_tpu.py
+     [--staged]   # additionally gate the 1024^3 staged pipeline
 
 For each size: field variance vs the float64 oracle prediction (must
 agree to f32/sampling tolerance) and realized binned P(k) vs the input
 table.  This caught the platform FFT defect (see ops/transform.py
 "FFT backend selection") — keep running it after any compute-path or
-runtime change.
+runtime change.  ``--staged`` adds the HBM-ceiling check: one 1024^3
+staged render (v2, half-pack c2r) gated on variance, plus the
+field-space P(k) against the FFT-free spectrum-space measurement of the
+same seed — the full transform machinery validated at scale.
 """
 
+import os
 import pathlib
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-import jax.numpy as jnp
+import jax
 import numpy as np
+
+os.makedirs("/tmp/jaxcache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp  # noqa: E402
 
 
 def main(sizes=((128, 16.0), (256, 8.0), (512, 4.0))):
@@ -56,5 +67,34 @@ def main(sizes=((128, 16.0), (256, 8.0), (512, 4.0))):
     print("fidelity gate PASSED")
 
 
+def staged_gate(n=1024, sp=2.0, seed=3):
+    """1024^3 staged-pipeline check: variance + field-vs-spectrum P(k)."""
+    import randomfield_tpu as rf
+    from randomfield_tpu.validate.stats import calculate_power, field_moments
+
+    g = rf.Generator(n, n, n, grid_spacing=sp)
+    assert g.pipeline == "staged", g.pipeline
+    t0 = time.perf_counter()
+    d = g.generate_delta_field(seed, apply_lightcone=False)
+    _ = float(d[0, 0, 0])
+    dt = time.perf_counter() - t0
+    mean, var = field_moments(d)
+    ratio = var / g.predicted_variance()
+    kf, pf, nf = calculate_power(d, sp, nbins=16)
+    del d
+    ks, ps, ns = g.sample_power(seed, nbins=16)
+    mask = nf > 0
+    max_dev = float(np.abs(pf[mask] / ps[mask] - 1).max())
+    ok = abs(ratio - 1) < 0.05 and max_dev < 2e-3
+    print(
+        f"{'OK ' if ok else 'FAIL'} staged {n}^3: var/pred={ratio:.4f} "
+        f"max|field/spectrum P - 1|={max_dev:.2e} render={dt:.2f} s"
+    )
+    if not ok:
+        raise SystemExit("staged 1024^3 gate FAILED")
+
+
 if __name__ == "__main__":
     main()
+    if "--staged" in sys.argv:
+        staged_gate()
