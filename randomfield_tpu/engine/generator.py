@@ -119,6 +119,38 @@ def _sample_spectrum_jit(key, sigmas, smoothing_length, shape, spacing):
     return _spectrum_from_noise_impl(draws, sigmas, smoothing_length, shape, spacing)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "spacing", "layout", "kind", "component"),
+    donate_argnums=0,
+)
+def _apply_spectral_kernel(c, prefactor, shape, spacing, layout, kind,
+                           component):
+    """Elementwise derived-field kernel on a sampled spectrum (in place;
+    kernel built inline — see ops/derived.py:apply_kernel_inline)."""
+    from randomfield_tpu.ops import derived as _derived
+
+    return _derived.apply_kernel_inline(
+        c, shape, spacing, layout, kind, component, prefactor
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "spacing", "layout", "kind", "component"),
+    donate_argnums=0,
+)
+def _finish_derived(c, prefactor, shape, spacing, layout, kind, component):
+    """kernel + irfftn for the fused derived-field path (Hermitian by
+    construction: gradient kernels zero every self-conjugate mode)."""
+    from randomfield_tpu.ops import derived as _derived
+
+    c = _derived.apply_kernel_inline(
+        c, shape, spacing, layout, kind, component, prefactor
+    )
+    return _transform.irfftn(c, shape, norm="forward", assume_hermitian=True)
+
+
 @functools.partial(jax.jit, static_argnames=("shape",), donate_argnums=0)
 def _finish_render(c, weights, shape):
     """irfftn + lightcone weighting of an externally sampled spectrum."""
@@ -475,14 +507,27 @@ class Generator:
         from randomfield_tpu.validate import stats
 
         sm = jnp.asarray(smoothing_length, self.state.sigmas.dtype)
+        c = self._sampled_spectrum(seed, sm)
+        return stats.spectrum_power(
+            c, self.scene.shape, self.scene.grid_spacing, nbins, self._layout
+        )
+
+    def _sampled_spectrum(self, seed, sm):
+        """The seed's packed spectrum c_k (device, ``self._layout``)."""
+        if self.mesh is not None:
+            raise ValueError(
+                "spectrum-space workflows need the unsharded sampling "
+                "path; use a mesh-free Generator (render sharded fields "
+                "with generate_delta_field instead)"
+            )
         if self.sampler == "pallas":
             from randomfield_tpu.ops.pallas_sampler import sample_spectrum_pallas
 
-            c = sample_spectrum_pallas(
+            return sample_spectrum_pallas(
                 int(seed), self.state.sigmas, self.scene.shape,
                 self.scene.grid_spacing, sm, layout=self._layout,
             )
-        elif self.pipeline == "staged" and self.mesh is None:
+        if self.pipeline == "staged":
             from randomfield_tpu.engine.staged import _stage_p1
             from randomfield_tpu.ops.grid import kvectors
 
@@ -490,12 +535,90 @@ class Generator:
                            str(self.state.sigmas.dtype))
             kx, ky, kz = kvectors(self.scene.shape, self.scene.grid_spacing,
                                   self.state.sigmas.dtype)
-            c = p1(_as_key(seed), self.state.sigmas, sm, kx, kz, ky)
-        else:
-            c = _sample_spectrum_jit(
-                _as_key(seed), self.state.sigmas, sm,
-                self.scene.shape, self.scene.grid_spacing,
-            )
-        return stats.spectrum_power(
-            c, self.scene.shape, self.scene.grid_spacing, nbins, self._layout
+            return p1(_as_key(seed), self.state.sigmas, sm, kx, kz, ky)
+        return _sample_spectrum_jit(
+            _as_key(seed), self.state.sigmas, sm,
+            self.scene.shape, self.scene.grid_spacing,
         )
+
+    # ---- derived fields (seed-direct: no forward FFT) -----------------------
+    def _derived_from_kernel(self, seed, kind, component, prefactor,
+                             smoothing_length):
+        """sample -> fused spectral kernel -> inverse pipeline.
+
+        Works at every size the plain render supports — including the
+        HBM ceiling, where the field-first path (ops/derived.py
+        delta_to_*) cannot hold the forward transform's intermediates.
+        Snapshot fields: no lightcone weighting (z enters the kernel).
+        """
+        from randomfield_tpu.engine.staged import finish_staged
+
+        if self.mesh is not None:
+            raise ValueError(
+                "derived fields on meshes: render delta with "
+                "generate_delta_field and apply ops.derived on a "
+                "single-device copy (mesh-native derived fields are not "
+                "implemented)"
+            )
+        sm = jnp.asarray(smoothing_length, self.state.sigmas.dtype)
+        shape, sp = self.scene.shape, self.scene.grid_spacing
+        pref = jnp.asarray(prefactor, self.state.sigmas.dtype)
+        c = self._sampled_spectrum(seed, sm)
+        if self.pipeline == "staged":
+            c.block_until_ready()
+            c = _apply_spectral_kernel(
+                c, pref, shape, sp, self._layout, kind, component
+            )
+            ones = jnp.ones((self.scene.nz,), self.state.sigmas.dtype)
+            return finish_staged(
+                c, ones, shape, sp, str(self.state.sigmas.dtype)
+            )
+        return _finish_derived(
+            c, pref, shape, sp, self._layout, kind, component
+        )
+
+    def generate_potential(self, seed=0, z=0.0, smoothing_length=0.0):
+        """Dimensionless peculiar potential Phi/c^2 for a seed (snapshot).
+
+        Same realization as ``generate_delta_field(seed)`` put through
+        the comoving Poisson equation (ops/derived.py conventions) —
+        but computed spectrum-side, so it works at 1024^3 on one chip.
+        """
+        from randomfield_tpu.ops import derived as _derived
+
+        pref = (-1.5 * self.cosmology.Om0 * (1.0 + float(z))
+                / _derived.D_H_MPC_H**2)
+        return self._derived_from_kernel(
+            seed, "scalar", 0, pref, smoothing_length
+        )
+
+    def generate_displacement(self, seed=0, component=None,
+                              smoothing_length=0.0):
+        """Zel'dovich displacement psi [Mpc/h] for a seed (snapshot).
+
+        ``component`` 0/1/2 returns one (nx, ny, nz) component (pass it
+        at HBM-ceiling sizes: the stacked (3, ...) result needs 3x the
+        field memory); None stacks all three.
+        """
+        comps = range(3) if component is None else [int(component)]
+        out = [
+            self._derived_from_kernel(seed, "grad", i, 1.0, smoothing_length)
+            for i in comps
+        ]
+        return out[0] if component is not None else jnp.stack(out)
+
+    def generate_velocity(self, seed=0, z=0.0, component=None,
+                          smoothing_length=0.0):
+        """Linear peculiar velocity [km/s] for a seed (snapshot):
+        v = a H(a) f(a) psi (ops/derived.py conventions)."""
+        a = 1.0 / (1.0 + float(z))
+        H = self.cosmology.H0 * float(self.cosmology.efunc(float(z)))
+        f = float(self.cosmology.growth_rate(float(z)))
+        pref = a * H * f / self.cosmology.h
+        comps = range(3) if component is None else [int(component)]
+        out = [
+            self._derived_from_kernel(seed, "grad", i, pref, smoothing_length)
+            for i in comps
+        ]
+        return out[0] if component is not None else jnp.stack(out)
+

@@ -129,3 +129,69 @@ def delta_to_velocity(delta, spacing, cosmology, z=0.0):
     return _gradient_inverse_laplacian(delta, shape, float(spacing), 1.0) * jnp.asarray(
         pref, delta.dtype
     )
+
+# ---------------------------------------------------------------------------
+# Seed-direct derived fields: kernels applied to the SAMPLED spectrum.
+#
+# delta_to_* above start from a rendered field and pay a forward rfftn —
+# impossible at the HBM ceiling (1024^3 has no room for the full complex
+# intermediate next to the field).  But the engine already holds the
+# packed spectrum c_k right after sampling; a derived field is just an
+# elementwise spectral kernel away:
+#
+#     potential:     Phi_k = g(k) c_k,          g real
+#     displacement:  psi^i_k = i g_i(k) c_k,    g_i real (odd)
+#
+# so Generator.generate_{potential,displacement,velocity} (engine/
+# generator.py) sample, multiply, and run the ordinary inverse pipeline
+# (fused or staged) — no forward transform, no extra full-size buffers,
+# exact at any size the plain render supports.
+# ---------------------------------------------------------------------------
+
+
+def _layout_k(shape, spacing, dtype, layout, grad=False):
+    """(kx, kmid, klast) 1-D vectors in the spectrum's axis order."""
+    if grad:
+        kx, ky, kz = _grad_kvectors(shape, spacing, dtype)
+    else:
+        kx, ky, kz = _grid.kvectors(shape, spacing, dtype)
+    if layout == "xzy":
+        return kx, kz, ky
+    return kx, ky, kz
+
+
+def apply_kernel_inline(c, shape, spacing, layout, kind, component=0,
+                        prefactor=1.0):
+    """Apply a derived-field kernel to a packed spectrum, fused.
+
+    Builds |k|^2 (and the differentiating k vector) from 1-D constants
+    INSIDE the traced computation, so no full-size kernel array is ever
+    materialized — at the HBM ceiling an explicit (nx, nzh, ny) float32
+    kernel costs 2+ GB and an extra memory pass (measured OOM at
+    1024^3).  ``prefactor`` may be a traced scalar.
+
+    kind='scalar':  c_k -> prefactor / k^2 * c_k            (0 at DC)
+    kind='grad':    c_k -> i * prefactor * k_i / k^2 * c_k  (Nyquist-
+        zeroed k_i: every self-conjugate mode maps to zero, so the
+        output stays exactly Hermitian and the half-pack c2r applies).
+    """
+    dtype = c.real.dtype
+    kx, kmid, klast = _layout_k(shape, spacing, dtype, layout)
+    k2 = (
+        (kx * kx)[:, None, None]
+        + (kmid * kmid)[None, :, None]
+        + (klast * klast)[None, None, :]
+    )
+    inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    pref = jnp.asarray(prefactor, dtype)
+    if kind == "scalar":
+        return c * (pref * inv)
+    gx, gmid, glast = _layout_k(shape, spacing, dtype, layout, grad=True)
+    axes = {"xyz": {0: 0, 1: 1, 2: 2}, "xzy": {0: 0, 1: 2, 2: 1}}[layout]
+    pos = axes[int(component)]
+    kvec = (gx, gmid, glast)[pos]
+    bcast = [None, None, None]
+    bcast[pos] = slice(None)
+    g = pref * kvec[tuple(bcast)] * inv
+    # i * g * c: (a + ib)(ig) = -b g + i a g
+    return jax.lax.complex(-c.imag * g, c.real * g)

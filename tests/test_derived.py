@@ -89,3 +89,38 @@ def test_velocity_magnitude_sane():
     rms = np.sqrt((v**2).sum(axis=0).mean())
     # linear-theory pairwise velocities are a few hundred km/s
     assert 50 < rms < 1500, rms
+
+def test_seed_direct_derived_matches_field_first():
+    # generate_* (spectrum-side kernels) must equal delta_to_* (field
+    # first) for the same seed, on both pipelines
+    shape, spacing = (16, 16, 16), 8.0
+    for pipeline in ("fused", "staged"):
+        g = Generator(*shape, grid_spacing=spacing, pipeline=pipeline)
+        d = np.asarray(g.generate_delta_field(5, apply_lightcone=False))
+        dj = jnp.asarray(d)
+
+        phi_ref = np.asarray(derived.delta_to_potential(dj, spacing, g.cosmology))
+        phi = np.asarray(g.generate_potential(5))
+        sc = np.abs(phi_ref).max()
+        np.testing.assert_allclose(phi, phi_ref, atol=5e-5 * sc, rtol=2e-4)
+
+        psi_ref = np.asarray(derived.delta_to_displacement(dj, spacing))
+        psi = np.asarray(g.generate_displacement(5))
+        sc = np.abs(psi_ref).max()
+        np.testing.assert_allclose(psi, psi_ref, atol=5e-5 * sc, rtol=2e-4)
+
+        one = np.asarray(g.generate_displacement(5, component=1))
+        np.testing.assert_allclose(one, psi[1], atol=1e-7)
+
+        v_ref = np.asarray(derived.delta_to_velocity(dj, spacing, g.cosmology))
+        v = np.asarray(g.generate_velocity(5))
+        sc = np.abs(v_ref).max()
+        np.testing.assert_allclose(v, v_ref, atol=5e-5 * sc, rtol=2e-4)
+
+
+def test_seed_direct_derived_mesh_raises():
+    from randomfield_tpu.parallel.mesh import make_mesh
+
+    g = Generator(16, 16, 16, grid_spacing=8.0, mesh=make_mesh(2, 4))
+    with pytest.raises(ValueError):
+        g.generate_potential(0)
