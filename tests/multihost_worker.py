@@ -80,6 +80,20 @@ for s in batch.addressable_shards:
         np.asarray(s.data), ref, atol=1e-5 * scale, rtol=2e-4
     )
 
+# 4b. pencil (2-D) decomposition across processes
+from randomfield_tpu.parallel.pencil import make_pencil_mesh  # noqa: E402
+
+pmesh = make_pencil_mesh(data=2, spx=2, spy=2)
+gp = rf.Generator(*shape, grid_spacing=spacing, mesh=pmesh)
+dp = gp.generate_delta_field(3)
+assert not dp.is_fully_addressable
+for s in dp.addressable_shards:
+    np.testing.assert_allclose(
+        np.asarray(s.data), d0[s.index], atol=1e-5 * scale, rtol=2e-4
+    )
+kp, pp, mp = gp.calculate_power(dp)
+np.testing.assert_allclose(pp, p0, rtol=1e-3)
+
 # 5. per-process sharded IO round-trips without gathering
 outdir = tmpdir / "field_chunks"
 save_field_sharded(outdir, d, generator=g, seed=3)
