@@ -6,8 +6,11 @@ throughput (sample + Hermitian symmetrize + sigma scale + inverse c2r FFT
 + lightcone weighting) in Gcells/s, at the largest grid that fits the
 chip; vs_baseline is the speedup over the reference's CPU conditions
 (numpy float64 — pyfftw is unavailable in this sandbox; the substitution
-is recorded per BASELINE.md), measured at 512^3 with the REAL
-growth-function lightcone weights and median-of-5 timing.
+is recorded per BASELINE.md): the FASTEST of 5 iterations at 256^3 with
+the real growth-function lightcone weights (this VM's CPU throughput
+swings 20-70x, so the minimum is the conservative anchor — the
+reference's best observed conditions; medians and spreads for 256^3 and
+512^3 are recorded in detail).
 
 Diagnostics go to stderr; the LAST stdout line is the JSON contract:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -139,12 +142,8 @@ def main():
     _enable_compile_cache()
 
     log("CPU float64 baseline (reference conditions; numpy.fft for pyfftw):")
-    # vs_baseline anchors on the 256^3 median (5 iterations — this VM's
-    # CPU throughput swings ~20x with noisy neighbors, so the median of
-    # more short iterations is the robust anchor); 512^3 is recorded as
-    # a second data point with its own spread
     t_cpu = time.perf_counter()
-    dt, ts = time_cpu_render(256, iters=5)
+    _, ts = time_cpu_render(256, iters=5)
     # conservative anchor: the FASTEST iteration, i.e. the reference's
     # best observed conditions on this VM (its CPU throughput swings
     # 20-70x; the median would flatter vs_baseline in a slow phase)

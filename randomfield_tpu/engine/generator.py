@@ -543,7 +543,7 @@ class Generator:
 
     # ---- derived fields (seed-direct: no forward FFT) -----------------------
     def _derived_from_kernel(self, seed, kind, component, prefactor,
-                             smoothing_length):
+                             smoothing_length, c=None):
         """sample -> fused spectral kernel -> inverse pipeline.
 
         Works at every size the plain render supports — including the
@@ -563,7 +563,8 @@ class Generator:
         sm = jnp.asarray(smoothing_length, self.state.sigmas.dtype)
         shape, sp = self.scene.shape, self.scene.grid_spacing
         pref = jnp.asarray(prefactor, self.state.sigmas.dtype)
-        c = self._sampled_spectrum(seed, sm)
+        if c is None:
+            c = self._sampled_spectrum(seed, sm)
         if self.pipeline == "staged":
             c.block_until_ready()
             c = _apply_spectral_kernel(
@@ -600,9 +601,25 @@ class Generator:
         at HBM-ceiling sizes: the stacked (3, ...) result needs 3x the
         field memory); None stacks all three.
         """
+        return self._gradient_components(
+            seed, 1.0, component, smoothing_length
+        )
+
+    def _gradient_components(self, seed, prefactor, component,
+                             smoothing_length):
         comps = range(3) if component is None else [int(component)]
+        c0 = None
+        if self.pipeline != "staged" and self.mesh is None and len(comps) > 1:
+            # below the ceiling: sample ONCE and feed each donated kernel
+            # call a copy (a copy is one memory pass; resampling is a
+            # full PRNG + symmetrize pass per component)
+            sm = jnp.asarray(smoothing_length, self.state.sigmas.dtype)
+            c0 = self._sampled_spectrum(seed, sm)
         out = [
-            self._derived_from_kernel(seed, "grad", i, 1.0, smoothing_length)
+            self._derived_from_kernel(
+                seed, "grad", i, prefactor, smoothing_length,
+                c=None if c0 is None else jnp.copy(c0),
+            )
             for i in comps
         ]
         return out[0] if component is not None else jnp.stack(out)
@@ -615,10 +632,7 @@ class Generator:
         H = self.cosmology.H0 * float(self.cosmology.efunc(float(z)))
         f = float(self.cosmology.growth_rate(float(z)))
         pref = a * H * f / self.cosmology.h
-        comps = range(3) if component is None else [int(component)]
-        out = [
-            self._derived_from_kernel(seed, "grad", i, pref, smoothing_length)
-            for i in comps
-        ]
-        return out[0] if component is not None else jnp.stack(out)
+        return self._gradient_components(
+            seed, pref, component, smoothing_length
+        )
 

@@ -45,7 +45,6 @@ __all__ = [
     "SPY_AXIS",
     "make_pencil_mesh",
     "is_pencil_mesh",
-    "pencil_spectrum_sharding",
     "pencil_sigma_sharding",
     "pencil_field_sharding",
     "irfftn_pencil",
@@ -85,18 +84,6 @@ def _check_pencil(shape, px, py):
         )
 
 
-def pencil_spectrum_sharding(mesh, batched=False) -> NamedSharding:
-    """Packed spectra shard ky over 'spx' and kz over 'spy' (state 1).
-
-    Only valid for kz lengths divisible by 'spy' (e.g. after
-    :func:`irfftn_pencil`'s internal pad); for raw (nz//2 + 1)-wide
-    arrays like the sigma grid use :func:`pencil_sigma_sharding`.
-    """
-    spec = ((DATA_AXIS, None, SPX_AXIS, SPY_AXIS) if batched
-            else (None, SPX_AXIS, SPY_AXIS))
-    return NamedSharding(mesh, P(*spec))
-
-
 def pencil_sigma_sharding(mesh, batched=False) -> NamedSharding:
     """Scene arrays (sigma grid): ky over 'spx', kz replicated.
 
@@ -104,7 +91,10 @@ def pencil_sigma_sharding(mesh, batched=False) -> NamedSharding:
     replicating it across 'spy' costs spy-fold sigma memory per device
     but keeps placement exact — the render's elementwise sigma multiply
     then needs no communication (the draws are sharded the same way and
-    the transform's shard_map redistributes after its kz pad).
+    the transform's shard_map redistributes after its kz pad).  This is
+    the ONLY public placement for pencil spectra: state-1 (kz-sharded)
+    layouts exist solely inside the transforms, after their internal
+    pad.
     """
     spec = ((DATA_AXIS, None, SPX_AXIS, None) if batched
             else (None, SPX_AXIS, None))
@@ -125,8 +115,10 @@ def _kz_pad(nzh: int, py: int) -> int:
 def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False):
     """Distributed inverse c2r FFT over a pencil mesh (norm='forward').
 
-    ``c``: packed half-spectrum (..., nx, ny, nzh) sharded per
-    :func:`pencil_spectrum_sharding`.  Returns the real field sharded per
+    ``c``: packed half-spectrum (..., nx, ny, nzh); any input sharding
+    works (the shard_map in_specs redistribute to pencil state 1 after
+    the internal kz pad — :func:`pencil_sigma_sharding` placement needs
+    no movement on the ky axis).  Returns the real field sharded per
     :func:`pencil_field_sharding`.
     """
     nx, ny, nz = shape
@@ -173,12 +165,16 @@ def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False):
     )(c)
 
 
-def rfftn_pencil(x, shape, mesh: Mesh, batched=False):
+def rfftn_pencil(x, shape, mesh: Mesh, batched=False, keep_pad=False):
     """Distributed forward r2c FFT over a pencil mesh (norm='backward').
 
     Exact reverse of :func:`irfftn_pencil`: local r2c over z, all_to_all
     kz <-> y over 'spy', local fft over y, all_to_all ky <-> x over
-    'spx', local fft over x.
+    'spx', local fft over x.  ``keep_pad=True`` returns the spectrum
+    with its kz axis still zero-padded to a multiple of 'spy' (equal
+    shard blocks) — consumers that immediately shard_map over the
+    spectrum (the distributed P(k) estimator) avoid an uneven re-shard
+    followed by a re-pad.
     """
     nx, ny, nz = shape
     nzh = nz // 2 + 1
@@ -219,6 +215,6 @@ def rfftn_pencil(x, shape, mesh: Mesh, batched=False):
         local, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
         check_vma=False,
     )(x)
-    if pad:
+    if pad and not keep_pad:
         c = c[..., :nzh]
     return c

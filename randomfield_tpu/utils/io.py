@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import pathlib
 
 import numpy as np
@@ -107,7 +108,10 @@ def save_field_sharded(dirpath, delta, generator=None, seed=None, extra=None):
             continue  # replica within this process
         written.add(stem)
         final = dirpath / f"{stem}.npz"
-        tmp = dirpath / f".{stem}.tmp.{id(block)}.npz"
+        # tmp name must be unique ACROSS processes: replicas of the same
+        # chunk (e.g. 'data'-axis copies) may be written concurrently by
+        # different workers, and only the rename may collide
+        tmp = dirpath / f".{stem}.tmp.{os.getpid()}.npz"
         starts = np.asarray(
             [(sl.start or 0) for sl in index], np.int64
         )

@@ -53,6 +53,16 @@ def sample_power_ensemble(generator, seeds, smoothing_length=0.0, nbins=32,
         checkpoint_path = pathlib.Path(checkpoint_path)
         if checkpoint_path.exists():
             with np.load(checkpoint_path, allow_pickle=False) as f:
+                ck_sm = float(f["smoothing_length"])
+                ck_nb = int(f["nbins"])
+                if ck_sm != float(smoothing_length) or ck_nb != int(nbins):
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path} was written with "
+                        f"smoothing_length={ck_sm}, nbins={ck_nb}; this "
+                        f"call uses {float(smoothing_length)}, {int(nbins)}"
+                        " — resuming would silently mix incompatible "
+                        "spectra. Use a different checkpoint path."
+                    )
                 ks, ms = f["k_mean"], f["n_modes"]
                 for s, row in zip(f["seeds"].tolist(), f["p_hat"]):
                     done[int(s)] = row

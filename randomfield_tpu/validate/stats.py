@@ -61,29 +61,43 @@ def _dot_bin(idx, w, pw, km, nbins):
     return out[0], out[1], out[2]
 
 
+def _masked_bins(km, w, p, edges_j, nbins, per_slab):
+    """The shared binning core every estimator variant goes through.
+
+    log-|k| bin index (searchsorted), overflow-bin masking (out-of-range
+    |k|, the DC mode, and zero-weight entries such as kz pad columns),
+    then the one-hot MXU contraction (:func:`_dot_bin`).  ``w`` may be a
+    scalar or broadcastable multiplicity.  ``per_slab=True`` vmaps the
+    contraction over axis 0 so partial sums stay short (the f32
+    sequential-accumulation concern, see _mean_axiswise); ``False``
+    contracts the whole block at once (already-chunked callers).
+    """
+    wb = jnp.broadcast_to(w, km.shape)
+    idx = jnp.searchsorted(edges_j, km, method="compare_all") - 1
+    valid = (idx >= 0) & (idx < nbins) & (km > 0) & (wb > 0)
+    idx = jnp.where(valid, idx, nbins)
+    wv = jnp.where(valid, wb, 0.0)
+    kmb = jnp.broadcast_to(km, p.shape)
+    if per_slab:
+        counts, psum, ksum = jax.vmap(
+            lambda ix, wx, px, kx: _dot_bin(ix, wx, px, kx, nbins)
+        )(idx, wv, p, kmb)
+        return (
+            jnp.sum(counts, axis=0),
+            jnp.sum(psum, axis=0),
+            jnp.sum(ksum, axis=0),
+        )
+    return _dot_bin(idx, wv, p, kmb, nbins)
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "spacing", "nbins"))
 def _binned(delta, shape, spacing, nbins):
     p = _mode_power(delta, shape, spacing)
-    kmag = _grid.kmag(shape, spacing, p.dtype)
+    kmag = jnp.broadcast_to(_grid.kmag(shape, spacing, p.dtype), p.shape)
     edges, mult = _bin_setup(shape, spacing, nbins)
-    w = jnp.asarray(mult)[None, None, :] * jnp.ones_like(p)
-    idx = jnp.searchsorted(
-        jnp.asarray(edges, p.dtype), kmag, method="compare_all"
-    ) - 1
-    valid = (idx >= 0) & (idx < nbins) & (kmag > 0)
-    idx = jnp.where(valid, idx, nbins)
-    w = jnp.where(valid, w, 0.0)
-
-    # one-hot contraction per x-slab (exact partial sums stay short,
-    # avoiding f32 sequential-accumulation bias; see _mean_axiswise)
-    km3 = jnp.broadcast_to(kmag, p.shape)
-    counts, psum, ksum = jax.vmap(
-        lambda ix, wx, px, kx: _dot_bin(ix, wx, px, kx, nbins)
-    )(idx, w, p, km3)
-    return (
-        jnp.sum(counts, axis=0),
-        jnp.sum(psum, axis=0),
-        jnp.sum(ksum, axis=0),
+    return _masked_bins(
+        kmag, jnp.asarray(mult)[None, None, :], p,
+        jnp.asarray(edges, p.dtype), nbins, per_slab=True,
     )
 
 
@@ -133,11 +147,7 @@ def _staged_field_power(delta, shape, spacing, nbins, chunks):
         kz_sq, m, cs = args  # scalars + (ny, nx) slab
         km = jnp.sqrt(kz_sq + ky_sq[:, None] + kx_sq[None, :])
         p = (cs.real**2 + cs.imag**2) * scale
-        idx = jnp.searchsorted(edges_j, km, method="compare_all") - 1
-        valid = (idx >= 0) & (idx < nbins) & (km > 0)
-        idx = jnp.where(valid, idx, nbins)
-        w = jnp.where(valid, m, 0.0)
-        return _dot_bin(idx, w, p, km, nbins)
+        return _masked_bins(km, m, p, edges_j, nbins, per_slab=False)
 
     counts, psum, ksum = jax.lax.map(
         slab,
@@ -223,23 +233,11 @@ def _make_sharded_binned(mesh, shape, spacing, nbins):
             + jnp.asarray(kz * kz)[None, None, :]
         ).astype(cl.real.dtype)
         p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
-        w = jnp.asarray(mult)[None, None, :] * jnp.ones_like(p)
-        idx = jnp.searchsorted(
-            jnp.asarray(edges, p.dtype), km, method="compare_all"
-        ) - 1
-        valid = (idx >= 0) & (idx < nbins) & (km > 0)
-        idx = jnp.where(valid, idx, nbins)
-        w = jnp.where(valid, w, 0.0)
-
-        counts, psum_, ksum = jax.vmap(  # per x-slab: short partial sums
-            lambda ix, wx, px, kx: _dot_bin(ix, wx, px, kx, nbins)
-        )(idx, w, p, jnp.broadcast_to(km, p.shape))
-        out = jnp.stack([
-            jnp.sum(counts, axis=0),
-            jnp.sum(psum_, axis=0),
-            jnp.sum(ksum, axis=0),
-        ])
-        return jax.lax.psum(out, SPACE_AXIS)
+        counts, psum_, ksum = _masked_bins(
+            jnp.broadcast_to(km, p.shape), jnp.asarray(mult)[None, None, :],
+            p, jnp.asarray(edges, p.dtype), nbins, per_slab=True,
+        )
+        return jax.lax.psum(jnp.stack([counts, psum_, ksum]), SPACE_AXIS)
 
     @jax.jit
     def fn(delta):
@@ -301,31 +299,21 @@ def _make_pencil_binned(mesh, shape, spacing, nbins):
             + (kz_l * kz_l)[None, None, :]
         ).astype(cl.real.dtype)
         p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
-        w = mult_l[None, None, :] * jnp.ones_like(p)
-        idx = jnp.searchsorted(
-            jnp.asarray(edges, p.dtype), km, method="compare_all"
-        ) - 1
-        valid = (idx >= 0) & (idx < nbins) & (km > 0) & (w > 0)
-        idx = jnp.where(valid, idx, nbins)
-        w = jnp.where(valid, w, 0.0)
-
-        counts, psum_, ksum = jax.vmap(
-            lambda ix, wx, pxv, kxv: _dot_bin(ix, wx, pxv, kxv, nbins)
-        )(idx, w, p, jnp.broadcast_to(km, p.shape))
-        out = jnp.stack([
-            jnp.sum(counts, axis=0),
-            jnp.sum(psum_, axis=0),
-            jnp.sum(ksum, axis=0),
-        ])
-        return jax.lax.psum(out, (_pencil.SPX_AXIS, _pencil.SPY_AXIS))
+        counts, psum_, ksum = _masked_bins(
+            jnp.broadcast_to(km, p.shape), mult_l[None, None, :], p,
+            jnp.asarray(edges, p.dtype), nbins, per_slab=True,
+        )
+        return jax.lax.psum(
+            jnp.stack([counts, psum_, ksum]),
+            (_pencil.SPX_AXIS, _pencil.SPY_AXIS),
+        )
 
     @jax.jit
     def fn(delta):
-        c = _pencil.rfftn_pencil(delta, shape, mesh)
-        if nzp != nzh:  # restore equal blocks for the shard-local view
-            widths = [(0, 0)] * c.ndim
-            widths[-1] = (0, nzp - nzh)
-            c = jnp.pad(c, widths)
+        # keep_pad: the padded spectrum is already in equal shard blocks
+        # (pad modes carry w=0 in the binning), avoiding an uneven
+        # re-shard + re-pad round trip
+        c = _pencil.rfftn_pencil(delta, shape, mesh, keep_pad=True)
         bins = jax.shard_map(
             _local_bins,
             mesh=mesh,
@@ -387,11 +375,7 @@ def _binned_spectrum(c, shape, spacing, nbins, layout):
             + (klast_j * klast_j)[None, None, :]
         )
         p = (cs.real**2 + cs.imag**2) * jnp.asarray(volume, dtype)
-        idx = jnp.searchsorted(edges_j, km, method="compare_all") - 1
-        valid = (idx >= 0) & (idx < nbins) & (km > 0)
-        idx = jnp.where(valid, idx, nbins)
-        w = jnp.where(valid, m2_j[None], 0.0)
-        return _dot_bin(idx, w, p, km, nbins)
+        return _masked_bins(km, m2_j[None], p, edges_j, nbins, per_slab=False)
 
     counts, psum, ksum = jax.lax.map(
         chunk,
