@@ -6,22 +6,41 @@ throughput (sample + Hermitian symmetrize + sigma scale + inverse c2r FFT
 + lightcone weighting) in Gcells/s, at the largest grid that fits the
 chip; vs_baseline is the speedup over the reference's CPU conditions
 (numpy float64 — pyfftw is unavailable in this sandbox; the substitution
-is recorded per BASELINE.md): the FASTEST of 5 iterations at 256^3 with
-the real growth-function lightcone weights (this VM's CPU throughput
-swings 20-70x, so the minimum is the conservative anchor — the
-reference's best observed conditions; medians and spreads for 256^3 and
-512^3 are recorded in detail).
+is recorded per BASELINE.md).
+
+Order of operations (restructured after round 2, where the driver
+artifact timed out inside a CPU slow phase and recorded nothing):
+
+1. TPU renders at 512^3 and 1024^3 (headline = largest that fits).
+2. 1024^3 spectrum-space ``sample_power`` (config-4 ensemble rate).
+3. Pallas sampler hardware gate.
+4. CPU float64 baseline: reuse the committed ``CPU_BASELINE.json``
+   (static physics, measured once under recorded conditions — this VM's
+   CPU throughput swings 20-70x between runs, so re-measuring each round
+   both wastes tens of minutes and randomizes the denominator).  It is
+   re-measured only when the file is missing or ``RF_BENCH_REFRESH_CPU=1``
+   is set, and then under a hard time budget: the 512^3 point is skipped
+   unless its cost projected from the measured 256^3 per-iteration time
+   (8x the cells) fits the remaining budget.
+
+The anchor is the FASTEST observed CPU iteration at 256^3 (the
+reference's best observed conditions — the conservative denominator).
 
 Diagnostics go to stderr; the LAST stdout line is the JSON contract:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 """
 
 import json
+import os
+import pathlib
 import statistics
 import sys
 import time
 
 import numpy as np
+
+_REPO = pathlib.Path(__file__).resolve().parent
+_CPU_BASELINE_PATH = _REPO / "CPU_BASELINE.json"
 
 
 def log(msg):
@@ -31,8 +50,6 @@ def log(msg):
 def _enable_compile_cache():
     """Compile times through the axon tunnel vary 20 s - 7 min for the
     same program; a persistent cache makes the bench re-runnable."""
-    import os
-
     import jax
 
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
@@ -52,6 +69,10 @@ def _stats(ts):
         "n_iters": len(ts),
     }
 
+
+# --------------------------------------------------------------------------
+# TPU phase (runs FIRST: these are the round's evidence)
+# --------------------------------------------------------------------------
 
 def time_tpu_render(n, iters=6):
     """Steady-state seconds per render at n^3 (scene setup amortized)."""
@@ -76,9 +97,64 @@ def time_tpu_render(n, iters=6):
     return statistics.median(ts), ts
 
 
-def time_cpu_render(n, iters=5):
+def time_tpu_batch(n=512, batch=4, iters=3):
+    """Throughput mode: renders/s with a seed batch in one program."""
+    import randomfield_tpu as rf
+
+    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n)
+    seeds = np.arange(batch)
+    d = g.generate_delta_fields(seeds)
+    _ = float(d[0, 0, 0, 0])
+    ts = []
+    for i in range(iters):
+        del d
+        t0 = time.perf_counter()
+        d = g.generate_delta_fields(seeds + (i + 1) * batch)
+        _ = float(d[0, 0, 0, 0])
+        ts.append(time.perf_counter() - t0)
+    dt = statistics.median(ts)
+    log(f"  {n}^3 batch[{batch}]: {[round(t * 1e3) for t in ts]} ms "
+        f"({batch / dt:.2f} renders/s)")
+    return dt, ts
+
+
+def time_sample_power(n=1024, seeds=3):
+    """Config-4 workload: FFT-free spectrum-space P(k) per seed at n^3."""
+    import randomfield_tpu as rf
+
+    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n)
+    g.sample_power(0)  # compile + warm
+    ts = []
+    for s in range(1, seeds + 1):
+        t0 = time.perf_counter()
+        g.sample_power(s)
+        ts.append(time.perf_counter() - t0)
+    log(f"  {n}^3 sample_power: {[round(t * 1e3) for t in ts]} ms/seed")
+    return statistics.median(ts), ts
+
+
+def pallas_gate():
+    """Standing per-round hardware check of the Pallas sampler stream."""
+    sys.path.insert(0, str(_REPO / "scripts"))
+    try:
+        from validate_pallas_sampler import run_checks
+
+        run_checks(n_seeds=100, shape=(16, 16, 16), layout="xyz")
+        run_checks(n_seeds=50, shape=(16, 16, 16), layout="xzy")
+        return {"ok": True}
+    except Exception as e:  # never fail the bench contract on the gate
+        log(f"  pallas gate FAILED: {type(e).__name__}: {str(e)[:200]}")
+        return {"ok": False, "error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+
+# --------------------------------------------------------------------------
+# CPU baseline (runs LAST; committed + budgeted)
+# --------------------------------------------------------------------------
+
+def time_cpu_render(n, iters=5, deadline=None):
     """Reference CPU conditions: numpy float64, sigma grid + growth
-    weights precomputed (exactly what the reference's Generator caches)."""
+    weights precomputed (exactly what the reference's Generator caches).
+    Stops early once ``deadline`` (perf_counter value) passes."""
     from randomfield_tpu.models.cosmology import (
         Planck13, get_growth_function, get_redshifts,
     )
@@ -102,66 +178,77 @@ def time_cpu_render(n, iters=5):
         field = np.fft.irfftn(c, s=shape, axes=(0, 1, 2), norm="forward")
         field *= weights[None, None, :]
         ts.append(time.perf_counter() - t0)
+        if deadline is not None and time.perf_counter() > deadline:
+            break
     log(f"  cpu {n}^3 f64: {[round(t * 1e3) for t in ts]} ms")
     return statistics.median(ts), ts
 
 
-def time_sample_power(n=1024, seeds=3):
-    """Config-4 workload: FFT-free spectrum-space P(k) per seed at n^3."""
-    import randomfield_tpu as rf
+def measure_cpu_baseline(budget_s=240.0):
+    """Fresh CPU baseline under a hard budget; returns the baseline dict."""
+    import platform
 
-    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n)
-    g.sample_power(0)  # compile + warm
-    ts = []
-    for s in range(1, seeds + 1):
-        t0 = time.perf_counter()
-        g.sample_power(s)
-        ts.append(time.perf_counter() - t0)
-    log(f"  {n}^3 sample_power: {[round(t * 1e3) for t in ts]} ms/seed")
-    return statistics.median(ts), ts
+    detail = {}
+    t_start = time.perf_counter()
+    deadline = t_start + budget_s
+    log(f"CPU float64 baseline (budget {budget_s:.0f}s; numpy.fft for pyfftw):")
+    _, ts = time_cpu_render(256, iters=5, deadline=deadline)
+    anchor_s = min(ts)
+    detail["cpu_f64_256"] = dict(
+        _stats(ts), gcells_per_s=round(256**3 / anchor_s / 1e9, 4)
+    )
+    # project the 512^3 cost from the measured per-iteration floor
+    # (8x the cells); only run it if two iterations fit the budget
+    projected = 8.0 * anchor_s
+    remaining = deadline - time.perf_counter()
+    if 2.0 * projected < remaining:
+        dt, ts5 = time_cpu_render(512, iters=2, deadline=deadline)
+        detail["cpu_f64_512"] = dict(
+            _stats(ts5), gcells_per_s=round(512**3 / dt / 1e9, 4)
+        )
+    else:
+        detail["cpu_f64_512"] = {
+            "skipped": f"projected {projected:.0f}s/iter vs {remaining:.0f}s left"
+        }
+    return {
+        "anchor": "fastest 256^3 iteration (reference best observed conditions)",
+        "anchor_s": round(anchor_s, 4),
+        "gcells_per_s": round(256**3 / anchor_s / 1e9, 5),
+        "detail": detail,
+        "conditions": {
+            "date": time.strftime("%Y-%m-%d"),
+            "numpy": np.__version__,
+            "platform": platform.platform(),
+            "cpus": os.cpu_count(),
+            "note": "numpy.fft f64 stands in for pyfftw (BASELINE.md); "
+                    "this VM's CPU throughput swings 20-70x between runs",
+        },
+    }
 
 
-def pallas_gate():
-    """Standing per-round hardware check of the Pallas sampler stream."""
-    import pathlib
-
-    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
+def load_or_measure_cpu_baseline():
+    refresh = os.environ.get("RF_BENCH_REFRESH_CPU") == "1"
+    if _CPU_BASELINE_PATH.exists() and not refresh:
+        with open(_CPU_BASELINE_PATH) as f:
+            base = json.load(f)
+        base["source"] = "committed CPU_BASELINE.json"
+        log(f"CPU baseline: committed ({base['conditions']['date']}, "
+            f"anchor {base['anchor_s']}s at 256^3)")
+        return base
+    base = measure_cpu_baseline()
+    base["source"] = "measured this run"
     try:
-        from validate_pallas_sampler import run_checks
-
-        run_checks(n_seeds=100, shape=(16, 16, 16), layout="xyz")
-        run_checks(n_seeds=50, shape=(16, 16, 16), layout="xzy")
-        return {"ok": True}
-    except Exception as e:  # never fail the bench contract on the gate
-        log(f"  pallas gate FAILED: {type(e).__name__}: {str(e)[:200]}")
-        return {"ok": False, "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        with open(_CPU_BASELINE_PATH, "w") as f:
+            json.dump(base, f, indent=1)
+        log(f"  wrote {_CPU_BASELINE_PATH}")
+    except OSError as e:
+        log(f"  could not persist baseline: {e}")
+    return base
 
 
 def main():
     detail = {}
     _enable_compile_cache()
-
-    log("CPU float64 baseline (reference conditions; numpy.fft for pyfftw):")
-    t_cpu = time.perf_counter()
-    _, ts = time_cpu_render(256, iters=5)
-    # conservative anchor: the FASTEST iteration, i.e. the reference's
-    # best observed conditions on this VM (its CPU throughput swings
-    # 20-70x; the median would flatter vs_baseline in a slow phase)
-    cpu_gcells = 256**3 / min(ts) / 1e9
-    detail["cpu_f64_256"] = dict(_stats(ts), gcells_per_s=round(cpu_gcells, 4))
-    elapsed = time.perf_counter() - t_cpu
-    if elapsed < 180.0:
-        dt, ts = time_cpu_render(512, iters=2)
-        detail["cpu_f64_512"] = dict(
-            _stats(ts), gcells_per_s=round(512**3 / dt / 1e9, 4)
-        )
-    else:
-        # this VM's CPU throughput swings ~20-70x (noisy neighbors /
-        # steal); in a slow phase the 512^3 f64 point alone would take
-        # tens of minutes and endanger the whole artifact
-        detail["cpu_f64_512"] = {
-            "skipped": f"cpu slow phase ({elapsed:.0f}s for the 256^3 run)"
-        }
 
     log("TPU renders:")
     headline_n, headline_dt = None, None
@@ -176,6 +263,17 @@ def main():
             log(f"  {n}^3 failed: {type(e).__name__}: {str(e)[:120]}")
             detail[f"tpu_{n}"] = {"error": type(e).__name__}
             break
+
+    try:
+        log("Batched throughput (renders/s):")
+        batch = 4
+        dt, ts = time_tpu_batch(512, batch=batch)
+        detail["tpu_512_batch4"] = dict(
+            _stats(ts), renders_per_s=round(batch / dt, 2)
+        )
+    except Exception as e:
+        detail["tpu_512_batch4"] = {"error": type(e).__name__}
+        log(f"  batch failed: {type(e).__name__}: {str(e)[:120]}")
 
     if headline_n == 1024:
         try:
@@ -192,6 +290,14 @@ def main():
     detail["pallas_gate"] = pallas_gate()
     log(f"  pallas gate: {detail['pallas_gate']}")
 
+    try:
+        base = load_or_measure_cpu_baseline()
+    except Exception as e:
+        log(f"CPU baseline failed: {type(e).__name__}: {str(e)[:200]}")
+        base = {"gcells_per_s": None, "source": f"failed: {type(e).__name__}"}
+    detail["cpu_baseline"] = base
+    cpu_gcells = base.get("gcells_per_s")
+
     if headline_n is None:
         print(json.dumps({"metric": "render_throughput_single_chip",
                           "value": 0.0, "unit": "Gcells/s",
@@ -203,14 +309,17 @@ def main():
         "metric": f"{headline_n}^3 render (sample+irfftn+lightcone), single chip",
         "value": round(gcells, 3),
         "unit": "Gcells/s",
-        "vs_baseline": round(gcells / cpu_gcells, 1),
+        "vs_baseline": round(gcells / cpu_gcells, 1) if cpu_gcells else 0.0,
         "detail": detail,
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    import pathlib
-
-    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
-    main()
+    sys.path.insert(0, str(_REPO))
+    if "--measure-cpu" in sys.argv:
+        os.environ["RF_BENCH_REFRESH_CPU"] = "1"
+        base = load_or_measure_cpu_baseline()
+        print(json.dumps(base, indent=1))
+    else:
+        main()

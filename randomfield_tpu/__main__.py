@@ -43,6 +43,17 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="with --sample-power: persist per-seed spectra to "
                         "this .npz and resume interrupted ensembles")
+    p.add_argument("--mesh", default=None, metavar="DATA,SPACE",
+                   help="('data','space') device mesh, e.g. '2,4': seed "
+                        "batches shard over 'data', the grid slab-decomposes "
+                        "over 'space' (configs 4-5)")
+    p.add_argument("--pencil", default=None, metavar="DATA,SPX,SPY",
+                   help="('data','spx','spy') pencil mesh, e.g. '1,2,4' — "
+                        "2-D spatial decomposition past the slab limit")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host runtime first "
+                        "(jax.distributed auto-detection; run one process "
+                        "per host — see docs/parallelism.md)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -50,6 +61,31 @@ def main(argv=None):
 
     import randomfield_tpu as rf
     from randomfield_tpu.utils.io import save_field
+
+    if args.multihost:
+        from randomfield_tpu.parallel.multihost import initialize
+
+        initialize()
+
+    mesh = None
+    if args.mesh and args.pencil:
+        p.error("--mesh and --pencil are mutually exclusive")
+    if args.mesh:
+        from randomfield_tpu.parallel.mesh import make_mesh
+
+        try:
+            data, space = (int(v) for v in args.mesh.split(","))
+        except ValueError:
+            p.error("--mesh takes 'DATA,SPACE' integers, e.g. '2,4'")
+        mesh = make_mesh(data=data, space=space)
+    elif args.pencil:
+        from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+        try:
+            data, spx, spy = (int(v) for v in args.pencil.split(","))
+        except ValueError:
+            p.error("--pencil takes 'DATA,SPX,SPY' integers, e.g. '1,2,4'")
+        mesh = make_pencil_mesh(data=data, spx=spx, spy=spy)
 
     power = None
     if args.power:
@@ -59,7 +95,7 @@ def main(argv=None):
     nz = args.nz or args.nx
     gen = rf.Generator(
         args.nx, ny, nz, grid_spacing=args.spacing, cosmology=args.cosmology,
-        power=power, verbose=not args.quiet,
+        power=power, mesh=mesh, verbose=not args.quiet,
     )
     if args.sample_power:
         from randomfield_tpu.validate.ensemble import (
@@ -117,7 +153,14 @@ def main(argv=None):
                           f"({nm[i]:8.0f} modes)")
         if args.out:
             path = args.out.replace("{seed}", str(seed))
-            save_field(path, delta, generator=gen, seed=seed)
+            if getattr(delta, "is_fully_addressable", True):
+                save_field(path, delta, generator=gen, seed=seed)
+            else:
+                # multi-host sharded field: each process writes only the
+                # chunks it owns
+                from randomfield_tpu.utils.io import save_field_sharded
+
+                path = save_field_sharded(path, delta, generator=gen, seed=seed)
             if not args.quiet:
                 print(f"  wrote {path}")
     return 0

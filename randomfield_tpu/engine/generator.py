@@ -112,6 +112,50 @@ def _predicted_variance_device(sigmas, smoothing_length, shape, spacing, layout)
     return contrib
 
 
+@functools.partial(
+    jax.jit, static_argnames=("shape", "spacing", "log_values", "dtype_name")
+)
+def _predicted_variance_table(lk_tab, val_tab, smoothing_length, shape,
+                              spacing, log_values, dtype_name):
+    """<delta^2> from the power TABLE (no sigma grid input; mesh scenes).
+
+    Same sum as :func:`_predicted_variance_device`, with sigma evaluated
+    inline per x-slab chunk under ``lax.map`` so peak memory stays a few
+    hundred MB at any grid size (layout is always 'xyz' here — mesh
+    scenes never use the staged layout).
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    dt = jnp.dtype(dtype_name)
+    volume = nx * ny * nz * float(spacing) ** 3
+    mult = jnp.full((nzh,), 2.0, dt).at[0].set(1.0)
+    if nz % 2 == 0:
+        mult = mult.at[-1].set(1.0)
+    kx, ky, kz = _grid.kvectors(shape, spacing, dt)
+    s = jnp.asarray(smoothing_length, dt)
+    chunks = 1
+    for c in range(min(16, nx), 0, -1):
+        if nx % c == 0:
+            chunks = c
+            break
+
+    def one(kxs):
+        k2 = (
+            (kxs * kxs)[:, None, None]
+            + (ky * ky)[None, :, None]
+            + (kz * kz)[None, None, :]
+        )
+        sig = _power._sigma_chunk(
+            kxs * kxs, ky, kz, lk_tab, val_tab, log_values, dt, volume
+        )
+        contrib = mult[None, None, :] * sig * sig * jnp.exp(-k2 * s * s)
+        while contrib.ndim:
+            contrib = jnp.sum(contrib, axis=-1)
+        return contrib
+
+    return jnp.sum(jax.lax.map(one, kx.reshape(chunks, nx // chunks)))
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "spacing"))
 def _sample_spectrum_jit(key, sigmas, smoothing_length, shape, spacing):
     nx, ny, nz = shape
@@ -230,6 +274,23 @@ class Generator:
         from randomfield_tpu.engine.staged import pick_pipeline
 
         self.pipeline = pick_pipeline(self.scene.shape, pipeline)
+        if pipeline == "auto" and self.pipeline == "staged" and mesh is None:
+            import warnings
+
+            # the staged pipeline draws its noise in (x, kz, y) order, so
+            # seed s is a DIFFERENT realization of the same ensemble than
+            # the fused pipeline's seed s — scaling a study past the auto
+            # threshold silently changes realization family unless the
+            # pipeline is pinned (engine/staged.py module docstring)
+            warnings.warn(
+                f"pipeline='auto' selected the staged pipeline for this "
+                f"{self.scene.nx}x{self.scene.ny}x{self.scene.nz} grid; "
+                "staged and fused pipelines draw distinct (individually "
+                "deterministic) realizations for the same seed. Pass "
+                "pipeline='staged' or 'fused' explicitly to pin the "
+                "realization family across grid sizes.",
+                stacklevel=3,
+            )
         if mesh is not None:
             if pipeline == "staged":
                 raise ValueError(
@@ -248,14 +309,25 @@ class Generator:
             )
         self.sampler = sampler
         self._layout = layout
-        self.state, self._aux = _scene.build_state(self.scene, power, layout=layout)
+        self._dtype = jnp.dtype(dtype)
         self.mesh = mesh
         self._multiprocess = False
+        # mesh scenes never store a sigma grid: sigma is evaluated inline
+        # per shard from the (tiny) table inside every sharded program
+        # (parallel/render.py), so sigma costs zero resident HBM at any
+        # mesh shape — a materialized (sharded) grid is built lazily only
+        # if the .sigmas property is read
+        self.state, self._aux = _scene.build_state(
+            self.scene, power, layout=layout, with_sigmas=(mesh is None)
+        )
+        self._table_host = _power.table_arrays_host(
+            self._aux["power"], interpolation, dtype
+        )
         if mesh is not None:
             from randomfield_tpu.parallel import multihost as _mh
             from randomfield_tpu.parallel import pencil as _pencil
             from randomfield_tpu.parallel.dfft import _check_divisible
-            from randomfield_tpu.parallel.mesh import SPACE_AXIS, spectrum_sharding
+            from randomfield_tpu.parallel.mesh import SPACE_AXIS
 
             if _pencil.is_pencil_mesh(mesh):
                 # 2-D (pencil) spatial decomposition — scales past the
@@ -264,15 +336,9 @@ class Generator:
                     self.scene.shape,
                     mesh.shape[_pencil.SPX_AXIS], mesh.shape[_pencil.SPY_AXIS],
                 )
-                sig_sharding = _pencil.pencil_sigma_sharding(mesh)
             else:
                 _check_divisible(self.scene.shape, mesh.shape.get(SPACE_AXIS, 1))
-                sig_sharding = spectrum_sharding(mesh)
             self._multiprocess = _mh.is_multiprocess()
-
-            self.state = self.state._replace(
-                sigmas=_mh.place(self.state.sigmas, sig_sharding)
-            )
             if self._multiprocess:
                 # small per-call inputs must be process-replicated host
                 # values, not arrays committed to one process's device
@@ -281,10 +347,14 @@ class Generator:
                 )
         self.verbose = bool(verbose)
         if self.verbose:
-            mb = self.state.sigmas.size * self.state.sigmas.dtype.itemsize / 2**20
+            if self.state.sigmas is not None:
+                mb = self.state.sigmas.size * self._dtype.itemsize / 2**20
+                sig_note = f"sigma grid {mb:.1f} MiB"
+            else:
+                sig_note = "sigma inline (mesh)"
             print(
                 f"[randomfield_tpu] scene setup {time.perf_counter() - t0:.3f}s, "
-                f"sigma grid {mb:.1f} MiB, k in [{self.k_min:.4g}, {self.k_max:.4g}] h/Mpc"
+                f"{sig_note}, k in [{self.k_min:.4g}, {self.k_max:.4g}] h/Mpc"
             )
 
     # ---- introspection ------------------------------------------------------
@@ -321,25 +391,76 @@ class Generator:
 
     @property
     def sigmas(self):
-        """The precomputed per-mode sigma grid (device array)."""
+        """The per-mode sigma grid (device array).
+
+        Mesh scenes evaluate sigma inline inside their sharded programs
+        and store nothing; reading this property materializes a SHARDED
+        grid on demand (x over the innermost spatial axis for pencil
+        meshes, ky-slabs for slab meshes) and caches it.
+        """
+        if self.state.sigmas is None:
+            self.state = self.state._replace(sigmas=self._materialize_sigmas())
         return self.state.sigmas
+
+    def _materialize_sigmas(self):
+        from jax.sharding import NamedSharding
+        from randomfield_tpu.parallel import pencil as _pencil
+        from randomfield_tpu.parallel.mesh import P, SPACE_AXIS, spectrum_sharding
+
+        mesh = self.mesh
+        if _pencil.is_pencil_mesh(mesh):
+            # fully sharded introspection placement: x over 'spy', ky over
+            # 'spx' — per-device bytes scale as 1/(px*py), unlike the
+            # round-2 replicated placement
+            sharding = NamedSharding(
+                mesh, P(_pencil.SPY_AXIS, _pencil.SPX_AXIS, None)
+            )
+        else:
+            sharding = spectrum_sharding(mesh)
+        lk, val = self._table_args()
+        shape, sp = self.scene.shape, self.scene.grid_spacing
+        log_values = self._table_host[2]
+        dt = self._dtype
+
+        fn = jax.jit(
+            lambda lk, val: _power.sigma_inline(
+                shape, sp, lk, val, log_values, dt, layout="xyz"
+            ),
+            out_shardings=sharding,
+        )
+        return fn(lk, val)
+
+    def _table_args(self):
+        """(log10k, P) interpolation arrays for program inputs."""
+        return self._table_host[0], self._table_host[1]
 
     def predicted_variance(self, smoothing_length=0.0):
         """Exact expected variance of a (non-lightcone) field.
 
-        Computed on device from the tabulated sigma grid (matches the
-        float64 oracle sum to ~1e-5 relative — asserted in tests; the
-        host sum costs minutes at 1024^3).
+        Computed on device — from the tabulated sigma grid, or for mesh
+        scenes from the table directly (chunked inline evaluation; no
+        grid is stored).  Matches the float64 oracle sum to ~1e-5
+        relative — asserted in tests; the host sum costs minutes at
+        1024^3.
         """
         from randomfield_tpu.parallel.multihost import replicated_to_host
 
-        out = _predicted_variance_device(
-            self.state.sigmas,
-            jnp.asarray(smoothing_length, self.state.sigmas.dtype)
-            if not self._multiprocess
-            else np.asarray(smoothing_length, np.float32),
-            self.scene.shape, self.scene.grid_spacing, self._layout,
+        sm = (
+            np.asarray(smoothing_length, np.float32)
+            if self._multiprocess
+            else jnp.asarray(smoothing_length, self._dtype)
         )
+        if self.state.sigmas is None:
+            lk, val = self._table_args()
+            out = _predicted_variance_table(
+                lk, val, sm, self.scene.shape, self.scene.grid_spacing,
+                self._table_host[2], str(self._dtype),
+            )
+        else:
+            out = _predicted_variance_device(
+                self.state.sigmas, sm,
+                self.scene.shape, self.scene.grid_spacing, self._layout,
+            )
         return float(replicated_to_host(out))
 
     # ---- rendering -----------------------------------------------------------
@@ -351,7 +472,7 @@ class Generator:
         return np.ones_like(w) if isinstance(w, np.ndarray) else jnp.ones_like(w)
 
     def _smoothing(self, smoothing_length):
-        dt = self.state.sigmas.dtype
+        dt = self._dtype
         if self._multiprocess:
             return np.asarray(smoothing_length, dt)
         return jnp.asarray(smoothing_length, dt)
@@ -381,10 +502,12 @@ class Generator:
             fn = make_sharded_render(
                 self.mesh, self.scene.shape, self.scene.grid_spacing,
                 from_seed=self._multiprocess,
+                log_values=self._table_host[2], dtype_name=str(self._dtype),
             )
+            lk, val = self._table_args()
             out = fn(
                 self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-                self.state.sigmas, self._weights(apply_lightcone),
+                lk, val, self._weights(apply_lightcone),
                 self._smoothing(smoothing_length),
             )
         elif self.sampler == "pallas":
@@ -401,7 +524,7 @@ class Generator:
 
                 out = finish_staged(
                     c, self._weights(apply_lightcone), self.scene.shape,
-                    self.scene.grid_spacing, str(self.state.sigmas.dtype),
+                    self.scene.grid_spacing, str(self._dtype),
                 )
             else:
                 out = _finish_render(
@@ -412,13 +535,13 @@ class Generator:
 
             out = staged_render(
                 _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
-                jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+                jnp.asarray(smoothing_length, self._dtype),
                 self.scene.shape, self.scene.grid_spacing,
             )
         else:
             out = render(
                 _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
-                jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+                jnp.asarray(smoothing_length, self._dtype),
                 self.scene.shape, self.scene.grid_spacing,
             )
         if self.verbose:
@@ -456,7 +579,7 @@ class Generator:
             # staged grids are near the HBM ceiling: render sequentially
             from randomfield_tpu.engine.staged import staged_render
 
-            sm = jnp.asarray(smoothing_length, self.state.sigmas.dtype)
+            sm = jnp.asarray(smoothing_length, self._dtype)
             w = self._weights(apply_lightcone)
             return jnp.stack([
                 staged_render(
@@ -471,17 +594,19 @@ class Generator:
             fn = make_sharded_render_batch(
                 self.mesh, self.scene.shape, self.scene.grid_spacing,
                 from_seed=self._multiprocess,
+                log_values=self._table_host[2], dtype_name=str(self._dtype),
             )
             first = (
                 np.asarray(seeds, np.uint32) if self._multiprocess else keys
             )
+            lk, val = self._table_args()
             return fn(
-                first, self.state.sigmas, self._weights(apply_lightcone),
+                first, lk, val, self._weights(apply_lightcone),
                 self._smoothing(smoothing_length),
             )
         return _render_batch(
             keys, self.state.sigmas, self._weights(apply_lightcone),
-            jnp.asarray(smoothing_length, self.state.sigmas.dtype),
+            jnp.asarray(smoothing_length, self._dtype),
             self.scene.shape, self.scene.grid_spacing,
         )
 
@@ -506,7 +631,30 @@ class Generator:
         """
         from randomfield_tpu.validate import stats
 
-        sm = jnp.asarray(smoothing_length, self.state.sigmas.dtype)
+        if self.mesh is not None:
+            # distributed config-4 path: sharded sampling (identical
+            # Threefry draws) + shard-local binning + psum — no FFT, no
+            # gather (parallel/render.py:make_sharded_spectrum_bins)
+            from randomfield_tpu.parallel.multihost import replicated_to_host
+            from randomfield_tpu.parallel.render import make_sharded_spectrum_bins
+
+            fn = make_sharded_spectrum_bins(
+                self.mesh, self.scene.shape, self.scene.grid_spacing,
+                int(nbins), from_seed=self._multiprocess,
+                log_values=self._table_host[2], dtype_name=str(self._dtype),
+            )
+            lk, val = self._table_args()
+            counts, psum, ksum = fn(
+                self._seed_u32(seed) if self._multiprocess else _as_key(seed),
+                lk, val, self._smoothing(smoothing_length),
+            )
+            counts = replicated_to_host(counts).astype(np.float64)
+            psum = replicated_to_host(psum).astype(np.float64)
+            ksum = replicated_to_host(ksum).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return ksum / counts, psum / counts, counts
+
+        sm = jnp.asarray(smoothing_length, self._dtype)
         c = self._sampled_spectrum(seed, sm)
         return stats.spectrum_power(
             c, self.scene.shape, self.scene.grid_spacing, nbins, self._layout
@@ -516,9 +664,9 @@ class Generator:
         """The seed's packed spectrum c_k (device, ``self._layout``)."""
         if self.mesh is not None:
             raise ValueError(
-                "spectrum-space workflows need the unsharded sampling "
-                "path; use a mesh-free Generator (render sharded fields "
-                "with generate_delta_field instead)"
+                "mesh scenes never materialize a full spectrum; "
+                "sample_power and the derived-field generators run "
+                "their own sharded programs"
             )
         if self.sampler == "pallas":
             from randomfield_tpu.ops.pallas_sampler import sample_spectrum_pallas
@@ -532,9 +680,9 @@ class Generator:
             from randomfield_tpu.ops.grid import kvectors
 
             p1 = _stage_p1(self.scene.shape, self.scene.grid_spacing,
-                           str(self.state.sigmas.dtype))
+                           str(self._dtype))
             kx, ky, kz = kvectors(self.scene.shape, self.scene.grid_spacing,
-                                  self.state.sigmas.dtype)
+                                  self._dtype)
             return p1(_as_key(seed), self.state.sigmas, sm, kx, kz, ky)
         return _sample_spectrum_jit(
             _as_key(seed), self.state.sigmas, sm,
@@ -554,15 +702,28 @@ class Generator:
         from randomfield_tpu.engine.staged import finish_staged
 
         if self.mesh is not None:
-            raise ValueError(
-                "derived fields on meshes: render delta with "
-                "generate_delta_field and apply ops.derived on a "
-                "single-device copy (mesh-native derived fields are not "
-                "implemented)"
+            # mesh-native: the elementwise kernel fuses into the sharded
+            # sampled-spectrum program before the distributed inverse
+            # transform (parallel/render.py:make_sharded_derived)
+            from randomfield_tpu.parallel.render import make_sharded_derived
+
+            fn = make_sharded_derived(
+                self.mesh, self.scene.shape, self.scene.grid_spacing,
+                kind, int(component), from_seed=self._multiprocess,
+                log_values=self._table_host[2], dtype_name=str(self._dtype),
             )
-        sm = jnp.asarray(smoothing_length, self.state.sigmas.dtype)
+            lk, val = self._table_args()
+            if self._multiprocess:
+                pref_in = np.asarray(prefactor, np.float32)
+            else:
+                pref_in = jnp.asarray(prefactor, self._dtype)
+            return fn(
+                self._seed_u32(seed) if self._multiprocess else _as_key(seed),
+                lk, val, pref_in, self._smoothing(smoothing_length),
+            )
+        sm = jnp.asarray(smoothing_length, self._dtype)
         shape, sp = self.scene.shape, self.scene.grid_spacing
-        pref = jnp.asarray(prefactor, self.state.sigmas.dtype)
+        pref = jnp.asarray(prefactor, self._dtype)
         if c is None:
             c = self._sampled_spectrum(seed, sm)
         if self.pipeline == "staged":
@@ -570,9 +731,9 @@ class Generator:
             c = _apply_spectral_kernel(
                 c, pref, shape, sp, self._layout, kind, component
             )
-            ones = jnp.ones((self.scene.nz,), self.state.sigmas.dtype)
+            ones = jnp.ones((self.scene.nz,), self._dtype)
             return finish_staged(
-                c, ones, shape, sp, str(self.state.sigmas.dtype)
+                c, ones, shape, sp, str(self._dtype)
             )
         return _finish_derived(
             c, pref, shape, sp, self._layout, kind, component
@@ -613,7 +774,7 @@ class Generator:
             # below the ceiling: sample ONCE and feed each donated kernel
             # call a copy (a copy is one memory pass; resampling is a
             # full PRNG + symmetrize pass per component)
-            sm = jnp.asarray(smoothing_length, self.state.sigmas.dtype)
+            sm = jnp.asarray(smoothing_length, self._dtype)
             c0 = self._sampled_spectrum(seed, sm)
         out = [
             self._derived_from_kernel(

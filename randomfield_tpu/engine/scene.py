@@ -58,23 +58,32 @@ class Scene:
 class State(typing.NamedTuple):
     """Precomputed per-scene device arrays (a pytree; safe to donate)."""
 
-    sigmas: jnp.ndarray  # (nx, ny, nz//2+1) float — sqrt(P(|k|)/V)
+    sigmas: typing.Optional[jnp.ndarray]  # (nx, ny, nz//2+1) — sqrt(P(|k|)/V);
+    # None for mesh scenes, which evaluate sigma inline from the table
+    # (parallel/render.py) and materialize a sharded grid only on demand
     lightcone_weights: jnp.ndarray  # (nz,) float — D(z_plane)/D(0)
 
 
-def build_state(scene: Scene, power, layout="xyz") -> tuple[State, dict]:
+def build_state(scene: Scene, power, layout="xyz",
+                with_sigmas=True) -> tuple[State, dict]:
     """Precompute sigma(k) + lightcone weights for a scene.
 
     Returns ``(state, aux)`` where ``aux`` holds host-side float64 arrays
     useful for reporting/validation: plane redshifts, growth factors, and
     the validated power table.  ``layout`` selects the sigma-grid axis
     order ('xzy' for the staged pipeline — see engine/staged.py).
+    ``with_sigmas=False`` skips the O(N^3) sigma tabulation (mesh scenes
+    evaluate sigma inline per shard; storing a grid would replicate it).
     """
     table = _power.validate_power(power)
-    sigmas = _power.tabulate_sigmas(
-        scene.shape, scene.grid_spacing, table, scene.interpolation, scene.dtype,
-        layout=layout,
-    )
+    if with_sigmas:
+        sigmas = _power.tabulate_sigmas(
+            scene.shape, scene.grid_spacing, table, scene.interpolation,
+            scene.dtype, layout=layout,
+        )
+    else:
+        _power.require_coverage(table, scene.shape, scene.grid_spacing)
+        sigmas = None
     redshifts = _cosmo.get_redshifts(
         scene.cosmology, scene.nz, scene.grid_spacing, scaled_by_h=True, z0=scene.z0
     )

@@ -1,17 +1,30 @@
-"""Sharded render programs: DP ensembles x spatial slab decomposition.
+"""Sharded render programs: DP ensembles x spatial slab/pencil decomposition.
 
 Composition strategy (SURVEY.md section 7, milestone C/D):
 
-* Sampling, symmetrization, sigma-scaling and filtering run as *global*
-  jit-level ops with sharding constraints.  JAX's partitionable Threefry
-  means ``normal(key, global_shape)`` yields identical values per logical
-  index under ANY sharding — so a sharded render equals the single-device
-  render without per-shard key bookkeeping, and the Hermitian fixup's
-  cross-shard conjugate pairs (hard part #2) lower to two small collective
-  permutes on the kz = 0 / Nyquist planes, handled by XLA.
-* Only the FFT goes through ``shard_map`` (parallel/dfft.py) — the one
-  place where XLA's data-flow sharding would otherwise insert a full
-  gather.
+* Sampling, symmetrization, sigma evaluation + scaling and filtering run
+  as *global* jit-level ops with sharding constraints.  JAX's
+  partitionable Threefry means ``normal(key, global_shape)`` yields
+  identical values per logical index under ANY sharding — so a sharded
+  render equals the single-device render without per-shard key
+  bookkeeping, and the Hermitian fixup's cross-shard conjugate pairs
+  (hard part #2) lower to two small collective permutes on the
+  kz = 0 / Nyquist planes, handled by XLA.
+* sigma(k) is evaluated INLINE from the (tiny, replicated) power table
+  (ops/power.py:sigma_inline) instead of reading a stored grid: each
+  device materializes only its shard of the sigma expression, so the
+  sigma footprint is zero resident HBM at any mesh shape — this removed
+  the round-2 pencil weak item where sigma replicated across 'spy'
+  (~4.3 GB/device at 2048^3).  Inline evaluation is the same float32
+  expression as ``tabulate_sigmas``, so sharded renders still equal the
+  single-device render.
+* Only the FFT goes through ``shard_map`` (parallel/dfft.py,
+  parallel/pencil.py) — the one place where XLA's data-flow sharding
+  would otherwise insert a full gather.
+* Derived fields (potential/displacement/velocity kernels) fuse the
+  elementwise spectral kernel (ops/derived.py:apply_kernel_inline) into
+  the same sharded program — k vectors broadcast + shard exactly like
+  sigma, so mesh-native derived fields need no extra communication.
 
 Per-(mesh, scene) compiled programs are cached process-wide.
 """
@@ -30,34 +43,80 @@ from randomfield_tpu.parallel import dfft
 from randomfield_tpu.parallel import pencil as _pencil
 from randomfield_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS, field_sharding
 
-__all__ = ["make_sharded_render", "make_sharded_render_batch"]
+__all__ = [
+    "make_sharded_render",
+    "make_sharded_render_batch",
+    "make_sharded_derived",
+    "make_sharded_spectrum_bins",
+]
 
 _INV_SQRT2 = 0.7071067811865476
 
 
-def _core(draws, sigmas, weights, smoothing_length, shape, spacing, mesh, batched):
+def _mesh_specs(mesh, batched):
+    """(draws_spec, spectrum_spec, out_sharding) for a mesh family."""
+    data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
+    if _pencil.is_pencil_mesh(mesh):
+        spatial = _pencil.SPX_AXIS
+        out = _pencil.pencil_field_sharding(mesh, batched=batched)
+    else:
+        spatial = SPACE_AXIS
+        out = field_sharding(mesh, batched=batched)
+    if batched:
+        draws = P(data, None, None, spatial, None)
+        spec = P(data, None, spatial, None)
+    else:
+        draws = P(None, None, spatial, None)
+        spec = P(None, spatial, None)
+    return NamedSharding(mesh, draws), NamedSharding(mesh, spec), out
+
+
+def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
+                      mesh, batched, log_values, dtype):
+    """Sample + symmetrize + inline-sigma scale + filter, sharded."""
     nx, ny, nz = shape
-    real_dtype = draws.dtype
+    draws_sharding, spec_sharding, _ = _mesh_specs(mesh, batched)
+    if batched:
+        n_batch = key.shape[0]
+        draws = jax.vmap(
+            lambda k: jax.random.normal(k, (2, nx, ny, nz // 2 + 1), dtype)
+        )(key)
+    else:
+        draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), dtype)
+    draws = jax.lax.with_sharding_constraint(draws, draws_sharding)
     re = draws[..., 0, :, :, :] if batched else draws[0]
     im = draws[..., 1, :, :, :] if batched else draws[1]
-    z = jax.lax.complex(re, im) * jnp.asarray(_INV_SQRT2, real_dtype)
+    z = jax.lax.complex(re, im) * jnp.asarray(_INV_SQRT2, dtype)
     z = _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
-    c = z * sigmas.astype(real_dtype)
+    sig = _power.sigma_inline(
+        shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
+    )
+    sig = jax.lax.with_sharding_constraint(
+        sig, spec_sharding if not batched
+        else NamedSharding(mesh, P(*spec_sharding.spec[1:]))
+    )
+    c = z * sig
     c = _power.filter_modes(c, shape, spacing, smoothing_length)
+    return jax.lax.with_sharding_constraint(c, spec_sharding)
+
+
+def _inverse(c, shape, mesh, batched):
     if _pencil.is_pencil_mesh(mesh):
-        delta = _pencil.irfftn_pencil(
+        return _pencil.irfftn_pencil(
             c, shape, mesh, batched=batched, assume_hermitian=True
         )
-    else:
-        delta = dfft.irfftn_slab(
-            c, shape, mesh, batched=batched, assume_hermitian=True
-        )
-    return delta * weights[None, None, :]
+    return dfft.irfftn_slab(c, shape, mesh, batched=batched, assume_hermitian=True)
 
 
 @functools.lru_cache(maxsize=32)
-def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False):
+def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
+                        log_values=False, dtype_name="float32"):
     """Compile a single-realization spatially-sharded render for a mesh.
+
+    The returned fn takes ``(key, lk_tab, val_tab, weights,
+    smoothing_length)`` where ``lk_tab``/``val_tab`` are the power
+    table's interpolation arrays (ops/power.py:_table_arrays) — sigma is
+    evaluated inline, no sigma grid input.
 
     ``from_seed=True`` makes the program take a uint32 seed scalar and
     derive the PRNG key *inside* jit — required on multi-host meshes,
@@ -65,55 +124,137 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False):
     global program (parallel/multihost.py).  Identical draws either way
     (the key value is the same).
     """
-    nx, ny, nz = shape
-    if _pencil.is_pencil_mesh(mesh):
-        # kz stays unsharded here (nzh rarely divides 'spy'); the
-        # transform pads kz and reshards inside (pencil_sigma_sharding)
-        draws_sharding = NamedSharding(
-            mesh, P(None, None, _pencil.SPX_AXIS, None)
-        )
-        out = _pencil.pencil_field_sharding(mesh)
-    else:
-        draws_sharding = NamedSharding(mesh, P(None, None, SPACE_AXIS, None))
-        out = field_sharding(mesh)
+    dtype = jnp.dtype(dtype_name)
+    _, _, out = _mesh_specs(mesh, batched=False)
 
-    def fn(key, sigmas, weights, smoothing_length):
+    def fn(key, lk_tab, val_tab, weights, smoothing_length):
         if from_seed:
             key = jax.random.key(key)
-        draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), sigmas.dtype)
-        draws = jax.lax.with_sharding_constraint(draws, draws_sharding)
-        return _core(
-            draws, sigmas, weights, smoothing_length, shape, spacing, mesh, False
+        c = _sampled_spectrum(
+            key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
+            False, log_values, dtype,
         )
+        delta = _inverse(c, shape, mesh, False)
+        return delta * weights[None, None, :]
 
     return jax.jit(fn, out_shardings=out)
 
 
 @functools.lru_cache(maxsize=32)
-def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False):
-    """Compile a seed-batched render: batch over 'data', slabs over 'space'."""
-    nx, ny, nz = shape
-    data = DATA_AXIS if DATA_AXIS in mesh.shape else None
-    if _pencil.is_pencil_mesh(mesh):
-        draws_sharding = NamedSharding(
-            mesh, P(data, None, None, _pencil.SPX_AXIS, None)
-        )
-        out = _pencil.pencil_field_sharding(mesh, batched=True)
-    else:
-        draws_sharding = NamedSharding(
-            mesh, P(data, None, None, SPACE_AXIS, None)
-        )
-        out = field_sharding(mesh, batched=True)
+def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
+                              log_values=False, dtype_name="float32"):
+    """Compile a seed-batched render: batch over 'data', spatial sharding."""
+    dtype = jnp.dtype(dtype_name)
+    _, _, out = _mesh_specs(mesh, batched=True)
 
-    def fn(keys, sigmas, weights, smoothing_length):
+    def fn(keys, lk_tab, val_tab, weights, smoothing_length):
         if from_seed:
             keys = jax.vmap(jax.random.key)(keys)
-        draws = jax.vmap(
-            lambda k: jax.random.normal(k, (2, nx, ny, nz // 2 + 1), sigmas.dtype)
-        )(keys)
-        draws = jax.lax.with_sharding_constraint(draws, draws_sharding)
-        return _core(
-            draws, sigmas, weights, smoothing_length, shape, spacing, mesh, True
+        c = _sampled_spectrum(
+            keys, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
+            True, log_values, dtype,
         )
+        delta = _inverse(c, shape, mesh, True)
+        return delta * weights[None, None, :]
 
     return jax.jit(fn, out_shardings=out)
+
+
+@functools.lru_cache(maxsize=64)
+def make_sharded_derived(mesh: Mesh, shape, spacing, kind, component,
+                         from_seed=False, log_values=False,
+                         dtype_name="float32"):
+    """Compile a mesh-native derived-field render (potential/displacement).
+
+    Same sampled realization as :func:`make_sharded_render` for a given
+    key, with the elementwise spectral kernel
+    (ops/derived.py:apply_kernel_inline — 1/k^2 or i*k/k^2) fused
+    between filtering and the distributed inverse transform.  Gradient
+    kernels zero every self-conjugate mode, so the half-pack c2r tail
+    stays exact.  fn(key, lk_tab, val_tab, prefactor, smoothing_length).
+    """
+    from randomfield_tpu.ops import derived as _derived
+
+    dtype = jnp.dtype(dtype_name)
+    _, spec_sharding, out = _mesh_specs(mesh, batched=False)
+
+    def fn(key, lk_tab, val_tab, prefactor, smoothing_length):
+        if from_seed:
+            key = jax.random.key(key)
+        c = _sampled_spectrum(
+            key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
+            False, log_values, dtype,
+        )
+        c = _derived.apply_kernel_inline(
+            c, shape, spacing, "xyz", kind, component, prefactor
+        )
+        c = jax.lax.with_sharding_constraint(c, spec_sharding)
+        return _inverse(c, shape, mesh, False)
+
+    return jax.jit(fn, out_shardings=out)
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_spectrum_bins(mesh: Mesh, shape, spacing, nbins,
+                               from_seed=False, log_values=False,
+                               dtype_name="float32"):
+    """Compile a distributed FFT-free sample_power (config-4 on meshes).
+
+    Samples the seed's spectrum exactly like the sharded render (same
+    Threefry draws, inline sigma), then bins |c_k|^2 V shard-locally
+    inside a ``shard_map`` (per-device |k| rebuilt from axis_index
+    slices of the 1-D frequency vectors) and psums over the spatial
+    axes — the full spectrum is never gathered and no FFT runs.
+    Returns (counts, power_sum, k_sum) replicated host-readable arrays.
+    """
+    import numpy as np
+
+    from randomfield_tpu.ops import grid as _grid
+    from randomfield_tpu.validate.stats import _bin_setup, _masked_bins
+
+    dtype = jnp.dtype(dtype_name)
+    nx, ny, nz = shape
+    volume = nx * ny * nz * spacing**3
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+    if _pencil.is_pencil_mesh(mesh):
+        spatial = _pencil.SPX_AXIS
+        n_spatial = mesh.shape[_pencil.SPX_AXIS]
+    else:
+        spatial = SPACE_AXIS
+        n_spatial = mesh.shape.get(SPACE_AXIS, 1)
+    ny_loc = ny // n_spatial
+
+    def _local_bins(cl):
+        # cl: (nx, ny/S, nzh) local block of the packed sampled spectrum
+        j = jax.lax.axis_index(spatial)
+        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (j * ny_loc,), (ny_loc,))
+        km = jnp.sqrt(
+            jnp.asarray(kx * kx)[:, None, None]
+            + (ky_l * ky_l)[None, :, None]
+            + jnp.asarray(kz * kz)[None, None, :]
+        ).astype(cl.real.dtype)
+        p = (cl.real**2 + cl.imag**2) * jnp.asarray(volume, cl.real.dtype)
+        counts, psum_, ksum = _masked_bins(
+            jnp.broadcast_to(km, p.shape),
+            jnp.asarray(mult, cl.real.dtype)[None, None, :], p,
+            jnp.asarray(edges, cl.real.dtype), nbins, per_slab=True,
+        )
+        return jax.lax.psum(jnp.stack([counts, psum_, ksum]), spatial)
+
+    in_spec = P(None, spatial, None)
+
+    def fn(key, lk_tab, val_tab, smoothing_length):
+        if from_seed:
+            key = jax.random.key(key)
+        c = _sampled_spectrum(
+            key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
+            False, log_values, dtype,
+        )
+        bins = jax.shard_map(
+            _local_bins, mesh=mesh, in_specs=in_spec, out_specs=P(),
+            check_vma=False,
+        )(c)
+        return bins[0], bins[1], bins[2]
+
+    return jax.jit(fn)

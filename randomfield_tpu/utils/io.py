@@ -136,7 +136,12 @@ def save_field_sharded(dirpath, delta, generator=None, seed=None, extra=None):
         payload["meta_json"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8
         )
-        np.savez_compressed(dirpath / "manifest.npz", **payload)
+        # tmp + rename, mirroring the chunk writes above: a crash
+        # mid-write must not leave a truncated manifest next to valid
+        # chunks (ADVICE r02)
+        tmp = dirpath / f".manifest.tmp.{os.getpid()}.npz"
+        np.savez_compressed(tmp, **payload)
+        tmp.replace(dirpath / "manifest.npz")
     return dirpath
 
 

@@ -11,6 +11,7 @@ P(k)/sigma(R) covariance").  All reductions run under jit, so with a
 from __future__ import annotations
 
 import functools
+import json
 
 import jax
 import jax.numpy as jnp
@@ -26,8 +27,32 @@ __all__ = [
 ]
 
 
+def _scene_fingerprint(generator, smoothing_length, nbins):
+    """Hashable compatibility descriptor for an ensemble checkpoint.
+
+    Any field that changes the meaning of a binned spectrum row is
+    included: grid shape, spacing, the power table itself (hashed),
+    interpolation flavor, smoothing and binning (ADVICE r02: shape /
+    spacing / power mismatches must be rejected on resume, not mixed).
+    """
+    import hashlib
+
+    t = generator.power
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(t.k).tobytes())
+    h.update(np.ascontiguousarray(t.Pk).tobytes())
+    return json.dumps({
+        "shape": list(generator.shape),
+        "grid_spacing": float(generator.grid_spacing),
+        "power_sha256": h.hexdigest()[:16],
+        "interpolation": generator.scene.interpolation,
+        "smoothing_length": float(smoothing_length),
+        "nbins": int(nbins),
+    }, sort_keys=True)
+
+
 def sample_power_ensemble(generator, seeds, smoothing_length=0.0, nbins=32,
-                          checkpoint_path=None):
+                          checkpoint_path=None, checkpoint_every=16):
     """Streaming P(k) ensemble with O(1) memory — no fields, no FFTs.
 
     Uses ``Generator.sample_power`` per seed: the sampled spectrum is
@@ -38,13 +63,19 @@ def sample_power_ensemble(generator, seeds, smoothing_length=0.0, nbins=32,
     ``checkpoint_path`` makes long runs restartable (the failure-recovery
     analog of SURVEY.md section 5 for this workflow; the durable state
     is tiny — nbins floats per seed — because fields regenerate from
-    seeds): after every seed the accumulated results are written
-    atomically to ``<path>`` (.npz); rerunning the same call skips seeds
-    already recorded there and returns the union in ``seeds`` order.
-    Seeds not in ``seeds`` are kept in the file but not returned, so a
-    checkpoint can serve overlapping studies.
+    seeds): accumulated results are written atomically to ``<path>``
+    (.npz) every ``checkpoint_every`` new seeds and at the end — at most
+    that many seeds are recomputed after a crash, and long ensembles
+    avoid the O(n^2) rewrite bytes of per-seed flushing.  Rerunning the
+    same call skips seeds already recorded and returns the union in
+    ``seeds`` order.  Seeds not in ``seeds`` are kept in the file but
+    not returned, so a checkpoint can serve overlapping studies.  The
+    checkpoint records a scene fingerprint (grid shape, spacing, power
+    table hash, smoothing, nbins) and refuses to resume under a
+    mismatched Generator.
     """
     seeds_list = [int(s) for s in np.asarray(seeds).ravel()]
+    fingerprint = _scene_fingerprint(generator, smoothing_length, nbins)
     done = {}
     ks = ms = None
     if checkpoint_path is not None:
@@ -53,15 +84,24 @@ def sample_power_ensemble(generator, seeds, smoothing_length=0.0, nbins=32,
         checkpoint_path = pathlib.Path(checkpoint_path)
         if checkpoint_path.exists():
             with np.load(checkpoint_path, allow_pickle=False) as f:
-                ck_sm = float(f["smoothing_length"])
-                ck_nb = int(f["nbins"])
-                if ck_sm != float(smoothing_length) or ck_nb != int(nbins):
+                if "fingerprint" in f:
+                    ck_fp, expected = bytes(f["fingerprint"]).decode(), fingerprint
+                else:  # round-2 format: smoothing/nbins only
+                    ck_fp = json.dumps({
+                        "smoothing_length": float(f["smoothing_length"]),
+                        "nbins": int(f["nbins"]),
+                    }, sort_keys=True)
+                    expected = json.dumps({
+                        "smoothing_length": float(smoothing_length),
+                        "nbins": int(nbins),
+                    }, sort_keys=True)
+                if ck_fp != expected:
                     raise ValueError(
-                        f"checkpoint {checkpoint_path} was written with "
-                        f"smoothing_length={ck_sm}, nbins={ck_nb}; this "
-                        f"call uses {float(smoothing_length)}, {int(nbins)}"
-                        " — resuming would silently mix incompatible "
-                        "spectra. Use a different checkpoint path."
+                        f"checkpoint {checkpoint_path} was written for a "
+                        f"different scene/binning ({ck_fp}); this call "
+                        f"uses {fingerprint} — resuming would silently "
+                        "mix incompatible spectra. Use a different "
+                        "checkpoint path."
                     )
                 ks, ms = f["k_mean"], f["n_modes"]
                 for s, row in zip(f["seeds"].tolist(), f["p_hat"]):
@@ -75,9 +115,11 @@ def sample_power_ensemble(generator, seeds, smoothing_length=0.0, nbins=32,
             p_hat=np.asarray([done[s] for s in order]),
             k_mean=ks, n_modes=ms,
             smoothing_length=float(smoothing_length), nbins=int(nbins),
+            fingerprint=np.frombuffer(fingerprint.encode(), dtype=np.uint8),
         )
         tmp.replace(checkpoint_path)
 
+    pending = 0
     for s in seeds_list:
         if s in done:
             continue
@@ -86,8 +128,12 @@ def sample_power_ensemble(generator, seeds, smoothing_length=0.0, nbins=32,
         )
         ks, ms = k, m
         done[s] = p
-        if checkpoint_path is not None:
+        pending += 1
+        if checkpoint_path is not None and pending >= int(checkpoint_every):
             _write()
+            pending = 0
+    if checkpoint_path is not None and pending:
+        _write()
     return ks, np.asarray([done[s] for s in seeds_list]), ms
 
 

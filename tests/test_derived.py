@@ -118,9 +118,40 @@ def test_seed_direct_derived_matches_field_first():
         np.testing.assert_allclose(v, v_ref, atol=5e-5 * sc, rtol=2e-4)
 
 
-def test_seed_direct_derived_mesh_raises():
+def test_mesh_derived_matches_single_device():
+    # mesh-native derived fields: the elementwise kernel fuses into the
+    # sharded render (parallel/render.py:make_sharded_derived) and must
+    # reproduce the single-device result on both mesh families
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    shape, spacing = (16, 16, 16), 8.0
+    g0 = Generator(*shape, grid_spacing=spacing)
+    phi0 = np.asarray(g0.generate_potential(5))
+    psi0 = np.asarray(g0.generate_displacement(5, component=1))
+    v0 = np.asarray(g0.generate_velocity(5, component=0))
+    for mesh in (make_mesh(2, 4), make_pencil_mesh(2, 2, 2)):
+        g = Generator(*shape, grid_spacing=spacing, mesh=mesh)
+        phi = np.asarray(g.generate_potential(5))
+        np.testing.assert_allclose(
+            phi, phi0, atol=1e-5 * np.abs(phi0).max(), rtol=2e-4
+        )
+        psi = np.asarray(g.generate_displacement(5, component=1))
+        np.testing.assert_allclose(
+            psi, psi0, atol=1e-5 * np.abs(psi0).max(), rtol=2e-4
+        )
+        v = np.asarray(g.generate_velocity(5, component=0))
+        np.testing.assert_allclose(
+            v, v0, atol=1e-5 * np.abs(v0).max(), rtol=2e-4
+        )
+
+
+def test_mesh_derived_smoothing_matches():
     from randomfield_tpu.parallel.mesh import make_mesh
 
-    g = Generator(16, 16, 16, grid_spacing=8.0, mesh=make_mesh(2, 4))
-    with pytest.raises(ValueError):
-        g.generate_potential(0)
+    shape, spacing = (16, 16, 16), 8.0
+    g0 = Generator(*shape, grid_spacing=spacing)
+    g1 = Generator(*shape, grid_spacing=spacing, mesh=make_mesh(1, 4))
+    a = np.asarray(g0.generate_potential(2, smoothing_length=12.0))
+    b = np.asarray(g1.generate_potential(2, smoothing_length=12.0))
+    np.testing.assert_allclose(b, a, atol=1e-5 * np.abs(a).max(), rtol=2e-4)

@@ -75,3 +75,60 @@ def test_sample_power_ensemble_checkpoint_resume(tmp_path):
     k2, p2, _ = sample_power_ensemble(g, [9, 3], nbins=8, checkpoint_path=ckpt)
     assert calls == []
     np.testing.assert_allclose(p2, p0[[3, 0]], rtol=1e-6)
+
+
+def test_sample_power_ensemble_checkpoint_rejects_mismatched_scene(tmp_path):
+    # resuming under a different grid/spacing/power/binning must raise,
+    # not silently mix incompatible P(k) rows (ADVICE r02)
+    import pytest
+
+    from randomfield_tpu.validate.ensemble import sample_power_ensemble
+
+    ckpt = tmp_path / "ens.npz"
+    g = Generator(16, 16, 16, grid_spacing=8.0)
+    sample_power_ensemble(g, [1, 2], nbins=8, checkpoint_path=ckpt)
+
+    for bad in (
+        Generator(16, 16, 8, grid_spacing=8.0),       # shape
+        Generator(16, 16, 16, grid_spacing=4.0),      # spacing
+    ):
+        with pytest.raises(ValueError, match="different scene"):
+            sample_power_ensemble(bad, [1, 3], nbins=8, checkpoint_path=ckpt)
+    with pytest.raises(ValueError, match="different scene"):
+        sample_power_ensemble(g, [1, 3], nbins=4, checkpoint_path=ckpt)
+    # different power table
+    t = g.power
+    g2 = Generator(16, 16, 16, grid_spacing=8.0, power=(t.k, t.Pk * 2.0))
+    with pytest.raises(ValueError, match="different scene"):
+        sample_power_ensemble(g2, [1, 3], nbins=8, checkpoint_path=ckpt)
+    # the matching generator still resumes fine
+    sample_power_ensemble(g, [1, 2, 3], nbins=8, checkpoint_path=ckpt)
+
+
+def test_sample_power_ensemble_checkpoint_every(tmp_path):
+    # flush cadence: with checkpoint_every=2 the file sees intermediate
+    # states, and a trailing partial batch is flushed at the end
+    import numpy.lib.format  # noqa: F401  (np.load of tmp states)
+
+    from randomfield_tpu.validate.ensemble import sample_power_ensemble
+
+    ckpt = tmp_path / "ens.npz"
+    g = Generator(16, 16, 16, grid_spacing=8.0)
+    states = []
+    orig = g.sample_power
+
+    def spy(seed, **kw):
+        if ckpt.exists():
+            with np.load(ckpt, allow_pickle=False) as f:
+                states.append(len(f["seeds"]))
+        else:
+            states.append(0)
+        return orig(seed, **kw)
+
+    g.sample_power = spy
+    sample_power_ensemble(g, [1, 2, 3, 4, 5], nbins=8,
+                          checkpoint_path=ckpt, checkpoint_every=2)
+    # before seeds 1..5 run, the file held 0,0,2,2,4 entries
+    assert states == [0, 0, 2, 2, 4]
+    with np.load(ckpt, allow_pickle=False) as f:
+        assert len(f["seeds"]) == 5

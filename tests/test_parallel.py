@@ -123,6 +123,40 @@ def test_make_mesh_too_few_devices():
         M.make_mesh(data=4, space=4)
 
 
+@pytest.mark.parametrize("data,space", [(2, 4), (8, 1)])
+def test_mesh_sample_power_matches_single_device(data, space):
+    # distributed config-4: sharded sampling + shard-local binning must
+    # reproduce the unsharded spectrum-space estimate (identical Threefry
+    # draws); (8, 1) is the data-only mesh (ADVICE r02 regression case)
+    shape, spacing = (16, 16, 16), 8.0
+    g0 = Generator(*shape, grid_spacing=spacing)
+    g1 = Generator(*shape, grid_spacing=spacing, mesh=_mesh(data, space))
+    k0, p0, n0 = g0.sample_power(3, nbins=8)
+    k1, p1, n1 = g1.sample_power(3, nbins=8)
+    np.testing.assert_allclose(n1, n0, rtol=1e-6)
+    m = n0 > 0
+    np.testing.assert_allclose(k1[m], k0[m], rtol=1e-5)
+    np.testing.assert_allclose(p1[m], p0[m], rtol=2e-4)
+    # smoothing filter enters the sharded program identically
+    _, ps0, _ = g0.sample_power(3, smoothing_length=12.0, nbins=8)
+    _, ps1, _ = g1.sample_power(3, smoothing_length=12.0, nbins=8)
+    np.testing.assert_allclose(ps1[m], ps0[m], rtol=2e-4)
+
+
+def test_mesh_sigma_materializes_sharded_and_matches():
+    # mesh scenes store no sigma grid; reading .sigmas materializes a
+    # sharded grid equal to the single-device tabulation
+    shape, spacing = (16, 16, 16), 8.0
+    g0 = Generator(*shape, grid_spacing=spacing)
+    g1 = Generator(*shape, grid_spacing=spacing, mesh=_mesh(2, 4))
+    assert g1.state.sigmas is None
+    s1 = g1.sigmas
+    assert s1.sharding.spec == M.P(None, "space", None)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(g0.sigmas), rtol=1e-6, atol=1e-9
+    )
+
+
 def test_sharded_power_estimator_matches_single_device():
     from randomfield_tpu.validate import stats
 

@@ -124,6 +124,41 @@ def test_pencil_batch_and_power():
     np.testing.assert_allclose(k1, k0, rtol=1e-5)
 
 
+def test_pencil_sample_power_matches_single_device():
+    from randomfield_tpu import Generator
+
+    shape, spacing = (16, 16, 16), 8.0
+    g0 = Generator(*shape, grid_spacing=spacing)
+    g1 = Generator(*shape, grid_spacing=spacing,
+                   mesh=pc.make_pencil_mesh(data=2, spx=2, spy=2))
+    k0, p0, n0 = g0.sample_power(3, nbins=8)
+    k1, p1, n1 = g1.sample_power(3, nbins=8)
+    np.testing.assert_allclose(n1, n0, rtol=1e-6)
+    m = n0 > 0
+    np.testing.assert_allclose(p1[m], p0[m], rtol=2e-4)
+
+
+def test_pencil_sigma_fully_sharded():
+    # the round-2 weak item: sigma must NOT replicate across 'spy'.
+    # mesh scenes store nothing; on-demand materialization is sharded
+    # over BOTH pencil axes (x over 'spy', ky over 'spx')
+    from randomfield_tpu import Generator
+
+    g = Generator(16, 16, 16, grid_spacing=8.0,
+                  mesh=pc.make_pencil_mesh(data=2, spx=2, spy=2))
+    assert g.state.sigmas is None  # render paths never materialize it
+    s = g.sigmas
+    assert s.sharding.spec == pc.P("spy", "spx", None)
+    shard_bytes = max(
+        sh.data.size * sh.data.dtype.itemsize for sh in s.addressable_shards
+    )
+    assert shard_bytes * 4 <= s.size * s.dtype.itemsize + 3
+    g0 = Generator(16, 16, 16, grid_spacing=8.0)
+    np.testing.assert_allclose(
+        np.asarray(s), np.asarray(g0.sigmas), rtol=1e-6, atol=1e-9
+    )
+
+
 def test_pencil_shape_validation_generator():
     from randomfield_tpu import Generator
 
