@@ -318,8 +318,18 @@ class Generator:
         # mesh shape — a materialized (sharded) grid is built lazily only
         # if the .sigmas property is read
         self.state, self._aux = _scene.build_state(
-            self.scene, power, layout=layout, with_sigmas=(mesh is None)
+            self.scene, power, layout=layout,
+            with_sigmas=(mesh is None and sampler != "pallas"),
         )
+        if sampler == "pallas":
+            # the fused kernel interpolates sigma(k) from a small uniform
+            # log10-k table in VMEM — no sigma grid is stored or read
+            from randomfield_tpu.ops.pallas_sampler import make_sigma_table
+
+            self._pallas_table = make_sigma_table(
+                self._aux["power"], self.scene.shape, self.scene.grid_spacing,
+                interpolation, layout=layout,
+            )
         self._table_host = _power.table_arrays_host(
             self._aux["power"], interpolation, dtype
         )
@@ -408,6 +418,11 @@ class Generator:
         from randomfield_tpu.parallel.mesh import P, SPACE_AXIS, spectrum_sharding
 
         mesh = self.mesh
+        if mesh is None:  # pallas scenes: plain single-device tabulation
+            return _power.tabulate_sigmas(
+                self.scene.shape, self.scene.grid_spacing, self._aux["power"],
+                self.scene.interpolation, self._dtype, layout=self._layout,
+            )
         if _pencil.is_pencil_mesh(mesh):
             # fully sharded introspection placement: x over 'spy', ky over
             # 'spx' — per-device bytes scale as 1/(px*py), unlike the
@@ -516,7 +531,7 @@ class Generator:
             from randomfield_tpu.ops.pallas_sampler import sample_spectrum_pallas
 
             c = sample_spectrum_pallas(
-                int(seed), self.state.sigmas, self.scene.shape,
+                int(seed), self._pallas_table, self.scene.shape,
                 self.scene.grid_spacing, smoothing_length, layout=self._layout,
             )
             if self._layout == "xzy":
@@ -672,7 +687,7 @@ class Generator:
             from randomfield_tpu.ops.pallas_sampler import sample_spectrum_pallas
 
             return sample_spectrum_pallas(
-                int(seed), self.state.sigmas, self.scene.shape,
+                int(seed), self._pallas_table, self.scene.shape,
                 self.scene.grid_spacing, sm, layout=self._layout,
             )
         if self.pipeline == "staged":

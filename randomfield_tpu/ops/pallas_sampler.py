@@ -1,8 +1,9 @@
-"""Fused Pallas TPU kernel: PRNG -> Box-Muller -> sigma scale -> filter.
+"""Fused Pallas TPU kernel: PRNG -> Box-Muller -> sigma(k) interp -> filter.
 
 North-star component (BASELINE.json): "Hermitian-symmetric complex mode
 sampling becomes a Pallas PRNG kernel writing the packed c2r
-half-spectrum in place", with powertools' mode filtering fused in.
+half-spectrum in place", with powertools' log10(k) power interpolation
+AND mode filtering fused in.
 
 What the kernel fuses, per VMEM tile of the half-spectrum:
 
@@ -12,16 +13,28 @@ What the kernel fuses, per VMEM tile of the half-spectrum:
    standard normal z with <|z|^2> = 1;
 3. compute |k|^2 of each mode inline from the tile's grid position
    (broadcasted iota — no k-mesh input array);
-4. scale by the sigma(k) tile and the Gaussian smoothing filter
-   exp(-k^2 s^2 / 2);
-5. write the real and imaginary parts.
+4. evaluate sigma(|k|) by linear interpolation in log10 k over a small
+   UNIFORM table resident in VMEM (two ``tpu.dynamic_gather`` lane
+   lookups) — the round-2 version read a precomputed (nx, ny, nzh)
+   sigma grid from HBM instead: 2.15 GB of traffic + resident footprint
+   at 1024^3, both gone now;
+5. scale by the Gaussian smoothing filter exp(-k^2 s^2 / 2) and write
+   the real and imaginary parts (DC mode: exactly zero, matching
+   tabulate_sigmas' sigma(0) = 0).
 
-The kernel's only HBM traffic is reading sigma and writing the two
-output lattices — the Threefry path's separate draws buffer disappears.
-The Hermitian fixup of the kz = 0 / Nyquist planes remains an O(N^2)
-XLA post-op on the output (conjugate pairs live in distant tiles; the
+The kernel's only HBM traffic is writing the two output lattices.  The
+Hermitian fixup of the kz = 0 / Nyquist planes remains an O(N^2) XLA
+post-op on the output (conjugate pairs live in distant tiles; the
 hardware PRNG is streamed per tile, not counter-addressable by logical
 index, so partners cannot be regenerated locally).
+
+The sigma table (:func:`make_sigma_table`) resamples the scene's P(k)
+interpolant onto a uniform log10-k grid with exactly d2 entries (the
+tile minor-axis length — Mosaic's gather constraint: operand shape must
+equal index shape, so the lookup axis matches the lane axis).  At real
+workloads d2 >= 513, well past the source table's information content;
+resampling error is orders of magnitude below the statistical gate's
+sampling noise.
 
 Determinism: per (seed, shape) on a given TPU generation.  The stream
 differs from jax.random's Threefry, so the engine treats this sampler
@@ -30,7 +43,8 @@ as its own flavor (``sampler='pallas'``), validated statistically
 reference validates itself (SURVEY.md section 4).
 
 Reference parity: the mode sampler inside randomfield/generate.py
-(RandomState.normal over the packed buffer) + powertools.filter_modes.
+(RandomState.normal over the packed buffer) + powertools'
+tabulate_sigmas interpolation + filter_modes.
 """
 
 from __future__ import annotations
@@ -45,11 +59,99 @@ from jax.experimental.pallas import tpu as pltpu
 
 from randomfield_tpu.ops import transform as _transform
 
-__all__ = ["sample_spectrum_pallas"]
+__all__ = ["sample_spectrum_pallas", "make_sigma_table", "SigmaTable"]
 
 _TWO_PI = 6.283185307179586
 _INV_SQRT2 = 0.7071067811865476
 _INV_2_24 = float(1.0 / (1 << 24))
+_HALF_INV_LN10 = float(0.5 / np.log(10.0))
+
+
+class SigmaTable(tuple):
+    """(lk0, dlk, values) — uniform-in-log10(k) sigma lookup table.
+
+    ``values`` has shape (m, d2): m overlapping segment rows of the
+    kernel's gather width d2 (Mosaic's lane gather reads within one row,
+    so row k holds knots [k*(d2-1), k*(d2-1) + d2 - 1] — consecutive
+    rows share one knot).  Total distinct knots: m*(d2-1) + 1.
+    """
+
+    __slots__ = ()
+
+    def __new__(cls, lk0, dlk, values):
+        return super().__new__(cls, (float(lk0), float(dlk), values))
+
+    @property
+    def lk0(self):
+        return self[0]
+
+    @property
+    def dlk(self):
+        return self[1]
+
+    @property
+    def values(self):
+        return self[2]
+
+
+def table_length(shape, layout="xyz") -> int:
+    """Gather width = the kernel tile's lane count (minor axis, <= 128).
+
+    Mosaic's lane gather (``tpu.dynamic_gather``) requires the gather
+    dimension to fit a single vreg — 128 f32 lanes — so tiles are cut to
+    128 lanes and the table rows match that width.
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    d2 = nzh if layout == "xyz" else ny
+    return min(d2, 128)
+
+
+_MIN_KNOTS = 513  # >= the default table's information content
+
+
+def _segment_rows(shape, layout):
+    """(m, width, n_knots) for a segmented table of >= _MIN_KNOTS knots."""
+    w = table_length(shape, layout)
+    m = max(1, -(-(_MIN_KNOTS - 1) // (w - 1)))
+    return m, w, m * (w - 1) + 1
+
+
+def make_sigma_table(power, shape, spacing, interpolation="log10k",
+                     layout="xyz") -> SigmaTable:
+    """Resample sigma(k) = sqrt(P(k)/V) onto a uniform log10-k grid.
+
+    Host float64 evaluation of the scene's own interpolant (P linear in
+    log10 k, or log-log), spanning exactly the grid's [k_min, k_max]
+    (ops/grid.py:get_k_bounds — k_max is the corner-mode magnitude, so
+    every sampled mode interpolates, never extrapolates).  At least
+    ``_MIN_KNOTS`` uniform knots regardless of grid size, stored as
+    overlapping (m, d2) segment rows for the kernel's lane gather.
+    """
+    from randomfield_tpu.ops import grid as _grid
+    from randomfield_tpu.ops import power as _power
+
+    table = _power.validate_power(power)
+    _power.require_coverage(table, shape, spacing)
+    m, d2, n_knots = _segment_rows(shape, layout)
+    nx, ny, nz = shape
+    volume = nx * ny * nz * float(spacing) ** 3
+    kmin, kmax = _grid.get_k_bounds(shape, spacing)
+    lk0 = np.log10(kmin) - 1e-4
+    lk1 = np.log10(kmax) + 1e-4
+    lk = np.linspace(lk0, lk1, n_knots)
+    lk_tab = np.log10(table.k)
+    if interpolation == "log10k":
+        pk = np.interp(lk, lk_tab, table.Pk)
+    elif interpolation == "loglog":
+        if np.any(table.Pk <= 0):
+            raise ValueError("loglog interpolation requires strictly positive P(k)")
+        pk = 10.0 ** np.interp(lk, lk_tab, np.log10(table.Pk))
+    else:
+        raise ValueError(f"unknown interpolation {interpolation!r}")
+    sig = np.sqrt(pk / volume).astype(np.float32)
+    rows = np.stack([sig[k * (d2 - 1): k * (d2 - 1) + d2] for k in range(m)])
+    return SigmaTable(lk[0], lk[1] - lk[0], rows)
 
 
 def _signed_index(idx, n):
@@ -67,27 +169,35 @@ def _make_kernel(shape, spacing, layout):
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     d1, d2 = (ny, nzh) if layout == "xyz" else (nzh, ny)
-    # tile the middle axis so all VMEM-resident lattices (sigma, two bit
-    # lattices, re/im outputs, temps) stay well under the ~16 MB budget
+    m_seg, width, n_knots = _segment_rows(shape, layout)
+    # lane tiles are cut to 128 (one f32 vreg) so the sigma-table gather
+    # is legal (Mosaic: single source vreg along the gather dimension)
+    d2t = min(d2, 128)
+    n2_tiles = pl.cdiv(d2, d2t)
+    # tile the middle axis so all VMEM-resident lattices (two bit
+    # lattices, re/im outputs, gather temps, the table rows) stay well
+    # under the ~16 MB budget
     blk1 = d1
-    while blk1 * d2 * 4 * 7 > 10 * 2**20:
+    while blk1 * d2t * 4 * 7 > 10 * 2**20:
         blk1 = (blk1 + 1) // 2
     if blk1 != d1:
         blk1 = max(8, ((blk1 + 7) // 8) * 8)  # sublane-divisible tiles
     n1_tiles = pl.cdiv(d1, blk1)
     dk = _TWO_PI / spacing  # per-axis scale is dk / n_axis
 
-    def kernel(seed_ref, smooth_ref, sig_ref, re_ref, im_ref):
+    def kernel(seed_ref, smooth_ref, lk0_ref, inv_dlk_ref, stab_ref,
+               re_ref, im_ref):
         i = pl.program_id(0)
-        j = pl.program_id(1)
-        # hardware seeding accepts at most 2 values: fold the 2-D tile
+        j1 = pl.program_id(1)
+        j2 = pl.program_id(2)
+        # hardware seeding accepts at most 2 values: fold the 3-D tile
         # coordinate into one stream index
-        pltpu.prng_seed(seed_ref[0], i * n1_tiles + j)
+        pltpu.prng_seed(seed_ref[0], (i * n1_tiles + j1) * n2_tiles + j2)
 
         # |k|^2 for this tile: axis 0 index is i, axes 1-2 via iota (+ tile
-        # offset along the tiled middle axis)
-        a1 = jax.lax.broadcasted_iota(jnp.int32, (blk1, d2), 0) + j * blk1
-        a2 = jax.lax.broadcasted_iota(jnp.int32, (blk1, d2), 1)
+        # offsets along the tiled axes)
+        a1 = jax.lax.broadcasted_iota(jnp.int32, (blk1, d2t), 0) + j1 * blk1
+        a2 = jax.lax.broadcasted_iota(jnp.int32, (blk1, d2t), 1) + j2 * d2t
         kx = (dk / nx) * _signed_index(i, nx).astype(jnp.float32)
         if layout == "xyz":
             k1 = (dk / ny) * _signed_index(a1, ny).astype(jnp.float32)
@@ -97,9 +207,39 @@ def _make_kernel(shape, spacing, layout):
             k2 = (dk / ny) * _signed_index(a2, ny).astype(jnp.float32)
         ksq = kx * kx + k1 * k1 + k2 * k2
 
+        # sigma(|k|): linear interp over the uniform log10-k VMEM table.
+        # log10(|k|) = 0.5 * ln(ksq) / ln(10); guard the DC tile entry
+        # (ksq = 0) through a positive dummy and zero its amplitude below.
+        # The table is stored as m overlapping width-wide segment rows
+        # (width == d2t == the lane count): a static loop selects each
+        # mode's segment with one in-row lane gather per segment.
+        lk = _HALF_INV_LN10 * jnp.log(jnp.where(ksq > 0, ksq, 1.0))
+        t = (lk - lk0_ref[0]) * inv_dlk_ref[0]
+        t = jnp.clip(t, 0.0, float(n_knots - 1))
+        i0 = jnp.minimum(t.astype(jnp.int32), n_knots - 2)
+        frac = t - i0.astype(jnp.float32)
+        if m_seg == 1:
+            tab = jnp.broadcast_to(stab_ref[0][None, :], (blk1, d2t))
+            s0 = jnp.take_along_axis(tab, i0, axis=1)
+            s1 = jnp.take_along_axis(tab, i0 + 1, axis=1)
+        else:
+            seg = i0 // (width - 1)
+            loc0 = i0 - seg * (width - 1)  # in [0, w-2]; loc0+1 stays in-row
+            s0 = jnp.zeros((blk1, d2t), jnp.float32)
+            s1 = jnp.zeros((blk1, d2t), jnp.float32)
+            for k in range(m_seg):
+                tab_k = jnp.broadcast_to(stab_ref[k][None, :], (blk1, d2t))
+                g0 = jnp.take_along_axis(tab_k, loc0, axis=1)
+                g1 = jnp.take_along_axis(tab_k, loc0 + 1, axis=1)
+                in_k = seg == k
+                s0 = jnp.where(in_k, g0, s0)
+                s1 = jnp.where(in_k, g1, s1)
+        sig = s0 * (1.0 - frac) + s1 * frac
+        sig = jnp.where(ksq > 0, sig, 0.0)  # sigma(0) = 0 (zero-mean field)
+
         # Box-Muller from two independent uint32 lattices
-        b1 = pltpu.bitcast(pltpu.prng_random_bits((blk1, d2)), jnp.uint32)
-        b2 = pltpu.bitcast(pltpu.prng_random_bits((blk1, d2)), jnp.uint32)
+        b1 = pltpu.bitcast(pltpu.prng_random_bits((blk1, d2t)), jnp.uint32)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits((blk1, d2t)), jnp.uint32)
         # >> 8 leaves 24 bits, so the int32 round-trip is exact (Mosaic
         # has no direct uint32 -> float32 cast)
         u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * _INV_2_24 + (
@@ -110,30 +250,34 @@ def _make_kernel(shape, spacing, layout):
         theta = _TWO_PI * u2
 
         s = smooth_ref[0]
-        amp = sig_ref[0] * jnp.exp(-0.5 * ksq * s * s) * _INV_SQRT2
+        amp = sig * jnp.exp(-0.5 * ksq * s * s) * _INV_SQRT2
         re_ref[0] = amp * (r * jnp.cos(theta))
         im_ref[0] = amp * (r * jnp.sin(theta))
 
-    return kernel, (nx, d1, d2, blk1, n1_tiles)
+    return kernel, (nx, d1, d2, blk1, d2t, n1_tiles, n2_tiles)
 
 
 @functools.partial(
     jax.jit, static_argnames=("shape", "spacing", "layout", "interpret")
 )
-def _sample_jit(seed, smoothing_length, sigmas, shape, spacing, layout,
-                interpret):
-    kernel, (nx, d1, d2, blk1, n1_tiles) = _make_kernel(shape, spacing, layout)
-    out = jax.ShapeDtypeStruct((nx, d1, d2), sigmas.dtype)
+def _sample_jit(seed, smoothing_length, lk0, inv_dlk, stab, shape, spacing,
+                layout, interpret):
+    kernel, (nx, d1, d2, blk1, d2t, n1_tiles, n2_tiles) = _make_kernel(
+        shape, spacing, layout
+    )
+    out = jax.ShapeDtypeStruct((nx, d1, d2), stab.dtype)
     row = pl.BlockSpec(
-        (1, blk1, d2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        (1, blk1, d2t), lambda i, j1, j2: (i, j1, j2), memory_space=pltpu.VMEM
     )
     re, im = pl.pallas_call(
         kernel,
-        grid=(nx, n1_tiles),
+        grid=(nx, n1_tiles, n2_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            row,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (m, d2) table rows
         ],
         out_specs=(row, row),
         out_shape=(out, out),
@@ -142,8 +286,10 @@ def _sample_jit(seed, smoothing_length, sigmas, shape, spacing, layout,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         jnp.asarray([seed], jnp.int32).ravel(),
-        jnp.asarray([smoothing_length], sigmas.dtype).ravel(),
-        sigmas,
+        jnp.asarray([smoothing_length], stab.dtype).ravel(),
+        jnp.asarray([lk0], stab.dtype).ravel(),
+        jnp.asarray([inv_dlk], stab.dtype).ravel(),
+        stab,
     )
     # complex formation + Hermitian plane fixup stay inside this jit: the
     # axon runtime cannot execute eager complex ops or transfer complex
@@ -160,16 +306,28 @@ def _sample_jit(seed, smoothing_length, sigmas, shape, spacing, layout,
     return z
 
 
-def sample_spectrum_pallas(seed, sigmas, shape, spacing, smoothing_length=0.0,
+def sample_spectrum_pallas(seed, table, shape, spacing, smoothing_length=0.0,
                            layout="xyz", interpret=False):
     """Packed spectrum c_k with per-mode std sigma(k) * filter, via Pallas.
 
     Drop-in alternative to ``sample.sample_spectrum`` +
     ``power.filter_modes`` (different, hardware-PRNG random stream).
-    ``seed``: python/int32 scalar.  Returns complex64 with the Hermitian
-    planes fixed up.
+    ``seed``: python/int32 scalar.  ``table``: a :class:`SigmaTable`
+    from :func:`make_sigma_table` (length must be
+    ``table_length(shape, layout)``).  Returns complex64 with the
+    Hermitian planes fixed up.
     """
+    lk0, dlk, stab = table
+    stab = jnp.asarray(stab)
+    m, d2, _ = _segment_rows(shape, layout)
+    if stab.shape != (m, d2):
+        raise ValueError(
+            f"sigma table shape {stab.shape} != required {(m, d2)} for "
+            f"shape {shape}, layout {layout!r} (build it with "
+            f"make_sigma_table)"
+        )
     return _sample_jit(
-        int(seed) & 0x7FFFFFFF, smoothing_length, sigmas,
+        int(seed) & 0x7FFFFFFF, smoothing_length, float(lk0),
+        1.0 / float(dlk), stab,
         tuple(int(s) for s in shape), float(spacing), layout, bool(interpret)
     )

@@ -20,13 +20,19 @@ import numpy as np
 
 def run_checks(n_seeds=200, shape=(16, 16, 16), layout="xyz", interpret=False):
     from randomfield_tpu.ops import grid, transform
-    from randomfield_tpu.ops.pallas_sampler import sample_spectrum_pallas
+    from randomfield_tpu.ops.pallas_sampler import (
+        SigmaTable, _segment_rows, sample_spectrum_pallas,
+    )
 
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     sigma0, smoothing, spacing = 2.0, 1.5, 1.0
-    sig_shape = (nx, ny, nzh) if layout == "xyz" else (nx, nzh, ny)
-    sig = jnp.full(sig_shape, sigma0, jnp.float32)
+    # flat sigma table: interp returns sigma0 at every k; the kernel
+    # zeroes the DC amplitude itself (sigma(0) = 0 convention)
+    m, d2, n_knots = _segment_rows(shape, layout)
+    sig = SigmaTable(
+        -3.0, 6.0 / (n_knots - 1), jnp.full((m, d2), sigma0, jnp.float32)
+    )
 
     a = sample_spectrum_pallas(7, sig, shape, spacing, layout=layout,
                                interpret=interpret)
@@ -61,7 +67,10 @@ def run_checks(n_seeds=200, shape=(16, 16, 16), layout="xyz", interpret=False):
     if layout == "xzy":
         var, mean = var.transpose(0, 2, 1), mean.transpose(0, 2, 1)
     km = np.asarray(grid.kmag(shape, spacing))
-    expected = sigma0**2 * np.exp(-((km * smoothing) ** 2))
+    expected = np.where(km > 0, sigma0**2, 0.0) * np.exp(
+        -((km * smoothing) ** 2)
+    )
+    assert np.abs(var[km == 0]).max() == 0.0, "DC must be exactly zero"
     mask = expected > 1e-10 * sigma0**2
     rel = var[mask] / expected[mask] - 1
     tol = 6.0 * np.sqrt(2.0 / n_seeds) + 0.05

@@ -15,7 +15,22 @@ import numpy as np
 import pytest
 
 from randomfield_tpu.ops import transform
-from randomfield_tpu.ops.pallas_sampler import sample_spectrum_pallas
+from randomfield_tpu.ops.pallas_sampler import (
+    SigmaTable,
+    make_sigma_table,
+    sample_spectrum_pallas,
+    table_length,
+)
+
+
+def constant_table(shape, layout, sigma0):
+    """Flat sigma table: interp returns sigma0 at every k (DC -> 0)."""
+    from randomfield_tpu.ops.pallas_sampler import _segment_rows
+
+    m, d2, n_knots = _segment_rows(shape, layout)
+    return SigmaTable(
+        -3.0, 6.0 / (n_knots - 1), jnp.full((m, d2), sigma0, jnp.float32)
+    )
 
 
 def _on_tpu():
@@ -39,9 +54,9 @@ def test_amplitude_algebra_under_stubbed_prng(layout, smoothing):
     nzh = 5
     sigma0 = 1.3
     sig_shape = (8, 8, nzh) if layout == "xyz" else (8, nzh, 8)
-    sig = jnp.full(sig_shape, sigma0, jnp.float32)
+    tab = constant_table(shape, layout, sigma0)
     c = sample_spectrum_pallas(
-        7, sig, shape, spacing, smoothing_length=smoothing, layout=layout,
+        7, tab, shape, spacing, smoothing_length=smoothing, layout=layout,
         interpret=True,
     )
     assert c.shape == sig_shape
@@ -51,7 +66,10 @@ def test_amplitude_algebra_under_stubbed_prng(layout, smoothing):
 
     km = np.asarray(grid.kmag(shape, spacing), np.float64)
     r = np.sqrt(50 * np.log(2.0))
-    base = sigma0 * np.exp(-0.5 * (km * smoothing) ** 2) / np.sqrt(2.0) * r
+    # the fused kernel zeroes the DC amplitude (sigma(0) = 0 upstream)
+    base = np.where(km > 0, sigma0, 0.0) * np.exp(
+        -0.5 * (km * smoothing) ** 2
+    ) / np.sqrt(2.0) * r
     want = np.asarray(
         transform.symmetrize_with_shape(
             jnp.asarray(base, jnp.complex64), nz=8, scale_self_conjugate=True
@@ -61,6 +79,57 @@ def test_amplitude_algebra_under_stubbed_prng(layout, smoothing):
     if layout == "xzy":
         got = got.transpose(0, 2, 1)
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("layout", ["xyz", "xzy"])
+def test_fused_sigma_interpolation_matches_tabulation(layout):
+    # under the stubbed PRNG every mode draws the same real value r, so
+    # c.real / r == sigma(k) / sqrt(2) — pinning the in-kernel uniform
+    # log10-k table interpolation against powertools' tabulate_sigmas
+    # (the reference interpolant) over a REAL power table
+    from randomfield_tpu.ops import power as pw
+    from randomfield_tpu.ops import grid
+
+    shape, spacing = (16, 16, 16), 8.0
+    table = pw.load_default_power()
+    tab = make_sigma_table(table, shape, spacing, layout=layout)
+    c = sample_spectrum_pallas(3, tab, shape, spacing, layout=layout,
+                               interpret=True)
+    r = np.sqrt(50 * np.log(2.0))
+    got = np.asarray(c.real) * np.sqrt(2.0) / r
+    want = np.asarray(pw.tabulate_sigmas(shape, spacing, table, layout=layout))
+    # undo the self-conjugate-plane sqrt(2) rescale to compare raw sigma
+    z = jnp.asarray(want, jnp.complex64)
+    want_sym = np.asarray(
+        transform.symmetrize_with_shape(z, nz=16, scale_self_conjugate=True).real
+        if layout == "xyz" else want  # xzy checked off-plane below
+    )
+    if layout == "xyz":
+        # symmetrize averages conjugate pairs of the (here, real and
+        # k-symmetric) sigma values -> equals sigma itself on those
+        # planes up to the sqrt(2) factor applied to both
+        np.testing.assert_allclose(got, want_sym, rtol=2e-3, atol=1e-8)
+    else:
+        # compare away from the self-conjugate kz planes (fixed up with
+        # pair averaging post-kernel)
+        interior = np.s_[:, 1:-1, :]
+        np.testing.assert_allclose(
+            got[interior], want[interior], rtol=2e-3, atol=1e-8
+        )
+
+
+def test_make_sigma_table_requires_coverage():
+    from randomfield_tpu.ops.power import PowerTable
+
+    bad = PowerTable(np.array([0.1, 0.2]), np.array([1.0, 1.0]))
+    with pytest.raises(ValueError, match="covers"):
+        make_sigma_table(bad, (16, 16, 16), 8.0)
+
+
+def test_table_length_mismatch_raises():
+    tab = constant_table((16, 16, 16), "xyz", 1.0)
+    with pytest.raises(ValueError, match="sigma table shape"):
+        sample_spectrum_pallas(0, tab, (32, 32, 32), 8.0, interpret=True)
 
 
 @pytest.mark.skipif(not _on_tpu(), reason="hardware PRNG requires a real TPU")
