@@ -94,6 +94,29 @@ for s in dp.addressable_shards:
 kp, pp, mp = gp.calculate_power(dp)
 np.testing.assert_allclose(pp, p0, rtol=1e-3)
 
+# 4c. distributed FFT-free sample_power across processes (the
+# from_seed=True sharded sampling + shard-local binning program)
+ks1, ps1, ns1 = g.sample_power(3, nbins=8)
+ks0, ps0, ns0 = g0.sample_power(3, nbins=8)
+np.testing.assert_allclose(ns1, ns0, rtol=1e-6)
+msk = ns0 > 0
+np.testing.assert_allclose(ps1[msk], ps0[msk], rtol=2e-4)
+
+# 4d. mesh-native derived fields across processes (spectral kernel
+# fused into the sharded render)
+phi0 = np.asarray(g0.generate_potential(3))
+phi = g.generate_potential(3)
+assert not phi.is_fully_addressable
+psc = float(np.abs(phi0).max())
+for s in phi.addressable_shards:
+    np.testing.assert_allclose(
+        np.asarray(s.data), phi0[s.index], atol=1e-5 * psc, rtol=2e-4
+    )
+
+# 4e. predicted_variance via the inline-table path agrees
+pv1, pv0 = g.predicted_variance(4.0), g0.predicted_variance(4.0)
+assert abs(pv1 - pv0) < 1e-4 * pv0, (pv1, pv0)
+
 # 5. per-process sharded IO round-trips without gathering
 outdir = tmpdir / "field_chunks"
 save_field_sharded(outdir, d, generator=g, seed=3)
