@@ -424,12 +424,10 @@ class Generator:
                 self.scene.interpolation, self._dtype, layout=self._layout,
             )
         if _pencil.is_pencil_mesh(mesh):
-            # fully sharded introspection placement: x over 'spy', ky over
+            # fully sharded state-0 placement: x over 'spy', ky over
             # 'spx' — per-device bytes scale as 1/(px*py), unlike the
             # round-2 replicated placement
-            sharding = NamedSharding(
-                mesh, P(_pencil.SPY_AXIS, _pencil.SPX_AXIS, None)
-            )
+            sharding = _pencil.pencil_sigma_sharding(mesh)
         else:
             sharding = spectrum_sharding(mesh)
         lk, val = self._table_args()

@@ -77,27 +77,26 @@ def is_pencil_mesh(mesh: Mesh) -> bool:
 
 def _check_pencil(shape, px, py):
     nx, ny, _ = shape
-    if nx % px or ny % px or ny % py:
+    if nx % px or ny % px or ny % py or nx % py:
         raise ValueError(
-            f"pencil decomposition needs nx ({nx}) divisible by spx ({px}) "
-            f"and ny ({ny}) divisible by both spx ({px}) and spy ({py})"
+            f"pencil decomposition needs nx ({nx}) and ny ({ny}) divisible "
+            f"by both spx ({px}) and spy ({py})"
         )
 
 
 def pencil_sigma_sharding(mesh, batched=False) -> NamedSharding:
-    """Scene arrays (sigma grid): ky over 'spx', kz replicated.
+    """Spectrum-shaped arrays: FULLY pencil-sharded (state 0).
 
-    The packed kz axis (nz//2 + 1, usually odd) rarely divides 'spy';
-    replicating it across 'spy' costs spy-fold sigma memory per device
-    but keeps placement exact — the render's elementwise sigma multiply
-    then needs no communication (the draws are sharded the same way and
-    the transform's shard_map redistributes after its kz pad).  This is
-    the ONLY public placement for pencil spectra: state-1 (kz-sharded)
-    layouts exist solely inside the transforms, after their internal
-    pad.
+    x over 'spy', ky over 'spx', kz local — per-device bytes scale as
+    1/(px*py).  This is the render path's layout for draws and sampled
+    spectra (``irfftn_pencil(input_layout='state0')`` starts from it)
+    and the on-demand ``Generator.sigmas`` placement.  Round 2 used a
+    'spy'-replicated placement here (~4.3 GB of sigma per device at
+    2048^3); sigma is now evaluated inline and nothing spectrum-sized
+    is replicated anywhere.
     """
-    spec = ((DATA_AXIS, None, SPX_AXIS, None) if batched
-            else (None, SPX_AXIS, None))
+    spec = ((DATA_AXIS, SPY_AXIS, SPX_AXIS, None) if batched
+            else (SPY_AXIS, SPX_AXIS, None))
     return NamedSharding(mesh, P(*spec))
 
 
@@ -112,14 +111,26 @@ def _kz_pad(nzh: int, py: int) -> int:
     return (-nzh) % py
 
 
-def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False):
+def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False,
+                  input_layout="state1"):
     """Distributed inverse c2r FFT over a pencil mesh (norm='forward').
 
-    ``c``: packed half-spectrum (..., nx, ny, nzh); any input sharding
-    works (the shard_map in_specs redistribute to pencil state 1 after
-    the internal kz pad — :func:`pencil_sigma_sharding` placement needs
-    no movement on the ky axis).  Returns the real field sharded per
-    :func:`pencil_field_sharding`.
+    ``c``: packed half-spectrum (..., nx, ny, nzh).
+
+    ``input_layout='state1'``: any input sharding works — the shard_map
+    in_specs redistribute to pencil state 1 (x local, ky over 'spx', kz
+    padded over 'spy') after an internal kz pad.  With kz-unsharded
+    input placements this slices locally, but each device must hold a
+    full-x block: per-device bytes scale only as 1/px.
+
+    ``input_layout='state0'``: the input is FULLY pencil-sharded —
+    P('spy', 'spx', None): x over 'spy', ky over 'spx', kz local — so
+    per-device bytes scale as 1/(px*py) end to end (the render path's
+    layout; parallel/render.py).  Costs one extra all-to-all over 'spy'
+    (kz <-> x, the state 0 -> 1 transpose), the standard 3-transpose
+    pencil schedule (AccFFT/P3DFFT).
+
+    Returns the real field sharded per :func:`pencil_field_sharding`.
     """
     nx, ny, nz = shape
     nzh = nz // 2 + 1
@@ -128,8 +139,23 @@ def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False):
     pad = _kz_pad(nzh, py)
     off = 1 if batched else 0
     data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
+    state0 = input_layout == "state0"
+    if input_layout not in ("state0", "state1"):
+        raise ValueError(f"unknown input_layout {input_layout!r}")
 
     def local(cl):
+        if state0:
+            # state 0: (nx/py, ny/px, nzh) — pad kz locally, then
+            # all-to-all kz <-> x over 'spy' into state 1
+            if pad:
+                widths = [(0, 0)] * cl.ndim
+                widths[-1] = (0, pad)
+                cl = jnp.pad(cl, widths)
+            if py > 1:
+                cl = jax.lax.all_to_all(
+                    cl, SPY_AXIS, split_axis=off + 2, concat_axis=off,
+                    tiled=True,
+                )
         # state 1: (nx, ny/px, kzp/py) — x fully local
         cl = _ifft_axis(cl, cl.ndim - 3)
         if px > 1:
@@ -148,12 +174,16 @@ def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False):
             cl = cl[..., :nzh]
         return _transform.irfft_minor(cl, nz, assume_hermitian)
 
-    in_spec = (P(data, None, SPX_AXIS, SPY_AXIS) if batched
-               else P(None, SPX_AXIS, SPY_AXIS))
+    if state0:
+        in_spec = (P(data, SPY_AXIS, SPX_AXIS, None) if batched
+                   else P(SPY_AXIS, SPX_AXIS, None))
+    else:
+        in_spec = (P(data, None, SPX_AXIS, SPY_AXIS) if batched
+                   else P(None, SPX_AXIS, SPY_AXIS))
     out_spec = (P(data, SPX_AXIS, SPY_AXIS, None) if batched
                 else P(SPX_AXIS, SPY_AXIS, None))
 
-    if pad:
+    if pad and not state0:
         # zero-pad kz so each 'spy' shard is an equal all-to-all tile;
         # pad BEFORE shard_map so the pad itself is sharded
         widths = [(0, 0)] * c.ndim

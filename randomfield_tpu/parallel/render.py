@@ -54,20 +54,30 @@ _INV_SQRT2 = 0.7071067811865476
 
 
 def _mesh_specs(mesh, batched):
-    """(draws_spec, spectrum_spec, out_sharding) for a mesh family."""
+    """(draws_spec, spectrum_spec, out_sharding) for a mesh family.
+
+    Pencil meshes use the FULLY sharded state-0 spectrum layout (x over
+    'spy', ky over 'spx', kz local) so every per-seed buffer scales as
+    1/(px*py) per device; the transform enters via its state-0 path
+    (one extra kz <-> x all-to-all over 'spy').
+    """
     data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
     if _pencil.is_pencil_mesh(mesh):
-        spatial = _pencil.SPX_AXIS
         out = _pencil.pencil_field_sharding(mesh, batched=batched)
+        if batched:
+            draws = P(data, None, _pencil.SPY_AXIS, _pencil.SPX_AXIS, None)
+            spec = P(data, _pencil.SPY_AXIS, _pencil.SPX_AXIS, None)
+        else:
+            draws = P(None, _pencil.SPY_AXIS, _pencil.SPX_AXIS, None)
+            spec = P(_pencil.SPY_AXIS, _pencil.SPX_AXIS, None)
     else:
-        spatial = SPACE_AXIS
         out = field_sharding(mesh, batched=batched)
-    if batched:
-        draws = P(data, None, None, spatial, None)
-        spec = P(data, None, spatial, None)
-    else:
-        draws = P(None, None, spatial, None)
-        spec = P(None, spatial, None)
+        if batched:
+            draws = P(data, None, None, SPACE_AXIS, None)
+            spec = P(data, None, SPACE_AXIS, None)
+        else:
+            draws = P(None, None, SPACE_AXIS, None)
+            spec = P(None, SPACE_AXIS, None)
     return NamedSharding(mesh, draws), NamedSharding(mesh, spec), out
 
 
@@ -103,7 +113,8 @@ def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
 def _inverse(c, shape, mesh, batched):
     if _pencil.is_pencil_mesh(mesh):
         return _pencil.irfftn_pencil(
-            c, shape, mesh, batched=batched, assume_hermitian=True
+            c, shape, mesh, batched=batched, assume_hermitian=True,
+            input_layout="state0",
         )
     return dfft.irfftn_slab(c, shape, mesh, batched=batched, assume_hermitian=True)
 
@@ -217,20 +228,31 @@ def make_sharded_spectrum_bins(mesh: Mesh, shape, spacing, nbins,
     volume = nx * ny * nz * spacing**3
     edges, mult = _bin_setup(shape, spacing, nbins)
     kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
-    if _pencil.is_pencil_mesh(mesh):
-        spatial = _pencil.SPX_AXIS
-        n_spatial = mesh.shape[_pencil.SPX_AXIS]
+    pencil = _pencil.is_pencil_mesh(mesh)
+    if pencil:
+        # fully sharded state-0 spectrum: x over 'spy', ky over 'spx'
+        nx_loc = nx // mesh.shape[_pencil.SPY_AXIS]
+        ny_loc = ny // mesh.shape[_pencil.SPX_AXIS]
+        psum_axes = (_pencil.SPX_AXIS, _pencil.SPY_AXIS)
+        in_spec = P(_pencil.SPY_AXIS, _pencil.SPX_AXIS, None)
     else:
-        spatial = SPACE_AXIS
-        n_spatial = mesh.shape.get(SPACE_AXIS, 1)
-    ny_loc = ny // n_spatial
+        nx_loc = nx
+        ny_loc = ny // mesh.shape.get(SPACE_AXIS, 1)
+        psum_axes = (SPACE_AXIS,)
+        in_spec = P(None, SPACE_AXIS, None)
 
     def _local_bins(cl):
-        # cl: (nx, ny/S, nzh) local block of the packed sampled spectrum
-        j = jax.lax.axis_index(spatial)
-        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (j * ny_loc,), (ny_loc,))
+        # cl: (nx[/py], ny/S, nzh) local block of the sampled spectrum
+        if pencil:
+            jx = jax.lax.axis_index(_pencil.SPY_AXIS)
+            jy = jax.lax.axis_index(_pencil.SPX_AXIS)
+        else:
+            jx = 0
+            jy = jax.lax.axis_index(SPACE_AXIS)
+        kx_l = jax.lax.dynamic_slice(jnp.asarray(kx), (jx * nx_loc,), (nx_loc,))
+        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (jy * ny_loc,), (ny_loc,))
         km = jnp.sqrt(
-            jnp.asarray(kx * kx)[:, None, None]
+            (kx_l * kx_l)[:, None, None]
             + (ky_l * ky_l)[None, :, None]
             + jnp.asarray(kz * kz)[None, None, :]
         ).astype(cl.real.dtype)
@@ -240,9 +262,7 @@ def make_sharded_spectrum_bins(mesh: Mesh, shape, spacing, nbins,
             jnp.asarray(mult, cl.real.dtype)[None, None, :], p,
             jnp.asarray(edges, cl.real.dtype), nbins, per_slab=True,
         )
-        return jax.lax.psum(jnp.stack([counts, psum_, ksum]), spatial)
-
-    in_spec = P(None, spatial, None)
+        return jax.lax.psum(jnp.stack([counts, psum_, ksum]), psum_axes)
 
     def fn(key, lk_tab, val_tab, smoothing_length):
         if from_seed:

@@ -124,6 +124,32 @@ def test_pencil_batch_and_power():
     np.testing.assert_allclose(k1, k0, rtol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [(16, 8, 12), (8, 8, 8)])
+def test_irfftn_pencil_state0_matches_numpy(shape):
+    # the render path's fully-sharded input layout (x over 'spy', ky
+    # over 'spx', kz local) adds a third all-to-all and must still be
+    # the exact same transform
+    import jax
+    from jax.sharding import NamedSharding
+
+    mesh = pc.make_pencil_mesh(data=1, spx=2, spy=4)
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    rng = np.random.RandomState(3)
+    c_np = (
+        rng.normal(size=(nx, ny, nzh)) + 1j * rng.normal(size=(nx, ny, nzh))
+    ).astype(np.complex64)
+    c = jax.device_put(jnp.asarray(c_np), pc.pencil_sigma_sharding(mesh))
+    out = jax.jit(
+        lambda c: pc.irfftn_pencil(c, shape, mesh, input_layout="state0")
+    )(c)
+    ref = np.fft.irfftn(c_np, s=shape, axes=(0, 1, 2), norm="forward")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=1e-4)
+    assert out.sharding.is_equivalent_to(
+        pc.pencil_field_sharding(mesh), out.ndim
+    )
+
+
 def test_pencil_sample_power_matches_single_device():
     from randomfield_tpu import Generator
 
