@@ -67,12 +67,17 @@ def main(sizes=((128, 16.0), (256, 8.0), (512, 4.0))):
     print("fidelity gate PASSED")
 
 
-def staged_gate(n=1024, sp=2.0, seed=3):
-    """1024^3 staged-pipeline check: variance + field-vs-spectrum P(k)."""
+def staged_gate(n=1024, sp=2.0, seed=3, sampler="threefry"):
+    """1024^3 staged-pipeline check: variance + field-vs-spectrum P(k).
+
+    ``sampler='pallas'`` gates the benchmark headline configuration
+    (fused hardware-PRNG sampling kernel with in-VMEM sigma
+    interpolation) through the same statistics.
+    """
     import randomfield_tpu as rf
     from randomfield_tpu.validate.stats import calculate_power, field_moments
 
-    g = rf.Generator(n, n, n, grid_spacing=sp)
+    g = rf.Generator(n, n, n, grid_spacing=sp, sampler=sampler)
     assert g.pipeline == "staged", g.pipeline
     t0 = time.perf_counter()
     d = g.generate_delta_field(seed, apply_lightcone=False)
@@ -87,14 +92,17 @@ def staged_gate(n=1024, sp=2.0, seed=3):
     max_dev = float(np.abs(pf[mask] / ps[mask] - 1).max())
     ok = abs(ratio - 1) < 0.05 and max_dev < 2e-3
     print(
-        f"{'OK ' if ok else 'FAIL'} staged {n}^3: var/pred={ratio:.4f} "
+        f"{'OK ' if ok else 'FAIL'} staged {n}^3 ({sampler}): "
+        f"var/pred={ratio:.4f} "
         f"max|field/spectrum P - 1|={max_dev:.2e} render={dt:.2f} s"
     )
     if not ok:
-        raise SystemExit("staged 1024^3 gate FAILED")
+        raise SystemExit(f"staged 1024^3 ({sampler}) gate FAILED")
 
 
 if __name__ == "__main__":
     main()
     if "--staged" in sys.argv:
         staged_gate()
+    if "--pallas" in sys.argv:
+        staged_gate(sampler="pallas")
