@@ -121,6 +121,34 @@ def _stage_p1(shape, spacing, dtype_name):
     return p1
 
 
+def _ifft_minor_fast(t):
+    """Minor-axis inverse FFT; optionally the Pallas CT kernel on TPU.
+
+    The Pallas kernel (ops/pallas_fft.py) wins the chained-marginal
+    microbenchmark (~37 ms vs the native kernel's ~58 ms per 2.2 GB
+    1024-pt pass on the v5e) but LOSES end-to-end inside p2/p3 at the
+    1024^3 ceiling (721 ms vs 664 ms render): its complex->re/im split,
+    digit-reorder, and re-complex passes add HBM traffic that the
+    isolated chain amortizes.  Until the staged pipeline carries re/im
+    lattices natively (which would also feed the sampler's output
+    straight in), the native kernel stays the default; opt in with
+    RF_PALLAS_FFT=1.  docs/performance.md has the full measurement.
+    """
+    from randomfield_tpu.ops import pallas_fft
+
+    if (
+        os.environ.get("RF_PALLAS_FFT", "0") == "1"
+        and pallas_fft.can_pallas_fft(t.shape[-1])
+    ):
+        try:
+            on_tpu = jax.devices()[0].platform != "cpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            return pallas_fft.ifft_minor_pallas(t)
+    return _transform.ifft_minor(t)
+
+
 @functools.lru_cache(maxsize=16)
 def _stages(shape, spacing, dtype_name):
     nx, ny, nz = shape
@@ -135,17 +163,16 @@ def _stages(shape, spacing, dtype_name):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def p2(c):
-        # ifft along x via a barrier-pinned physical transpose: the
-        # native minor-axis kernel is the fastest correct transform on
-        # this runtime (measured faster than the CT einsum alternative)
+        # ifft along x via a barrier-pinned physical transpose, on the
+        # fastest correct minor-axis kernel (see _ifft_minor_fast)
         t = _B(jnp.transpose(c, (1, 2, 0)))  # (nzh, ny, nx)
-        return _transform.ifft_minor(t)
+        return _ifft_minor_fast(t)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def p3(a):
         # ifft along y, then restore the x-major order the tail maps over
         t = _B(jnp.transpose(a, (0, 2, 1)))  # (nzh, nx, ny)
-        t = _transform.ifft_minor(t)
+        t = _ifft_minor_fast(t)
         return _B(jnp.transpose(t, (1, 0, 2)))  # (nx, nzh, ny)
 
     @functools.partial(jax.jit, donate_argnums=0)

@@ -1,0 +1,53 @@
+"""Pallas CT minor-axis FFT (ops/pallas_fft.py) — interpret-mode tests.
+
+The kernel's value proposition and its measured end-to-end outcome are
+documented in docs/performance.md ("Pallas CT FFT"); these tests pin its
+numerics against numpy on the CPU interpreter regardless of whether the
+staged pipeline currently enables it (RF_PALLAS_FFT).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randomfield_tpu.ops.pallas_fft import can_pallas_fft, ifft_minor_pallas
+
+
+@pytest.mark.parametrize(
+    "shape", [(4, 8, 1024), (16, 512), (3, 256), (2, 2048), (5, 128)]
+)
+def test_matches_numpy_ifft(shape):
+    rng = np.random.RandomState(0)
+    x = (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(
+        np.complex64
+    )
+    got = np.asarray(ifft_minor_pallas(jnp.asarray(x), interpret=True))
+    ref = np.fft.ifft(x, axis=-1, norm="forward")
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 3e-6, err
+
+
+def test_single_mode_exact():
+    # one excited mode -> pure phase ramp (catches index/twiddle bugs
+    # that random input might average away)
+    n = 512
+    c = np.zeros((2, n), np.complex64)
+    c[0, 3] = 1.5 + 0.5j
+    c[1, n - 7] = 1.0j
+    got = np.asarray(ifft_minor_pallas(jnp.asarray(c), interpret=True))
+    ref = np.fft.ifft(c, axis=-1, norm="forward")
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_can_pallas_fft():
+    assert can_pallas_fft(128)
+    assert can_pallas_fft(1024)
+    assert can_pallas_fft(2048)
+    assert not can_pallas_fft(96)
+    assert not can_pallas_fft(513)
+    assert not can_pallas_fft(128 * 32)
+
+
+def test_unsupported_length_raises():
+    with pytest.raises(ValueError, match="unsupported"):
+        ifft_minor_pallas(jnp.zeros((2, 96), jnp.complex64), interpret=True)
