@@ -501,6 +501,17 @@ class Generator:
             )
         return np.uint32(int(seed))
 
+    def _maybe_verbose(self, out, seed, t0):
+        if self.verbose:
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+            ncells = np.prod(self.scene.shape)
+            print(
+                f"[randomfield_tpu] render seed={seed}: {dt * 1e3:.1f} ms "
+                f"({ncells / dt / 1e9:.2f} Gcells/s)"
+            )
+        return out
+
     def generate_delta_field(self, seed=0, smoothing_length=0.0,
                              apply_lightcone=True):
         """Render one realization (ref: generate.py generate method).
@@ -528,6 +539,29 @@ class Generator:
             # distinct from the Threefry stream; see ops/pallas_sampler.py)
             from randomfield_tpu.ops.pallas_sampler import sample_spectrum_pallas
 
+            from randomfield_tpu.engine.staged import _use_v3
+
+            if self._layout == "xzy" and _use_v3(self.scene.shape):
+                # re/im-native v3: sampler emits re/im, Pallas CT
+                # transforms consume re/im, no complex array anywhere
+                # before the c2r tail (engine/staged.py:_stages_v3)
+                from randomfield_tpu.engine.staged import finish_staged_reim
+                from randomfield_tpu.ops.pallas_sampler import (
+                    sample_spectrum_pallas_reim,
+                )
+
+                re, im = sample_spectrum_pallas_reim(
+                    int(seed), self._pallas_table, self.scene.shape,
+                    self.scene.grid_spacing, smoothing_length,
+                )
+                return self._maybe_verbose(
+                    finish_staged_reim(
+                        re, im, self._weights(apply_lightcone),
+                        self.scene.shape, self.scene.grid_spacing,
+                        str(self._dtype),
+                    ),
+                    seed, t0,
+                )
             c = sample_spectrum_pallas(
                 int(seed), self._pallas_table, self.scene.shape,
                 self.scene.grid_spacing, smoothing_length, layout=self._layout,

@@ -254,6 +254,96 @@ def _stages_v2(shape, spacing, dtype_name):
     return p2, p3, p4
 
 
+def can_v3(shape) -> bool:
+    """v3 (re/im-native + Pallas CT transforms) shape support."""
+    from randomfield_tpu.ops.ctfft import can_ct
+    from randomfield_tpu.ops.pallas_fft import can_pallas_fft
+
+    nx, ny, nz = shape
+    return (
+        can_pallas_fft(nx) and can_pallas_fft(ny)
+        and nz % 2 == 0 and (nz // 2 == 1 or can_ct(nz // 2))
+    )
+
+
+def _use_v3(shape) -> bool:
+    env = os.environ.get("RF_STAGED_PIPELINE", "")
+    if env in ("v1", "v2"):
+        return False
+    if not can_v3(tuple(shape)):
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"  # Pallas compiled path
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=16)
+def _stages_v3(shape, spacing, dtype_name):
+    """v3 = the re/im-native pipeline: Pallas CT transforms, no complex.
+
+    Between sampling and the c2r tail every array is a separate re/im
+    float32 lattice: the Pallas sampler already *produces* re/im, the
+    Pallas CT FFT (ops/pallas_fft.py) consumes and emits re/im, and the
+    half-pack c2r tail decomposes internally — so the complex
+    formation/decomposition HBM passes that made the complex-wrapped
+    Pallas FFT a net loss (docs/performance.md) never exist.  Measured:
+    1024^3 render 0.664 s (v2+Pallas sampler) -> see docs/performance.md
+    for the v3 number.
+    """
+    from randomfield_tpu.ops import ctfft, pallas_fft
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    tail_chunks = _pick_chunks(nx, 64 if nx * ny * nz > AUTO_STAGED_THRESHOLD else 8)
+    _Bar = jax.lax.optimization_barrier
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def p2(re, im):
+        # (nx, nzh, ny) -> (nzh, ny, nx), transform over x on the minor
+        tre = _Bar(jnp.transpose(re, (1, 2, 0)))
+        tim = _Bar(jnp.transpose(im, (1, 2, 0)))
+        return pallas_fft.ifft_minor_pallas_reim(tre, tim)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def p3(re, im):
+        # transform over y on the minor, back to x-major for the tail
+        tre = _Bar(jnp.transpose(re, (0, 2, 1)))  # (nzh, nx, ny)
+        tim = _Bar(jnp.transpose(im, (0, 2, 1)))
+        gre, gim = pallas_fft.ifft_minor_pallas_reim(tre, tim)
+        return (
+            _Bar(jnp.transpose(gre, (1, 0, 2))),  # (nx, nzh, ny)
+            _Bar(jnp.transpose(gim, (1, 0, 2))),
+        )
+
+    @jax.jit
+    def p4(re, im, weights):
+        ck_re = re.reshape(tail_chunks, nx // tail_chunks, nzh, ny)
+        ck_im = im.reshape(tail_chunks, nx // tail_chunks, nzh, ny)
+
+        def one(args):
+            cr, ci = args
+            f = ctfft.irfft_half_axis_reim(cr, ci, nz, 1)  # (cx, nz, ny)
+            f = _Bar(jnp.transpose(f, (0, 2, 1)))          # (cx, ny, nz)
+            return f * weights[None, None, :]
+
+        return jax.lax.map(one, (ck_re, ck_im)).reshape(nx, ny, nz)
+
+    return p2, p3, p4
+
+
+def finish_staged_reim(re, im, weights, shape, spacing, dtype_name):
+    """v3 inverse-transform + weight from (re, im) spectrum lattices."""
+    shape = tuple(shape)
+    p2, p3, p4 = _stages_v3(shape, float(spacing), dtype_name)
+    re.block_until_ready()
+    re, im = p2(re, im)
+    re.block_until_ready()
+    re, im = p3(re, im)
+    re.block_until_ready()
+    return p4(re, im, weights)
+
+
 def finish_staged(c, weights, shape, spacing, dtype_name):
     """Inverse-transform + weight a sampled (nx, nzh, ny) spectrum.
 

@@ -208,10 +208,19 @@ def irfft_half_axis(c, n, axis):
     >= 512^3 — ops/transform.py:irfft_minor), and the interleave is a
     stack+reshape of real arrays.
     """
+    return irfft_half_axis_reim(c.real, c.imag, n, axis % c.ndim)
+
+
+def irfft_half_axis_reim(cre, cim, n, axis):
+    """:func:`irfft_half_axis` from separate re/im lattices.
+
+    The body already works on real lattices; taking re/im directly lets
+    the re/im-native staged pipeline (engine/staged.py v3) skip the
+    complex formation/decomposition HBM passes at its boundary.
+    """
     assert n % 2 == 0, "half-pack c2r requires an even length"
     m_len = n // 2
-    axis = axis % c.ndim
-    cre, cim = c.real, c.imag
+    axis = axis % cre.ndim
     rdt = cre.dtype
 
     def ax(sl):
@@ -228,7 +237,7 @@ def irfft_half_axis(c, n, axis):
     oi = head_im + rev_im
 
     theta = 2.0 * np.pi * np.arange(m_len) / n
-    shape_w = [1] * c.ndim
+    shape_w = [1] * cre.ndim
     shape_w[axis] = m_len
     wr = jnp.asarray(np.cos(theta), rdt).reshape(shape_w)
     wi = jnp.asarray(np.sin(theta), rdt).reshape(shape_w)
@@ -240,4 +249,4 @@ def irfft_half_axis(c, n, axis):
 
     # interleave: x[..., 2j, ...] = Re z[j], x[..., 2j+1, ...] = Im z[j]
     pair = jnp.stack([z.real, z.imag], axis=axis + 1)
-    return pair.reshape(*c.shape[:axis], n, *c.shape[axis + 1:])
+    return pair.reshape(*cre.shape[:axis], n, *cre.shape[axis + 1:])

@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ifft_minor_pallas", "can_pallas_fft"]
+__all__ = ["ifft_minor_pallas", "ifft_minor_pallas_reim", "can_pallas_fft"]
 
 _LANES = 128
 
@@ -136,19 +136,35 @@ def _ifft2d(xre, xim, n, interpret):
     return gre, gim
 
 
+def ifft_minor_pallas_reim(xre, xim, interpret=False):
+    """Unnormalized minor-axis inverse FFT on separate re/im lattices.
+
+    The native interface for the re/im-native staged pipeline
+    (engine/staged.py v3): no complex array is formed anywhere, so the
+    complex<->re/im HBM passes that sank the complex wrapper's
+    end-to-end numbers (docs/performance.md) never exist.
+    """
+    n = xre.shape[-1]
+    if not can_pallas_fft(n):
+        raise ValueError(f"n={n} unsupported (need a multiple of 128, A<=16)")
+    lead = xre.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    gre, gim = _ifft2d(
+        xre.reshape(m, n), xim.reshape(m, n), n, bool(interpret)
+    )
+    return gre.reshape(*lead, n), gim.reshape(*lead, n)
+
+
 def ifft_minor_pallas(x, interpret=False):
     """Unnormalized inverse FFT along the minor axis (complex in/out).
 
     Drop-in for ``jnp.fft.ifft(x, axis=-1, norm='forward')`` when
     ``can_pallas_fft(x.shape[-1])``.  One HBM pass through the Pallas CT
-    kernel plus one copy-speed digit-reorder pass.
+    kernel plus one copy-speed digit-reorder pass (plus the complex
+    decompose/re-form passes — prefer :func:`ifft_minor_pallas_reim`
+    in pipelines that can carry re/im).
     """
-    n = x.shape[-1]
-    if not can_pallas_fft(n):
-        raise ValueError(f"n={n} unsupported (need a multiple of 128, A<=16)")
-    lead = x.shape[:-1]
-    m = int(np.prod(lead)) if lead else 1
-    xre = jnp.real(x).reshape(m, n)
-    xim = jnp.imag(x).reshape(m, n)
-    gre, gim = _ifft2d(xre, xim, n, bool(interpret))
-    return jax.lax.complex(gre, gim).reshape(*lead, n)
+    gre, gim = ifft_minor_pallas_reim(
+        jnp.real(x), jnp.imag(x), interpret=interpret
+    )
+    return jax.lax.complex(gre, gim)

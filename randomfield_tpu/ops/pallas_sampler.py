@@ -59,7 +59,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from randomfield_tpu.ops import transform as _transform
 
-__all__ = ["sample_spectrum_pallas", "make_sigma_table", "SigmaTable"]
+__all__ = [
+    "sample_spectrum_pallas",
+    "sample_spectrum_pallas_reim",
+    "make_sigma_table",
+    "SigmaTable",
+]
 
 _TWO_PI = 6.283185307179586
 _INV_SQRT2 = 0.7071067811865476
@@ -255,6 +260,81 @@ def _make_kernel(shape, spacing, layout):
         im_ref[0] = amp * (r * jnp.sin(theta))
 
     return kernel, (nx, d1, d2, blk1, d2t, n1_tiles, n2_tiles)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "spacing", "layout", "interpret")
+)
+def _sample_jit_reim(seed, smoothing_length, lk0, inv_dlk, stab, shape,
+                     spacing, layout, interpret):
+    """Kernel + Hermitian fixup entirely on re/im lattices ('xzy' only).
+
+    Same draws and same fixup math as :func:`_sample_jit` (asserted in
+    tests), but no complex array is ever formed — the entry stage of the
+    re/im-native staged pipeline (engine/staged.py v3).
+    """
+    if layout != "xzy":
+        raise ValueError("the re/im sampling path is staged-only (xzy)")
+    kernel, (nx, d1, d2, blk1, d2t, n1_tiles, n2_tiles) = _make_kernel(
+        shape, spacing, layout
+    )
+    out = jax.ShapeDtypeStruct((nx, d1, d2), stab.dtype)
+    row = pl.BlockSpec(
+        (1, blk1, d2t), lambda i, j1, j2: (i, j1, j2), memory_space=pltpu.VMEM
+    )
+    re, im = pl.pallas_call(
+        kernel,
+        grid=(nx, n1_tiles, n2_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(row, row),
+        out_shape=(out, out),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray([seed], jnp.int32).ravel(),
+        jnp.asarray([smoothing_length], stab.dtype).ravel(),
+        jnp.asarray([lk0], stab.dtype).ravel(),
+        jnp.asarray([inv_dlk], stab.dtype).ravel(),
+        stab,
+    )
+    nz = shape[2]
+    from randomfield_tpu.ops import grid as _grid
+
+    for p in _grid.self_conjugate_kz_planes(nz):
+        fre, fim = _transform._symmetrize_plane_reim(
+            re[:, p, :], im[:, p, :], True
+        )
+        re = re.at[:, p, :].set(fre)
+        im = im.at[:, p, :].set(fim)
+    return re, im
+
+
+def sample_spectrum_pallas_reim(seed, table, shape, spacing,
+                                smoothing_length=0.0, interpret=False):
+    """Sampled spectrum as (re, im) float32 lattices, layout 'xzy'.
+
+    Same stream, scaling, filtering and Hermitian fixup as
+    :func:`sample_spectrum_pallas` — the complex array is simply never
+    formed (the v3 staged pipeline consumes re/im directly).
+    """
+    lk0, dlk, stab = table
+    stab = jnp.asarray(stab)
+    m, d2, _ = _segment_rows(shape, "xzy")
+    if stab.shape != (m, d2):
+        raise ValueError(
+            f"sigma table shape {stab.shape} != required {(m, d2)} for "
+            f"shape {shape}, layout 'xzy'"
+        )
+    return _sample_jit_reim(
+        int(seed) & 0x7FFFFFFF, smoothing_length, float(lk0),
+        1.0 / float(dlk), stab,
+        tuple(int(s) for s in shape), float(spacing), "xzy", bool(interpret)
+    )
 
 
 @functools.partial(

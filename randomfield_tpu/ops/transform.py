@@ -241,6 +241,26 @@ def _symmetrize_plane(z, scale_self_conjugate):
     return jnp.where(self_conj, real_part, out)
 
 
+def _symmetrize_plane_reim(re2, im2, scale_self_conjugate):
+    """:func:`_symmetrize_plane` on separate re/im lattices.
+
+    Same math, never forms a complex array — the building block of the
+    re/im-native staged pipeline (engine/staged.py v3), where complex
+    formation/decomposition passes are what the pipeline exists to
+    avoid.
+    """
+    nx, ny = re2.shape[-2], re2.shape[-1]
+    self_conj, canonical = _grid.hermitian_plane_masks(nx, ny)
+    pre = _grid.conjugate_plane(re2)
+    pim = -_grid.conjugate_plane(im2)
+    out_re = jnp.where(canonical, re2, pre)
+    out_im = jnp.where(canonical, im2, pim)
+    scale = np.sqrt(2.0) if scale_self_conjugate else 1.0
+    out_re = jnp.where(self_conj, (scale * re2).astype(re2.dtype), out_re)
+    out_im = jnp.where(self_conj, jnp.zeros((), im2.dtype), out_im)
+    return out_re, out_im
+
+
 def symmetrize(c, scale_self_conjugate=True):
     """Enforce the Hermitian constraint on a packed half-spectrum.
 

@@ -53,3 +53,15 @@ def test_prime_fallback():
     got = np.asarray(ctfft.ifft_ct(jnp.asarray(x), axis=1))
     want = np.fft.ifft(x.astype(np.complex128), axis=1, norm="forward")
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_irfft_half_axis_reim_matches_complex():
+    from randomfield_tpu.ops.ctfft import irfft_half_axis, irfft_half_axis_reim
+
+    rng = np.random.RandomState(9)
+    # Hermitian-along-axis packed spectrum: synthesize from a real field
+    x = rng.normal(size=(4, 16, 6)).astype(np.float32)
+    c = np.fft.rfft(x, axis=1).astype(np.complex64)
+    a = irfft_half_axis(jnp.asarray(c), 16, 1)
+    b = irfft_half_axis_reim(jnp.asarray(c.real), jnp.asarray(c.imag), 16, 1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

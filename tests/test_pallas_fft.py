@@ -51,3 +51,18 @@ def test_can_pallas_fft():
 def test_unsupported_length_raises():
     with pytest.raises(ValueError, match="unsupported"):
         ifft_minor_pallas(jnp.zeros((2, 96), jnp.complex64), interpret=True)
+
+
+def test_reim_variant_matches_complex():
+    rng = np.random.RandomState(5)
+    x = (rng.normal(size=(6, 512)) + 1j * rng.normal(size=(6, 512))).astype(
+        np.complex64
+    )
+    from randomfield_tpu.ops.pallas_fft import ifft_minor_pallas_reim
+
+    re, im = ifft_minor_pallas_reim(
+        jnp.asarray(x.real), jnp.asarray(x.imag), interpret=True
+    )
+    ref = ifft_minor_pallas(jnp.asarray(x), interpret=True)
+    np.testing.assert_array_equal(np.asarray(re), np.asarray(ref.real))
+    np.testing.assert_array_equal(np.asarray(im), np.asarray(ref.imag))

@@ -137,3 +137,18 @@ def test_statistics_on_tpu():
     from scripts.validate_pallas_sampler import run_checks
 
     run_checks(n_seeds=100, shape=(16, 16, 16))
+
+
+def test_reim_sampler_matches_complex_xzy():
+    # under the stubbed interpreter PRNG both paths are deterministic;
+    # the re/im path must be bit-identical to the complex path's parts
+    from randomfield_tpu.ops.pallas_sampler import sample_spectrum_pallas_reim
+
+    shape, spacing = (8, 8, 8), 1.3
+    tab = constant_table(shape, "xzy", 1.7)
+    c = sample_spectrum_pallas(3, tab, shape, spacing, smoothing_length=2.0,
+                               layout="xzy", interpret=True)
+    re, im = sample_spectrum_pallas_reim(3, tab, shape, spacing,
+                                         smoothing_length=2.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(re), np.asarray(c.real))
+    np.testing.assert_array_equal(np.asarray(im), np.asarray(c.imag))

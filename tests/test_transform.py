@@ -128,3 +128,23 @@ def test_safe_backend_batched():
     a = np.asarray(transform._irfftn_safe(c, shape))
     b = np.asarray(jnp.fft.irfftn(c, s=shape, axes=(1, 2, 3), norm="forward"))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4 * np.abs(b).max())
+
+
+def test_symmetrize_plane_reim_matches_complex():
+    from randomfield_tpu.ops.transform import (
+        _symmetrize_plane,
+        _symmetrize_plane_reim,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(8, 8), (7, 8), (8, 6)]:
+        z = (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(
+            np.complex64
+        )
+        for scale in (True, False):
+            want = np.asarray(_symmetrize_plane(jnp.asarray(z), scale))
+            re, im = _symmetrize_plane_reim(
+                jnp.asarray(z.real), jnp.asarray(z.imag), scale
+            )
+            np.testing.assert_allclose(np.asarray(re), want.real, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(im), want.imag, atol=1e-7)
