@@ -45,6 +45,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from randomfield_tpu.ops import grid as _grid
 from randomfield_tpu.ops import transform as _transform
@@ -316,17 +317,51 @@ def _stages_v3(shape, spacing, dtype_name):
             _Bar(jnp.transpose(gim, (1, 0, 2))),
         )
 
+    m_len = nz // 2
+    use_pallas_tail = pallas_fft.can_pallas_fft(m_len)
+    theta = 2.0 * np.pi * np.arange(m_len) / nz
+    wr_np = np.cos(theta).astype(np.float32)
+    wi_np = np.sin(theta).astype(np.float32)
+
     @jax.jit
     def p4(re, im, weights):
         ck_re = re.reshape(tail_chunks, nx // tail_chunks, nzh, ny)
         ck_im = im.reshape(tail_chunks, nx // tail_chunks, nzh, ny)
 
-        def one(args):
+        def one_einsum(args):
             cr, ci = args
             f = ctfft.irfft_half_axis_reim(cr, ci, nz, 1)  # (cx, nz, ny)
             f = _Bar(jnp.transpose(f, (0, 2, 1)))          # (cx, ny, nz)
             return f * weights[None, None, :]
 
+        def one_pallas(args):
+            # half-pack c2r on the MINOR axis: transpose the chunk once,
+            # build the packed G on real minor-axis lattices, run the
+            # Pallas CT m-point inverse, interleave even/odd — every
+            # step a single pass over chunk-sized data (the einsum tail
+            # round-trips HBM per CT stage)
+            cr, ci = args
+            cr = _Bar(jnp.transpose(cr, (0, 2, 1)))  # (cx, ny, nzh)
+            ci = _Bar(jnp.transpose(ci, (0, 2, 1)))
+            head_re = cr[..., :m_len]
+            head_im = ci[..., :m_len]
+            rev_re = cr[..., 1:m_len + 1][..., ::-1]
+            rev_im = ci[..., 1:m_len + 1][..., ::-1]
+            er = head_re + rev_re
+            ei = head_im - rev_im
+            orr = head_re - rev_re
+            oi = head_im + rev_im
+            wr = jnp.asarray(wr_np)[None, None, :]
+            wi = jnp.asarray(wi_np)[None, None, :]
+            g_re = er - (wr * oi + wi * orr)
+            g_im = ei + (wr * orr - wi * oi)
+            zre, zim = pallas_fft.ifft_minor_pallas_reim(g_re, g_im)
+            # interleave: x[..., 2j] = Re z[j], x[..., 2j+1] = Im z[j]
+            pair = jnp.stack([zre, zim], axis=-1)  # (cx, ny, m, 2)
+            f = pair.reshape(*zre.shape[:-1], nz)
+            return f * weights[None, None, :]
+
+        one = one_pallas if use_pallas_tail else one_einsum
         return jax.lax.map(one, (ck_re, ck_im)).reshape(nx, ny, nz)
 
     return p2, p3, p4
