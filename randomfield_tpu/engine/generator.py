@@ -542,23 +542,15 @@ class Generator:
             from randomfield_tpu.engine.staged import _use_v3
 
             if self._layout == "xzy" and _use_v3(self.scene.shape):
-                # re/im-native v3: sampler emits re/im, Pallas CT
-                # transforms consume re/im, no complex array anywhere
-                # before the c2r tail (engine/staged.py:_stages_v3)
-                from randomfield_tpu.engine.staged import finish_staged_reim
-                from randomfield_tpu.ops.pallas_sampler import (
-                    sample_spectrum_pallas_reim,
-                )
+                # re/im-native v3: ONE fused program from Pallas sampling
+                # through the weighted field (engine/staged.py:render_v3)
+                from randomfield_tpu.engine.staged import render_v3
 
-                re, im = sample_spectrum_pallas_reim(
-                    int(seed), self._pallas_table, self.scene.shape,
-                    self.scene.grid_spacing, smoothing_length,
-                )
                 return self._maybe_verbose(
-                    finish_staged_reim(
-                        re, im, self._weights(apply_lightcone),
-                        self.scene.shape, self.scene.grid_spacing,
-                        str(self._dtype),
+                    render_v3(
+                        int(seed), self._pallas_table, self.scene.shape,
+                        self.scene.grid_spacing, str(self._dtype),
+                        self._weights(apply_lightcone), smoothing_length,
                     ),
                     seed, t0,
                 )

@@ -280,6 +280,83 @@ def _use_v3(shape) -> bool:
 
 
 @functools.lru_cache(maxsize=16)
+def _stages_v3_merged(shape, spacing, dtype_name):
+    """Experimental p2+p3 fusion with folded digit permutations.
+
+    One program runs both complex transform passes; the kernels emit
+    raw digit order (reorder=False) and the permutations ride existing
+    data movements: x's inside the closing transpose-gather, y's inside
+    p4's per-chunk transpose-gather.  Select with RF_STAGED_V3_MERGE=1.
+    """
+    from randomfield_tpu.ops import ctfft, pallas_fft
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    tail_chunks = _pick_chunks(nx, 64 if nx * ny * nz > AUTO_STAGED_THRESHOLD else 8)
+    _Bar = jax.lax.optimization_barrier
+    permx = pallas_fft.digit_perm(nx)
+    permy = pallas_fft.digit_perm(ny)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def p23(re, im):
+        tre = _Bar(jnp.transpose(re, (1, 2, 0)))   # (nzh, ny, nx)
+        tim = _Bar(jnp.transpose(im, (1, 2, 0)))
+        gre, gim = pallas_fft.ifft_minor_pallas_reim(tre, tim, reorder=False)
+        tre = _Bar(jnp.transpose(gre, (0, 2, 1)))  # (nzh, x^G, ny)
+        tim = _Bar(jnp.transpose(gim, (0, 2, 1)))
+        gre, gim = pallas_fft.ifft_minor_pallas_reim(tre, tim, reorder=False)
+        px = jnp.asarray(permx)
+        outre = _Bar(jnp.take(jnp.transpose(gre, (1, 0, 2)), px, axis=0))
+        outim = _Bar(jnp.take(jnp.transpose(gim, (1, 0, 2)), px, axis=0))
+        return outre, outim                        # (nx, nzh, y^G)
+
+    m_len = nz // 2
+    use_pallas_tail = pallas_fft.can_pallas_fft(m_len)
+    theta = 2.0 * np.pi * np.arange(m_len) / nz
+    wr_np = np.cos(theta).astype(np.float32)
+    wi_np = np.sin(theta).astype(np.float32)
+
+    @jax.jit
+    def p4(re, im, weights):
+        ck_re = re.reshape(tail_chunks, nx // tail_chunks, nzh, ny)
+        ck_im = im.reshape(tail_chunks, nx // tail_chunks, nzh, ny)
+        py = jnp.asarray(permy)
+
+        def one_pallas(args):
+            cr, ci = args
+            # transpose + y digit-fix in one gather pass each
+            cr = _Bar(jnp.take(jnp.transpose(cr, (0, 2, 1)), py, axis=1))
+            ci = _Bar(jnp.take(jnp.transpose(ci, (0, 2, 1)), py, axis=1))
+            head_re = cr[..., :m_len]
+            head_im = ci[..., :m_len]
+            rev_re = cr[..., 1:m_len + 1][..., ::-1]
+            rev_im = ci[..., 1:m_len + 1][..., ::-1]
+            er = head_re + rev_re
+            ei = head_im - rev_im
+            orr = head_re - rev_re
+            oi = head_im + rev_im
+            wr = jnp.asarray(wr_np)[None, None, :]
+            wi = jnp.asarray(wi_np)[None, None, :]
+            g_re = er - (wr * oi + wi * orr)
+            g_im = ei + (wr * orr - wi * oi)
+            zre, zim = pallas_fft.ifft_minor_pallas_reim(g_re, g_im)
+            pair = jnp.stack([zre, zim], axis=-1)
+            f = pair.reshape(*zre.shape[:-1], nz)
+            return f * weights[None, None, :]
+
+        def one_einsum(args):
+            cr, ci = args
+            f = ctfft.irfft_half_axis_reim(cr, ci, nz, 1)
+            f = _Bar(jnp.take(jnp.transpose(f, (0, 2, 1)), py, axis=1))
+            return f * weights[None, None, :]
+
+        one = one_pallas if use_pallas_tail else one_einsum
+        return jax.lax.map(one, (ck_re, ck_im)).reshape(nx, ny, nz)
+
+    return p23, p4
+
+
+@functools.lru_cache(maxsize=16)
 def _stages_v3(shape, spacing, dtype_name):
     """v3 = the re/im-native pipeline: Pallas CT transforms, no complex.
 
@@ -367,9 +444,69 @@ def _stages_v3(shape, spacing, dtype_name):
     return p2, p3, p4
 
 
+@functools.lru_cache(maxsize=16)
+def _render_v3_single(shape, spacing, dtype_name):
+    """ONE jitted program: Pallas sample -> transforms -> weighted field.
+
+    With every stage on re/im lattices and the Pallas kernels' VMEM
+    residency, the whole 1024^3 render fits a single XLA program on
+    16 GB (the round-2 monolithic attempt OOM'd because the native FFT
+    custom-calls held full-size workspaces) — no inter-stage syncs, no
+    inter-program allocation overlap: measured 0.407 s (3 programs) ->
+    0.329 s (this), vs 0.741 s at round-3 start.
+    """
+    from randomfield_tpu.ops import pallas_sampler as ps
+
+    p23, p4 = _stages_v3_merged(shape, float(spacing), dtype_name)
+
+    @jax.jit
+    def fn(seed, smoothing, lk0, inv_dlk, stab, weights):
+        re, im = ps._sample_jit_reim(
+            seed, smoothing, lk0, inv_dlk, stab, shape, float(spacing),
+            "xzy", False,
+        )
+        re, im = p23(re, im)
+        return p4(re, im, weights)
+
+    return fn
+
+
+def render_v3(seed, table, shape, spacing, dtype_name, weights,
+              smoothing_length=0.0):
+    """Full v3 staged render for the Pallas sampler (layout 'xzy').
+
+    Default: the single fused program (:func:`_render_v3_single`).
+    ``RF_STAGED_V3_MERGE=0`` falls back to the separately-jitted
+    3-program pipeline (memory-safety escape hatch; bit-identical
+    output).
+    """
+    from randomfield_tpu.ops import pallas_sampler as ps
+
+    shape = tuple(shape)
+    lk0, dlk, stab = table
+    if os.environ.get("RF_STAGED_V3_MERGE", "1") != "0":
+        fn = _render_v3_single(shape, float(spacing), dtype_name)
+        return fn(
+            jnp.uint32(int(seed) & 0x7FFFFFFF),
+            jnp.float32(smoothing_length),
+            jnp.float32(lk0), jnp.float32(1.0 / float(dlk)),
+            jnp.asarray(stab), weights,
+        )
+    re, im = ps.sample_spectrum_pallas_reim(
+        seed, table, shape, spacing, smoothing_length
+    )
+    return finish_staged_reim(re, im, weights, shape, spacing, dtype_name)
+
+
 def finish_staged_reim(re, im, weights, shape, spacing, dtype_name):
     """v3 inverse-transform + weight from (re, im) spectrum lattices."""
     shape = tuple(shape)
+    if os.environ.get("RF_STAGED_V3_MERGE", "1") != "0":
+        p23, p4 = _stages_v3_merged(shape, float(spacing), dtype_name)
+        re.block_until_ready()
+        re, im = p23(re, im)
+        re.block_until_ready()
+        return p4(re, im, weights)
     p2, p3, p4 = _stages_v3(shape, float(spacing), dtype_name)
     re.block_until_ready()
     re, im = p2(re, im)

@@ -109,8 +109,8 @@ def _make_kernel(n: int, blkm: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def _ifft2d(xre, xim, n, interpret):
+@functools.partial(jax.jit, static_argnames=("n", "interpret", "reorder"))
+def _ifft2d(xre, xim, n, interpret, reorder=True):
     m = xre.shape[0]
     blkm = 256
     grid = (pl.cdiv(m, blkm),)
@@ -130,19 +130,33 @@ def _ifft2d(xre, xim, n, interpret):
       jnp.asarray(vre), jnp.asarray(vim))
     # undo the digit permutation: G[:, c*128+d] -> X[:, c+A*d]
     A = n // _LANES
-    if A > 1:
+    if A > 1 and reorder:
         gre = gre.reshape(m, A, _LANES).transpose(0, 2, 1).reshape(m, n)
         gim = gim.reshape(m, A, _LANES).transpose(0, 2, 1).reshape(m, n)
     return gre, gim
 
 
-def ifft_minor_pallas_reim(xre, xim, interpret=False):
+@functools.lru_cache(maxsize=32)
+def digit_perm(n: int) -> np.ndarray:
+    """perm with X_true[..., j] == G[..., perm[j]] for the raw kernel
+    output G[..., c*128 + d] = X[..., c + A*d]."""
+    A = n // _LANES
+    j = np.arange(n)
+    return ((j % A) * _LANES + j // A).astype(np.int32)
+
+
+def ifft_minor_pallas_reim(xre, xim, interpret=False, reorder=True):
     """Unnormalized minor-axis inverse FFT on separate re/im lattices.
 
     The native interface for the re/im-native staged pipeline
     (engine/staged.py v3): no complex array is formed anywhere, so the
     complex<->re/im HBM passes that sank the complex wrapper's
     end-to-end numbers (docs/performance.md) never exist.
+
+    ``reorder=False`` skips the digit-permutation pass and returns the
+    kernel's raw order (undo with ``take(g, digit_perm(n), axis=-1)``)
+    — pipelines fold the permutation into an adjacent transpose/gather
+    instead of paying a dedicated pass.
     """
     n = xre.shape[-1]
     if not can_pallas_fft(n):
@@ -150,7 +164,8 @@ def ifft_minor_pallas_reim(xre, xim, interpret=False):
     lead = xre.shape[:-1]
     m = int(np.prod(lead)) if lead else 1
     gre, gim = _ifft2d(
-        xre.reshape(m, n), xim.reshape(m, n), n, bool(interpret)
+        xre.reshape(m, n), xim.reshape(m, n), n, bool(interpret),
+        reorder=bool(reorder),
     )
     return gre.reshape(*lead, n), gim.reshape(*lead, n)
 
