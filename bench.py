@@ -74,19 +74,20 @@ def _stats(ts):
 # TPU phase (runs FIRST: these are the round's evidence)
 # --------------------------------------------------------------------------
 
-def time_tpu_render(n, iters=6, sampler="threefry"):
+def time_tpu_render(n, iters=6, sampler="threefry", pipeline="auto"):
     """Steady-state seconds per render at n^3 (scene setup amortized).
 
-    The 1024^3 headline uses the fused Pallas sampler (its own
-    deterministic stream, hardware-gate-validated below): the staged
-    pipeline is already multi-program, so the kernel's savings (no sigma
-    grid read, fused interpolation) land fully — measured 736 -> 664 ms.
-    At <= 512^3 the single fused Threefry program wins (a separate
-    sampler program costs one ~30 ms boundary).
+    Headlines use the v3 configuration (sampler='pallas' +
+    pipeline='staged'): ONE jitted program from the fused Pallas PRNG /
+    sigma-interpolation sampler through the Pallas CT transforms to the
+    weighted field (engine/staged.py:render_v3; its stream is its own
+    deterministic flavor, hardware-gate-validated below).  Measured
+    this round: 1024^3 0.741 -> 0.329 s, 512^3 0.095 -> 0.064 s.
     """
     import randomfield_tpu as rf
 
-    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n, sampler=sampler)
+    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n, sampler=sampler,
+                     pipeline=pipeline)
     d = g.generate_delta_field(0)
     _ = float(d[0, 0, 0])  # force completion (axon dispatch is async)
     ts = []
@@ -127,10 +128,11 @@ def time_tpu_batch(n=512, batch=4, iters=3):
 
 
 def time_sample_power(n=1024, seeds=3):
-    """Config-4 workload: FFT-free spectrum-space P(k) per seed at n^3."""
+    """Config-4 workload: FFT-free spectrum-space P(k) per seed at n^3
+    (fused Pallas sample->bin program; engine/staged.py:sample_power_v3)."""
     import randomfield_tpu as rf
 
-    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n)
+    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n, sampler="pallas")
     g.sample_power(0)  # compile + warm
     ts = []
     for s in range(1, seeds + 1):
@@ -262,11 +264,10 @@ def main():
     headline_n, headline_dt = None, None
     for n in (512, 1024):
         try:
-            sampler = "pallas" if n >= 1024 else "threefry"
-            dt, ts = time_tpu_render(n, sampler=sampler)
+            dt, ts = time_tpu_render(n, sampler="pallas", pipeline="staged")
             detail[f"tpu_{n}"] = dict(
                 _stats(ts), gcells_per_s=round(n**3 / dt / 1e9, 2),
-                sampler=sampler,
+                sampler="pallas", pipeline="staged(v3)",
             )
             headline_n, headline_dt = n, dt
         except Exception as e:  # 1024^3 sits at the 16 GB HBM boundary

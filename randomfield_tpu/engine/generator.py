@@ -693,6 +693,24 @@ class Generator:
             with np.errstate(invalid="ignore", divide="ignore"):
                 return ksum / counts, psum / counts, counts
 
+        if self.sampler == "pallas" and self._layout == "xzy":
+            from randomfield_tpu.engine.staged import (
+                _pallas_compiled, sample_power_v3,
+            )
+
+            if _pallas_compiled():
+                # one fused program: Pallas sampling straight into the
+                # one-hot binning — no spectrum buffer, no boundary
+                counts, psum, ksum = sample_power_v3(
+                    int(seed), self._pallas_table, self.scene.shape,
+                    self.scene.grid_spacing, int(nbins), smoothing_length,
+                )
+                counts = np.asarray(counts, np.float64)
+                psum = np.asarray(psum, np.float64)
+                ksum = np.asarray(ksum, np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    return ksum / counts, psum / counts, counts
+
         sm = jnp.asarray(smoothing_length, self._dtype)
         c = self._sampled_spectrum(seed, sm)
         return stats.spectrum_power(

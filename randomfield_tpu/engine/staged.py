@@ -498,6 +498,48 @@ def render_v3(seed, table, shape, spacing, dtype_name, weights,
     return finish_staged_reim(re, im, weights, shape, spacing, dtype_name)
 
 
+def _pallas_compiled() -> bool:
+    """True when Pallas kernels run compiled (i.e. not the CPU tests)."""
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=16)
+def _sample_power_v3(shape, spacing, nbins, dtype_name):
+    """ONE jitted program: Pallas sample (re/im) -> binned |c|^2 V.
+
+    The config-4 workload with no FFT, no complex spectrum, and no
+    intermediate program boundary — sampling feeds the one-hot MXU
+    binning directly.
+    """
+    from randomfield_tpu.ops import pallas_sampler as ps
+    from randomfield_tpu.validate.stats import _binned_spectrum_reim
+
+    @jax.jit
+    def fn(seed, smoothing, lk0, inv_dlk, stab):
+        re, im = ps._sample_jit_reim(
+            seed, smoothing, lk0, inv_dlk, stab, shape, float(spacing),
+            "xzy", False,
+        )
+        return _binned_spectrum_reim(
+            re, im, shape, float(spacing), nbins, "xzy"
+        )
+
+    return fn
+
+
+def sample_power_v3(seed, table, shape, spacing, nbins, smoothing_length=0.0):
+    """(counts, power_sum, k_sum) for a seed via the fused program."""
+    lk0, dlk, stab = table
+    fn = _sample_power_v3(tuple(shape), float(spacing), int(nbins), "float32")
+    return fn(
+        jnp.uint32(int(seed) & 0x7FFFFFFF), jnp.float32(smoothing_length),
+        jnp.float32(lk0), jnp.float32(1.0 / float(dlk)), jnp.asarray(stab),
+    )
+
+
 def finish_staged_reim(re, im, weights, shape, spacing, dtype_name):
     """v3 inverse-transform + weight from (re, im) spectrum lattices."""
     shape = tuple(shape)

@@ -330,11 +330,19 @@ def _make_pencil_binned(mesh, shape, spacing, nbins):
     jax.jit, static_argnames=("shape", "spacing", "nbins", "layout")
 )
 def _binned_spectrum(c, shape, spacing, nbins, layout):
-    """Bin |c_k|^2 * V of a packed spectrum (no FFT; layout-aware).
+    """Bin |c_k|^2 * V of a packed spectrum (no FFT; layout-aware)."""
+    return _binned_spectrum_reim(c.real, c.imag, shape, spacing, nbins, layout)
+
+
+def _binned_spectrum_reim(cre, cim, shape, spacing, nbins, layout):
+    """Binning core on re/im lattices (traceable; no complex input).
 
     |k| is rebuilt per x-slab from 1-D frequency vectors inside a
     lax.map body — a precomputed |k| cube at 1024^3 would bake a >4 GB
     constant into the executable (resident HBM + minutes of transfer).
+    Shared by the complex wrapper above and the fused Pallas
+    sample+bin program (engine/staged.py:sample_power_v3), which never
+    forms a complex spectrum.
     """
     nx, ny, nz = shape
     volume = nx * ny * nz * spacing**3
@@ -343,7 +351,7 @@ def _binned_spectrum(c, shape, spacing, nbins, layout):
     kx = two_pi * np.fft.fftfreq(nx, d=spacing)
     ky = two_pi * np.fft.fftfreq(ny, d=spacing)
     kz = two_pi * np.fft.rfftfreq(nz, d=spacing)
-    dtype = c.real.dtype
+    dtype = cre.dtype
     if layout == "xyz":
         kmid, klast = ky, kz
         m2 = np.broadcast_to(mult[None, :], (ny, nz // 2 + 1))
@@ -368,18 +376,22 @@ def _binned_spectrum(c, shape, spacing, nbins, layout):
             break
 
     def chunk(args):
-        kxs, cs = args  # (ch,) kx^2, (ch, d1, d2) spectrum slabs
+        kxs, csr, csi = args  # (ch,) kx^2, (ch, d1, d2) re/im slabs
         km = jnp.sqrt(
             kxs[:, None, None]
             + (kmid_j * kmid_j)[None, :, None]
             + (klast_j * klast_j)[None, None, :]
         )
-        p = (cs.real**2 + cs.imag**2) * jnp.asarray(volume, dtype)
+        p = (csr * csr + csi * csi) * jnp.asarray(volume, dtype)
         return _masked_bins(km, m2_j[None], p, edges_j, nbins, per_slab=False)
 
     counts, psum, ksum = jax.lax.map(
         chunk,
-        (kx_sq.reshape(-1, ch), c.reshape(-1, ch, *c.shape[1:])),
+        (
+            kx_sq.reshape(-1, ch),
+            cre.reshape(-1, ch, *cre.shape[1:]),
+            cim.reshape(-1, ch, *cim.shape[1:]),
+        ),
     )
     return (
         jnp.sum(counts, axis=0),

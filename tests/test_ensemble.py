@@ -105,6 +105,52 @@ def test_sample_power_ensemble_checkpoint_rejects_mismatched_scene(tmp_path):
     sample_power_ensemble(g, [1, 2, 3], nbins=8, checkpoint_path=ckpt)
 
 
+def test_sample_power_ensemble_elastic_resume_across_topologies(tmp_path):
+    # elastic recovery (SURVEY.md section 5): the durable state is
+    # device-topology-free (host npz of binned spectra keyed by seed),
+    # and sampling is partitionable-Threefry deterministic — so a run
+    # interrupted on ONE topology resumes on ANOTHER (different device
+    # count / mesh shape) and the union equals an uninterrupted run.
+    from randomfield_tpu.parallel import mesh as M
+    from randomfield_tpu.validate.ensemble import sample_power_ensemble
+
+    ckpt = tmp_path / "elastic.npz"
+    seeds = [2, 4, 6, 8]
+
+    # uninterrupted single-device run = ground truth
+    g1 = Generator(16, 16, 16, grid_spacing=8.0)
+    k0, p0, m0 = sample_power_ensemble(g1, seeds, nbins=8)
+
+    # phase 1: "job killed" after the first two seeds, single device
+    sample_power_ensemble(g1, seeds[:2], nbins=8, checkpoint_path=ckpt)
+
+    # phase 2: resume the SAME checkpoint on an 8-device slab mesh
+    g8 = Generator(16, 16, 16, grid_spacing=8.0, mesh=M.make_mesh(data=2, space=4))
+    calls = []
+    orig = g8.sample_power
+
+    def counting(seed, **kw):
+        calls.append(seed)
+        return orig(seed, **kw)
+
+    g8.sample_power = counting
+    k1, p1, m1 = sample_power_ensemble(g8, seeds, nbins=8,
+                                       checkpoint_path=ckpt)
+    assert sorted(calls) == seeds[2:]  # first two restored, not recomputed
+    np.testing.assert_allclose(p1, p0, rtol=1e-4)
+    np.testing.assert_allclose(k1, k0, rtol=1e-6)
+    np.testing.assert_allclose(m1, m0)
+
+    # phase 3: shrink back to one device; everything is already done
+    calls2 = []
+    orig1 = g1.sample_power
+    g1.sample_power = lambda s, **kw: calls2.append(s) or orig1(s, **kw)
+    k2, p2, _ = sample_power_ensemble(g1, seeds, nbins=8,
+                                      checkpoint_path=ckpt)
+    assert calls2 == []
+    np.testing.assert_allclose(p2, p0, rtol=1e-4)
+
+
 def test_sample_power_ensemble_checkpoint_every(tmp_path):
     # flush cadence: with checkpoint_every=2 the file sees intermediate
     # states, and a trailing partial batch is flushed at the end
