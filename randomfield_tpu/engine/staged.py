@@ -445,6 +445,88 @@ def _stages_v3(shape, spacing, dtype_name):
 
 
 @functools.lru_cache(maxsize=16)
+def _stages_v4(shape, spacing, dtype_name):
+    """v4 = v3 with ZERO full-size transposes around the transforms.
+
+    The sublane-FFT kernel (ops/pallas_fft.py:ifft_sublane_pallas_reim)
+    transforms the SUBLANE axis of a 2-D view and emits a rotated
+    output block, so "physical transpose + minor-axis FFT" collapses
+    into one HBM pass:
+
+        sample   (nx, nzh, ny)           re/im lattices
+        x-pass   view (nx, nzh*ny)   ->  (nzh*ny, nx^G)   one pass
+        y-pass   rows grouped by kz  ->  (nzh*nx^G, ny^G) one pass
+        x-fix    take+leading-swap   ->  (nx, nzh, ny^G)  ~copy-speed
+        p4       unchanged (_stages_v3_merged.p4: per-chunk transpose
+                 folds y's digit perm; half-pack c2r; weights)
+
+    MEASURED NEGATIVE RESULT (kept as an opt-in, not the default): at
+    1024^3 the fused v4 render is 0.350 s vs fused v3's 0.333 s, and
+    the isolated p23 sections time IDENTICALLY (168 ms both, same
+    program harness).  The sublane kernel's strided column-slab reads
+    sustain only ~171 GB/s effective (invariant to lane-block size
+    256/512/1024, so not DMA-burst-bound), which exactly cancels the
+    two eliminated transpose passes.  Select with
+    ``RF_STAGED_PIPELINE=v4``; bit-identical output to v3 (asserted
+    in tests and verified on hardware at 256^3 and 1024^3).
+    """
+    from randomfield_tpu.ops import pallas_fft
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    _Bar = jax.lax.optimization_barrier
+    permx = pallas_fft.digit_perm(nx)
+    _, p4 = _stages_v3_merged(shape, float(spacing), dtype_name)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def p23(re, im):
+        # x over sublanes of the (nx, nzh*ny) view -> (nzh*ny, nx^G)
+        gre, gim = pallas_fft.ifft_sublane_pallas_reim(
+            re.reshape(nx, nzh * ny), im.reshape(nx, nzh * ny), nx
+        )
+        # y over sublanes, one group per (kz, x) plane -> (nzh*nx, ny^G)
+        gre, gim = pallas_fft.ifft_sublane_pallas_reim(gre, gim, ny)
+        # undo x's digit order and bring x leading for the tail — a
+        # leading-dim gather over contiguous ny rows (~copy speed)
+        px = jnp.asarray(permx)
+        outre = _Bar(
+            jnp.take(gre.reshape(nzh, nx, ny), px, axis=1).transpose(1, 0, 2)
+        )
+        outim = _Bar(
+            jnp.take(gim.reshape(nzh, nx, ny), px, axis=1).transpose(1, 0, 2)
+        )
+        return outre, outim  # (nx, nzh, ny^G)
+
+    return p23, p4
+
+
+def can_v4(shape) -> bool:
+    """v4 shape support: v3 plus the sublane kernel's column rule."""
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    return can_v3(shape) and (nzh * ny) % 128 == 0 and nx % 128 == 0
+
+
+@functools.lru_cache(maxsize=16)
+def _render_v4_single(shape, spacing, dtype_name):
+    """ONE jitted program, v4 flavor: zero full-size transposes."""
+    from randomfield_tpu.ops import pallas_sampler as ps
+
+    p23, p4 = _stages_v4(shape, float(spacing), dtype_name)
+
+    @jax.jit
+    def fn(seed, smoothing, lk0, inv_dlk, stab, weights):
+        re, im = ps._sample_jit_reim(
+            seed, smoothing, lk0, inv_dlk, stab, shape, float(spacing),
+            "xzy", False,
+        )
+        re, im = p23(re, im)
+        return p4(re, im, weights)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
 def _render_v3_single(shape, spacing, dtype_name):
     """ONE jitted program: Pallas sample -> transforms -> weighted field.
 
@@ -473,19 +555,25 @@ def _render_v3_single(shape, spacing, dtype_name):
 
 def render_v3(seed, table, shape, spacing, dtype_name, weights,
               smoothing_length=0.0):
-    """Full v3 staged render for the Pallas sampler (layout 'xzy').
+    """Full v3/v4 staged render for the Pallas sampler (layout 'xzy').
 
-    Default: the single fused program (:func:`_render_v3_single`).
+    Default: the single fused v3 program (:func:`_render_v3_single`).
+    ``RF_STAGED_PIPELINE=v4`` opts into the transpose-free sublane-FFT
+    transforms (:func:`_render_v4_single`) — measured a wash at 1024^3
+    (see :func:`_stages_v4`), kept for future tuning.
     ``RF_STAGED_V3_MERGE=0`` falls back to the separately-jitted
-    3-program pipeline (memory-safety escape hatch; bit-identical
-    output).
+    3-program v3 pipeline (memory-safety escape hatch).  All variants
+    produce BIT-IDENTICAL output for a given seed (asserted in tests).
     """
     from randomfield_tpu.ops import pallas_sampler as ps
 
     shape = tuple(shape)
     lk0, dlk, stab = table
     if os.environ.get("RF_STAGED_V3_MERGE", "1") != "0":
-        fn = _render_v3_single(shape, float(spacing), dtype_name)
+        env = os.environ.get("RF_STAGED_PIPELINE", "")
+        use_v4 = can_v4(shape) and env == "v4"
+        build = _render_v4_single if use_v4 else _render_v3_single
+        fn = build(shape, float(spacing), dtype_name)
         return fn(
             jnp.uint32(int(seed) & 0x7FFFFFFF),
             jnp.float32(smoothing_length),

@@ -42,7 +42,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ifft_minor_pallas", "ifft_minor_pallas_reim", "can_pallas_fft"]
+__all__ = [
+    "ifft_minor_pallas",
+    "ifft_minor_pallas_reim",
+    "ifft_sublane_pallas_reim",
+    "can_pallas_fft",
+]
 
 _LANES = 128
 
@@ -168,6 +173,122 @@ def ifft_minor_pallas_reim(xre, xim, interpret=False, reorder=True):
         reorder=bool(reorder),
     )
     return gre.reshape(*lead, n), gim.reshape(*lead, n)
+
+
+def _make_sublane_kernel(n: int, blkl: int):
+    """Kernel: inverse FFT over the SUBLANE axis, rotated output block.
+
+    Input block (n, blkl) with the transform axis on sublanes; output
+    block (blkl, n) — the transformed axis lands on LANES in raw digit
+    order.  One pallas pass therefore computes what otherwise costs a
+    minor-axis-changing physical transpose PLUS a minor-axis FFT pass:
+    the rotation rides the stage-2 matmul's free choice of output
+    orientation (contract M's sublane dim against V's rows and the
+    result comes out (cols, lanes) already rotated).
+    """
+    A = n // _LANES
+    w8re, w8im, _, _, _, _ = _constants_np(n)
+    dg = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    def kernel(xre_ref, xim_ref, twre_ref, twim_ref, vre_ref, vim_ref,
+               ore_ref, oim_ref):
+        # (n, blkl) -> (A, 128, blkl): a = untiled digit, b = sublanes
+        xre = xre_ref[...].reshape(A, _LANES, blkl)
+        xim = xim_ref[...].reshape(A, _LANES, blkl)
+        vre = vre_ref[...]
+        vim = vim_ref[...]
+        for c in range(A):
+            s1re = jnp.zeros((_LANES, blkl), jnp.float32)
+            s1im = jnp.zeros((_LANES, blkl), jnp.float32)
+            for a in range(A):
+                wr = float(w8re[a, c])
+                wi = float(w8im[a, c])
+                s1re = s1re + (wr * xre[a] - wi * xim[a])
+                s1im = s1im + (wr * xim[a] + wi * xre[a])
+            # twiddle W_n^{cb} varies along sublanes: (128, 1) columns
+            tr = twre_ref[:, c:c + 1]
+            ti = twim_ref[:, c:c + 1]
+            mre = s1re * tr - s1im * ti
+            mim = s1re * ti + s1im * tr
+            # stage 2 rotated: out[col, d] = sum_b M[b, col] V[b, d]
+            ore = dg(mre, vre) - dg(mim, vim)
+            oim = dg(mre, vim) + dg(mim, vre)
+            ore_ref[:, c * _LANES:(c + 1) * _LANES] = ore
+            oim_ref[:, c * _LANES:(c + 1) * _LANES] = oim
+
+    return kernel
+
+
+def _pick_blkl(cols: int, n: int) -> int:
+    """Largest lane-block that keeps the kernel inside scoped VMEM.
+
+    Live block bytes ~= 2x(in re+im) + 2x(out re+im) double-buffered =
+    2 * 4 * (n * blkl * 4); the 16 MB scoped-vmem limit (measured OOM:
+    n=1024, blkl=512 wanted 25.87M) gives blkl <= ~4 MiB / (16 n)."""
+    for b in (512, 256, 128):
+        if cols % b == 0 and 16 * n * b <= 4 * 1024 * 1024:
+            return b
+    if cols % 128 == 0:
+        return 128
+    raise ValueError(f"column count {cols} not a multiple of 128")
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _ifft_sublane2d(xre, xim, n, interpret):
+    rows, cols = xre.shape
+    groups = rows // n
+    blkl = _pick_blkl(cols, n)
+    lane_blocks = cols // blkl
+    kernel = _make_sublane_kernel(n, blkl)
+    _, _, twre, twim, vre, vim = _constants_np(n)
+    in_spec = pl.BlockSpec(
+        (n, blkl), lambda g, j: (g, j), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (blkl, n), lambda g, j, L=lane_blocks: (g * L + j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((groups * cols, n), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(groups, lane_blocks),
+        in_specs=[in_spec, in_spec, const, const, const, const],
+        out_specs=(out_spec, out_spec),
+        out_shape=(out, out),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(xre, xim, jnp.asarray(twre.T.copy()), jnp.asarray(twim.T.copy()),
+      jnp.asarray(vre), jnp.asarray(vim))
+
+
+def ifft_sublane_pallas_reim(xre, xim, n, interpret=False):
+    """Unnormalized inverse FFT over grouped ROWS, output rotated.
+
+    ``xre``/``xim``: float32 (groups * n, cols) — each consecutive row
+    block of n rows is one transform group (a batch of independent
+    length-n signals living down the columns).  Returns float32
+    (groups * cols, n): row g*cols + col holds the transform of input
+    column col of group g, along lanes in the kernel's RAW DIGIT order
+    (undo with ``take(out, digit_perm(n), axis=-1)`` or fold the
+    permutation into a downstream gather, exactly as with
+    ``ifft_minor_pallas_reim(reorder=False)``).
+
+    This is "physical transpose + minor-axis FFT" in ONE HBM pass: use
+    it to transform a non-minor axis without paying the transpose.  The
+    staged v4 pipeline (engine/staged.py) chains two of these to run
+    the x and y transforms of an (x, kz, y) spectrum with zero
+    full-size transposes.
+    """
+    if not can_pallas_fft(n):
+        raise ValueError(f"n={n} unsupported (need a multiple of 128, A<=16)")
+    rows, cols = xre.shape
+    if rows % n:
+        raise ValueError(f"rows {rows} not a multiple of the group length {n}")
+    return _ifft_sublane2d(xre, xim, n, bool(interpret))
 
 
 def ifft_minor_pallas(x, interpret=False):

@@ -66,3 +66,42 @@ def test_reim_variant_matches_complex():
     ref = ifft_minor_pallas(jnp.asarray(x), interpret=True)
     np.testing.assert_array_equal(np.asarray(re), np.asarray(ref.real))
     np.testing.assert_array_equal(np.asarray(im), np.asarray(ref.imag))
+
+
+@pytest.mark.parametrize("n,groups,cols", [(128, 2, 256), (256, 1, 128),
+                                           (512, 3, 128)])
+def test_sublane_matches_numpy(n, groups, cols):
+    # transform down the rows of each group; output rotated, digit order
+    from randomfield_tpu.ops.pallas_fft import (
+        digit_perm, ifft_sublane_pallas_reim,
+    )
+
+    rng = np.random.RandomState(7)
+    x = (rng.normal(size=(groups * n, cols))
+         + 1j * rng.normal(size=(groups * n, cols))).astype(np.complex64)
+    gre, gim = ifft_sublane_pallas_reim(
+        jnp.asarray(x.real), jnp.asarray(x.imag), n, interpret=True
+    )
+    got = (np.asarray(gre) + 1j * np.asarray(gim))[:, digit_perm(n)]
+    # reference: out[g*cols + col, :] = ifft of x[g*n:(g+1)*n, col]
+    ref = np.stack([
+        np.fft.ifft(x[g * n:(g + 1) * n, col], norm="forward")
+        for g in range(groups) for col in range(cols)
+    ])
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 3e-6, err
+
+
+def test_sublane_input_validation():
+    from randomfield_tpu.ops.pallas_fft import ifft_sublane_pallas_reim
+
+    z = jnp.zeros((256, 128), jnp.float32)
+    with pytest.raises(ValueError, match="unsupported"):
+        ifft_sublane_pallas_reim(z, z, 96, interpret=True)
+    with pytest.raises(ValueError, match="group length"):
+        ifft_sublane_pallas_reim(z, z, 512, interpret=True)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        ifft_sublane_pallas_reim(
+            jnp.zeros((128, 96), jnp.float32),
+            jnp.zeros((128, 96), jnp.float32), 128, interpret=True,
+        )
