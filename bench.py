@@ -77,12 +77,13 @@ def _stats(ts):
 def time_tpu_render(n, iters=6, sampler="threefry", pipeline="auto"):
     """Steady-state seconds per render at n^3 (scene setup amortized).
 
-    Headlines use the v3 configuration (sampler='pallas' +
+    Headlines use the staged-Pallas configuration (sampler='pallas' +
     pipeline='staged'): ONE jitted program from the fused Pallas PRNG /
-    sigma-interpolation sampler through the Pallas CT transforms to the
-    weighted field (engine/staged.py:render_v3; its stream is its own
+    sigma-interpolation sampler through the Pallas CT transforms and
+    the fused c2r tail megakernel to the weighted field
+    (engine/staged.py:render_v3, v5 stages; its stream is its own
     deterministic flavor, hardware-gate-validated below).  Measured
-    this round: 1024^3 0.741 -> 0.329 s, 512^3 0.095 -> 0.064 s.
+    this round: 1024^3 0.741 -> 0.329 (v3) -> 0.201 s (v5).
     """
     import randomfield_tpu as rf
 
@@ -267,7 +268,7 @@ def main():
             dt, ts = time_tpu_render(n, sampler="pallas", pipeline="staged")
             detail[f"tpu_{n}"] = dict(
                 _stats(ts), gcells_per_s=round(n**3 / dt / 1e9, 2),
-                sampler="pallas", pipeline="staged(v3)",
+                sampler="pallas", pipeline="staged(v5)",
             )
             headline_n, headline_dt = n, dt
         except Exception as e:  # 1024^3 sits at the 16 GB HBM boundary

@@ -77,39 +77,55 @@ def _constants_np(n: int):
     )
 
 
-def _make_kernel(n: int, blkm: int):
+def _ct_core(xre, xim, n, twre, twim, vre, vim):
+    """Shared in-VMEM CT inverse-FFT math on (rows, n) value arrays.
+
+    Returns (gre, gim) with G[:, c*128 + d] = X[:, c + A*d] (raw digit
+    order).  ``twre``/``twim``: (A, 128) twiddles; ``vre``/``vim``:
+    (128, 128) stage-2 DFT matrix — all from :func:`_constants_np`.
+    Used by the minor-axis kernel, and callable from OTHER kernels
+    (e.g. the fused c2r tail) on VMEM-resident blocks.
+    """
     A = n // _LANES
     w8re, w8im, _, _, _, _ = _constants_np(n)
+    rows = xre.shape[0]
+    gre_parts = []
+    gim_parts = []
+    for c in range(A):
+        s1re = jnp.zeros((rows, _LANES), jnp.float32)
+        s1im = jnp.zeros((rows, _LANES), jnp.float32)
+        for a in range(A):
+            xr = xre[:, a * _LANES:(a + 1) * _LANES]
+            xi = xim[:, a * _LANES:(a + 1) * _LANES]
+            wr = float(w8re[a, c])
+            wi = float(w8im[a, c])
+            s1re = s1re + (wr * xr - wi * xi)
+            s1im = s1im + (wr * xi + wi * xr)
+        # twiddle W_n^{cb} over lanes
+        tr = twre[c][None, :]
+        ti = twim[c][None, :]
+        mre = s1re * tr - s1im * ti
+        mim = s1re * ti + s1im * tr
+        # stage 2: X_c = M_c @ V (complex, 4 real MXU matmuls)
+        dot = functools.partial(
+            jax.lax.dot, precision=jax.lax.Precision.HIGHEST
+        )
+        gre_parts.append(dot(mre, vre) - dot(mim, vim))
+        gim_parts.append(dot(mre, vim) + dot(mim, vre))
+    return gre_parts, gim_parts
 
+
+def _make_kernel(n: int, blkm: int):
     def kernel(xre_ref, xim_ref, twre_ref, twim_ref, vre_ref, vim_ref,
                ore_ref, oim_ref):
-        xre = xre_ref[...]
-        xim = xim_ref[...]
-        vre = vre_ref[...]
-        vim = vim_ref[...]
+        gre, gim = _ct_core(
+            xre_ref[...], xim_ref[...], n,
+            twre_ref[...], twim_ref[...], vre_ref[...], vim_ref[...],
+        )
+        A = n // _LANES
         for c in range(A):
-            s1re = jnp.zeros((blkm, _LANES), jnp.float32)
-            s1im = jnp.zeros((blkm, _LANES), jnp.float32)
-            for a in range(A):
-                xr = xre[:, a * _LANES:(a + 1) * _LANES]
-                xi = xim[:, a * _LANES:(a + 1) * _LANES]
-                wr = float(w8re[a, c])
-                wi = float(w8im[a, c])
-                s1re = s1re + (wr * xr - wi * xi)
-                s1im = s1im + (wr * xi + wi * xr)
-            # twiddle W_n^{cb} over lanes
-            tr = twre_ref[c][None, :]
-            ti = twim_ref[c][None, :]
-            mre = s1re * tr - s1im * ti
-            mim = s1re * ti + s1im * tr
-            # stage 2: X_c = M_c @ V (complex, 4 real MXU matmuls)
-            dot = functools.partial(
-                jax.lax.dot, precision=jax.lax.Precision.HIGHEST
-            )
-            ore = dot(mre, vre) - dot(mim, vim)
-            oim = dot(mre, vim) + dot(mim, vre)
-            ore_ref[:, c * _LANES:(c + 1) * _LANES] = ore
-            oim_ref[:, c * _LANES:(c + 1) * _LANES] = oim
+            ore_ref[:, c * _LANES:(c + 1) * _LANES] = gre[c]
+            oim_ref[:, c * _LANES:(c + 1) * _LANES] = gim[c]
 
     return kernel
 
@@ -289,6 +305,160 @@ def ifft_sublane_pallas_reim(xre, xim, n, interpret=False):
     if rows % n:
         raise ValueError(f"rows {rows} not a multiple of the group length {n}")
     return _ifft_sublane2d(xre, xim, n, bool(interpret))
+
+
+def _flip_gather(block, t):
+    """Reverse the 128 lanes of ``block`` via one in-vreg gather."""
+    return jnp.take_along_axis(
+        block, jnp.broadcast_to(127 - t, block.shape), axis=-1
+    )
+
+
+def _make_c2r_kernel(nz: int, by: int, nzh: int):
+    """Fused half-pack c2r + interleave + z-weights kernel body.
+
+    Per (x, y-block) grid step, entirely in VMEM:
+
+        load (by, nzh) re/im     packed rfft spectrum along minor kz
+        G-build                  half-pack: G[j] combines c[j], c*[m-j]
+                                 (the lane REVERSAL decomposes into
+                                 static 128-slices + in-vreg gathers —
+                                 Mosaic has no `rev`)
+        m-point CT inverse       shared _ct_core (VPU stage 1, MXU
+                                 stage 2), raw digit order
+        digit-fix + interleave   out[2j] = Re z[j], out[2j+1] = Im z[j]
+                                 with j natural — ONE combined lane
+                                 permutation built from A in-vreg
+                                 gathers per output 128-block
+        x weights[z]             lightcone weighting
+        store (by, nz)           the final real-space (y, z) tile
+
+    This replaces the staged pipeline's p4 (chunked transpose + G pass
+    + minor-FFT pass + interleave pass, each materialized in HBM) with
+    exactly one read of the spectrum and one write of the field.
+    """
+    m = nz // 2
+    A = m // _LANES
+
+    def kernel(cr_ref, ci_ref, wpre_ref, wpim_ref, twre_ref, twim_ref,
+               vre_ref, vim_ref, wz_ref, out_ref):
+        cr = cr_ref[...].reshape(by, nzh)
+        ci = ci_ref[...].reshape(by, nzh)
+        t = jax.lax.broadcasted_iota(jnp.int32, (by, _LANES), 1)
+        head_re = cr[:, :m]
+        head_im = ci[:, :m]
+
+        # rev[j] = c[m - j], j in [0, m): block k takes lane m-128k at
+        # t=0 (a 1-lane slice, broadcast) and lanes 128-t of aligned
+        # block A-1-k for t >= 1 (one in-vreg gather)
+        def reverse(x):
+            parts = []
+            idx = jnp.broadcast_to((128 - t) % 128, (by, _LANES))
+            for k in range(A):
+                edge = jnp.broadcast_to(
+                    x[:, m - 128 * k:m - 128 * k + 1], (by, _LANES)
+                )
+                blk = x[:, (A - 1 - k) * _LANES:(A - k) * _LANES]
+                parts.append(
+                    jnp.where(t == 0, edge,
+                              jnp.take_along_axis(blk, idx, axis=-1))
+                )
+            return jnp.concatenate(parts, axis=-1)
+
+        rev_re = reverse(cr)
+        rev_im = reverse(ci)
+        er = head_re + rev_re
+        ei = head_im - rev_im
+        orr = head_re - rev_re
+        oi = head_im + rev_im
+        wr = wpre_ref[...]
+        wi = wpim_ref[...]
+        g_re = er - (wr * oi + wi * orr)
+        g_im = ei + (wr * orr - wi * oi)
+
+        zre, zim = _ct_core(
+            g_re, g_im, m,
+            twre_ref[...], twim_ref[...], vre_ref[...], vim_ref[...],
+        )  # A digit-order blocks each
+
+        # combined digit-fix + even/odd interleave + weights: output
+        # lane z = 128k + t holds (t%2 ? Im : Re) z[(128k+t)//2] with
+        # z natural; natural j lives at digit block q=(t//2)%A, lane
+        # j//A = 64k//A + (t//2)//A
+        q = (t // 2) % A
+        for k in range(nz // _LANES):
+            idx = jnp.broadcast_to((64 * k) // A + (t // 2) // A,
+                                   (by, _LANES))
+            acc = jnp.zeros((by, _LANES), jnp.float32)
+            for qq in range(A):
+                vre_g = jnp.take_along_axis(zre[qq], idx, axis=-1)
+                vim_g = jnp.take_along_axis(zim[qq], idx, axis=-1)
+                val = jnp.where(t % 2 == 0, vre_g, vim_g)
+                acc = jnp.where(q == qq, val, acc)
+            out_ref[0, :, k * _LANES:(k + 1) * _LANES] = (
+                acc * wz_ref[:, k * _LANES:(k + 1) * _LANES]
+            )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nz", "interpret"))
+def _irfft_tail2d(cr, ci, weights, nz, interpret):
+    nx, ny, nzh = cr.shape
+    m = nz // 2
+    by = ny
+    while by > 256 or (ny % by):
+        by //= 2
+    by = max(8, by)
+    kernel = _make_c2r_kernel(nz, by, nzh)
+    _, _, twre, twim, vre, vim = _constants_np(m)
+    theta = 2.0 * np.pi * np.arange(m) / nz
+    wpre = np.cos(theta).astype(np.float32)[None, :]
+    wpim = np.sin(theta).astype(np.float32)[None, :]
+    in_spec = pl.BlockSpec(
+        (1, by, nzh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, by, nz), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((nx, ny, nz), jnp.float32)
+    wz = jnp.broadcast_to(weights.astype(jnp.float32)[None, :], (by, nz))
+    return pl.pallas_call(
+        kernel,
+        grid=(nx, ny // by),
+        in_specs=[in_spec, in_spec, const, const, const, const, const,
+                  const, const],
+        out_specs=out_spec,
+        out_shape=out,
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(cr, ci, jnp.asarray(wpre), jnp.asarray(wpim),
+      jnp.asarray(twre), jnp.asarray(twim), jnp.asarray(vre),
+      jnp.asarray(vim), wz)
+
+
+def irfft_tail_pallas(cr, ci, nz, weights, interpret=False):
+    """Fused half-pack c2r along the MINOR axis + z-weights, one pass.
+
+    ``cr``/``ci``: float32 (nx, ny, nzh) packed rfft spectrum (natural
+    order on every axis, kz minor, nzh = nz//2 + 1).  ``weights``:
+    (nz,) per-z-plane multipliers (lightcone growth weighting; pass
+    ones to disable).  Returns float32 (nx, ny, nz), the unnormalized
+    ("forward"-convention) inverse real transform along kz times
+    ``weights`` — HBM traffic is exactly read(spectrum) +
+    write(field), vs the 3 materialized passes of the chunked XLA
+    tail it replaces (engine/staged.py p4).
+
+    Requires even nz with nz//2 = A*128, A <= 16 (can_pallas_fft).
+    """
+    nx, ny, nzh = cr.shape
+    m = nz // 2
+    if not can_pallas_fft(m):
+        raise ValueError(f"nz={nz}: nz//2 must be a multiple of 128, A<=16")
+    if nzh != m + 1:
+        raise ValueError(f"minor axis {nzh} != nz//2 + 1 = {m + 1}")
+    return _irfft_tail2d(cr, ci, jnp.asarray(weights), int(nz),
+                         bool(interpret))
 
 
 def ifft_minor_pallas(x, interpret=False):

@@ -92,6 +92,40 @@ def test_sublane_matches_numpy(n, groups, cols):
     assert err < 3e-6, err
 
 
+@pytest.mark.parametrize("shape,nz", [((4, 8, 129), 256), ((2, 16, 513), 1024),
+                                      ((3, 8, 257), 512)])
+def test_irfft_tail_matches_numpy(shape, nz):
+    # fused half-pack c2r + z-weights megakernel (the v5 staged tail)
+    from randomfield_tpu.ops.pallas_fft import irfft_tail_pallas
+
+    rng = np.random.RandomState(3)
+    c = (rng.normal(size=shape)
+         + 1j * rng.normal(size=shape)).astype(np.complex64)
+    c[..., 0] = c[..., 0].real    # valid packed half-spectrum: DC and
+    c[..., -1] = c[..., -1].real  # Nyquist bins are real
+    w = rng.uniform(0.5, 1.5, size=nz).astype(np.float32)
+    got = np.asarray(irfft_tail_pallas(
+        jnp.asarray(c.real), jnp.asarray(c.imag), nz, jnp.asarray(w),
+        interpret=True,
+    ))
+    ref = np.fft.irfft(c, n=nz, axis=-1, norm="forward") * w
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 5e-6, err
+
+
+def test_irfft_tail_validation():
+    from randomfield_tpu.ops.pallas_fft import irfft_tail_pallas
+
+    w = jnp.ones((192,), jnp.float32)
+    z = jnp.zeros((2, 8, 97), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        irfft_tail_pallas(z, z, 192, w, interpret=True)
+    z = jnp.zeros((2, 8, 100), jnp.float32)
+    with pytest.raises(ValueError, match="minor axis"):
+        irfft_tail_pallas(z, z, 256, jnp.ones((256,), jnp.float32),
+                          interpret=True)
+
+
 def test_sublane_input_validation():
     from randomfield_tpu.ops.pallas_fft import ifft_sublane_pallas_reim
 
