@@ -122,3 +122,36 @@ def test_odd_grid_staged_falls_back_to_v1():
     d = np.asarray(g.generate_delta_field(3))
     assert d.shape == (12, 12, 15)
     assert np.isfinite(d).all()
+
+
+def test_v5_closing_transpose_equals_digit_gathers():
+    # the v5 closing step replaces two take() digit-fix gathers + a
+    # transpose with ONE 5-D transpose; pin the index math on CPU
+    from randomfield_tpu.ops.pallas_fft import digit_perm
+
+    nzh, nx, ny = 5, 256, 384
+    ax, ay = nx // 128, ny // 128
+    rng = np.random.RandomState(0)
+    g = jnp.asarray(rng.normal(size=(nzh, nx, ny)).astype(np.float32))
+
+    ref = jnp.take(g, jnp.asarray(digit_perm(nx)), axis=1)
+    ref = jnp.take(ref, jnp.asarray(digit_perm(ny)), axis=2)
+    ref = ref.transpose(1, 2, 0)  # (nx, ny, nzh) natural
+
+    got = (
+        g.reshape(nzh, ax, 128, ay, 128)
+        .transpose(2, 1, 4, 3, 0)
+        .reshape(nx, ny, nzh)
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_can_v5():
+    from randomfield_tpu.engine.staged import can_v5
+
+    assert can_v5((256, 256, 256))
+    assert can_v5((1024, 1024, 1024))
+    assert can_v5((512, 256, 1024))
+    assert not can_v5((256, 256, 128))   # nz//2 = 64 not Pallas-able
+    assert not can_v5((96, 256, 256))    # nx not a multiple of 128
+    assert not can_v5((256, 256, 255))   # odd nz
