@@ -570,6 +570,94 @@ def _stages_v5(shape, spacing, dtype_name):
     return p23, p4
 
 
+def can_v6(shape) -> bool:
+    """v6 = v5 plus the fused generate+x-FFT kernel's shape rules."""
+    from randomfield_tpu.ops.pallas_genfft import can_genfft
+
+    return can_v5(shape) and can_genfft(shape)
+
+
+@functools.lru_cache(maxsize=16)
+def _stages_v6(shape, spacing, dtype_name):
+    """v6 = v5 with sampling FUSED into the x transform.
+
+    The first three data movements of v5 — the sampler's full-spectrum
+    write, the (x -> minor) transpose pair, and the x-transform's read
+    — collapse into ONE kernel that generates each (kz, y-block)
+    x-line block in VMEM and transforms it before it ever touches HBM
+    (ops/pallas_genfft.py).  First-stage HBM traffic: 43 GB -> 8.6 GB
+    at 1024^3.
+
+    MEASURED NEGATIVE RESULT (kept as an opt-in, not the default): at
+    1024^3 the fused v6 render is 0.210 s vs v5's 0.201-0.207 — a
+    wash.  The pipeline is COMPUTE-bound by this point: the fused
+    kernel times at 113 ms vs ~126 ms for sampler+transpose+K1,
+    because generation compute (~60 ms of transcendentals) and CT
+    compute (~30 ms of HIGHEST-precision MXU + VPU stage 1) simply add
+    — the HBM traffic it eliminates was already hidden behind compute.
+    (Mosaic offers no intermediate matmul precision here: HIGH is
+    unsupported in-kernel, DEFAULT hits an UNIMPLEMENTED backend
+    error, so the CT compute floor stands.)
+
+    STREAM CHANGE: v6 draws a different (still deterministic)
+    realization family than v3/v4/v5 for the same seed — the PRNG is
+    streamed per (kz, y-block) row block instead of per (x, kz, y)
+    tile, and the self-conjugate planes come from a Threefry
+    pre-sample (pallas_genfft.STREAM records the flavor).  Validated
+    statistically on hardware like every sampler flavor (bulk power
+    ratio 0.9994 at 256^3).
+    """
+    from randomfield_tpu.ops import pallas_fft, pallas_genfft
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    _Bar = jax.lax.optimization_barrier
+    ax = nx // 128
+    ay = ny // 128
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def p23(re, im):
+        # x already transformed (digit order) by the genfft kernel
+        tre = _Bar(jnp.transpose(re.reshape(nzh, ny, nx), (0, 2, 1)))
+        tim = _Bar(jnp.transpose(im.reshape(nzh, ny, nx), (0, 2, 1)))
+        gre, gim = pallas_fft.ifft_minor_pallas_reim(tre, tim, reorder=False)
+
+        def close(g):
+            g5 = g.reshape(nzh, ax, 128, ay, 128)
+            return _Bar(g5.transpose(2, 1, 4, 3, 0).reshape(nx, ny, nzh))
+
+        return close(gre), close(gim)
+
+    @jax.jit
+    def p4(re, im, weights):
+        return pallas_fft.irfft_tail_pallas(re, im, nz, weights)
+
+    return p23, p4
+
+
+@functools.lru_cache(maxsize=16)
+def _render_v6_single(shape, spacing, dtype_name):
+    """ONE jitted program, v6 flavor: fused sample+xFFT entry stage."""
+    from randomfield_tpu.ops import pallas_genfft as gf
+
+    p23, p4 = _stages_v6(shape, float(spacing), dtype_name)
+
+    @jax.jit
+    def fn(seed, smoothing, lk0, inv_dlk, stab, weights):
+        table = (lk0, 1.0 / inv_dlk, stab)
+        pre, pim = gf.plane_spectra(
+            seed, table, shape, float(spacing), smoothing
+        )
+        re, im = gf._genfft_jit(
+            seed, smoothing, lk0, inv_dlk, stab, pre, pim, shape,
+            float(spacing), False,
+        )
+        re, im = p23(re, im)
+        return p4(re, im, weights)
+
+    return fn
+
+
 @functools.lru_cache(maxsize=16)
 def _render_v5_single(shape, spacing, dtype_name):
     """ONE jitted program, v5 flavor: megakernel c2r tail."""
@@ -637,16 +725,20 @@ def _render_v3_single(shape, spacing, dtype_name):
 
 def render_v3(seed, table, shape, spacing, dtype_name, weights,
               smoothing_length=0.0):
-    """Full staged render for the Pallas sampler (layout 'xzy').
+    """Full staged render for the Pallas sampler.
 
     Default: the single fused v5 program (:func:`_render_v5_single` —
-    megakernel c2r tail, measured 0.33 -> ~0.25 s at 1024^3) where
-    shapes allow, else v3.  ``RF_STAGED_PIPELINE=v3`` pins the chunked
-    v3 tail; ``=v4`` opts into the sublane-FFT transforms (measured a
-    wash, see :func:`_stages_v4`).  ``RF_STAGED_V3_MERGE=0`` falls
-    back to the separately-jitted 3-program v3 pipeline (memory-safety
-    escape hatch).  All variants draw the SAME stream; outputs agree
-    to float rounding (asserted in tests).
+    megakernel c2r tail) where shapes allow, else v3.
+    ``RF_STAGED_PIPELINE`` selects a variant: ``v3`` (chunked tail),
+    ``v4`` (sublane-FFT transforms, measured a wash), ``v6`` (fused
+    sample+xFFT entry, measured a wash AND a different stream — see
+    :func:`_stages_v6`).  ``RF_STAGED_V3_MERGE=0`` falls back to the
+    separately-jitted 3-program v3 pipeline (memory-safety escape
+    hatch).
+
+    Streams: v3/v4/v5 draw ONE family (bit-identical outputs,
+    asserted in tests); v6 (opt-in) is its OWN deterministic family
+    (pallas_genfft.STREAM).
     """
     from randomfield_tpu.ops import pallas_sampler as ps
 
@@ -656,7 +748,9 @@ def render_v3(seed, table, shape, spacing, dtype_name, weights,
         env = os.environ.get("RF_STAGED_PIPELINE", "")
         if env == "v4" and can_v4(shape):
             build = _render_v4_single
-        elif env not in ("v3", "v4") and can_v5(shape):
+        elif env == "v6" and can_v6(shape):
+            build = _render_v6_single
+        elif env != "v3" and can_v5(shape):
             build = _render_v5_single
         else:
             build = _render_v3_single

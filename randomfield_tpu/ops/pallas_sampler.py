@@ -255,9 +255,23 @@ def _make_kernel(shape, spacing, layout):
         theta = _TWO_PI * u2
 
         s = smooth_ref[0]
-        amp = sig * jnp.exp(-0.5 * ksq * s * s) * _INV_SQRT2
-        re_ref[0] = amp * (r * jnp.cos(theta))
-        im_ref[0] = amp * (r * jnp.sin(theta))
+        base = sig * _INV_SQRT2
+        zre = r * jnp.cos(theta)
+        zim = r * jnp.sin(theta)
+
+        # exp(0) == 1 exactly, so branching on s == 0 is bit-identical
+        # to always applying the filter — it just skips one
+        # transcendental per mode in the (common) unsmoothed case
+        @pl.when(s == 0.0)
+        def _():
+            re_ref[0] = base * zre
+            im_ref[0] = base * zim
+
+        @pl.when(s != 0.0)
+        def _():
+            amp = base * jnp.exp(-0.5 * ksq * s * s)
+            re_ref[0] = amp * zre
+            im_ref[0] = amp * zim
 
     return kernel, (nx, d1, d2, blk1, d2t, n1_tiles, n2_tiles)
 
