@@ -107,11 +107,17 @@ def time_tpu_render(n, iters=6, sampler="threefry", pipeline="auto"):
     return statistics.median(ts), ts
 
 
-def time_tpu_batch(n=512, batch=4, iters=3):
-    """Throughput mode: renders/s with a seed batch in one program."""
+def time_tpu_batch(n=512, batch=4, iters=3, sampler="pallas",
+                   pipeline="staged"):
+    """Throughput mode: renders/s with a seed batch in one program.
+
+    Default config: the staged-Pallas batch (engine/staged.py:
+    render_v3_batch — one lax.map program over seeds, per-seed fields
+    bit-identical to single renders)."""
     import randomfield_tpu as rf
 
-    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n)
+    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n, sampler=sampler,
+                     pipeline=pipeline)
     seeds = np.arange(batch)
     d = g.generate_delta_fields(seeds)
     _ = float(d[0, 0, 0, 0])

@@ -18,6 +18,7 @@ program over a seed axis, ready to shard over a data-parallel mesh axis
 from __future__ import annotations
 
 import functools
+import os
 import time
 
 import jax
@@ -607,11 +608,27 @@ class Generator:
             # reuse the single-seed Pallas stream so a batch of [s] equals
             # generate_delta_field(s) exactly (the vmapped path below would
             # silently switch to the Threefry stream)
+            from randomfield_tpu.engine import staged as _staged
+
+            seeds_arr = np.asarray(seeds)
+            if (
+                self.pipeline == "staged" and self._layout == "xzy"
+                and self.mesh is None
+                and _staged.can_batch_staged(self.scene.shape, len(seeds_arr))
+                and os.environ.get("RF_STAGED_V3_MERGE", "1") != "0"
+            ):
+                # ONE program lax.maps the fused render over the seeds —
+                # bit-identical per-seed fields, ~30 ms dispatch paid once
+                return _staged.render_v3_batch(
+                    seeds_arr, self._pallas_table, self.scene.shape,
+                    self.scene.grid_spacing, str(self._dtype),
+                    self._weights(apply_lightcone), smoothing_length,
+                )
             return jnp.stack([
                 self.generate_delta_field(
                     int(s), smoothing_length, apply_lightcone
                 )
-                for s in np.asarray(seeds)
+                for s in seeds_arr
             ])
         keys = None if self._multiprocess else seeds_to_keys(seeds)
         if self.mesh is None and self.pipeline == "staged":

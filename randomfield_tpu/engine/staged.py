@@ -767,6 +767,68 @@ def render_v3(seed, table, shape, spacing, dtype_name, weights,
     return finish_staged_reim(re, im, weights, shape, spacing, dtype_name)
 
 
+def _select_build(shape):
+    """The single-seed program builder render_v3's env logic selects."""
+    env = os.environ.get("RF_STAGED_PIPELINE", "")
+    if env == "v4" and can_v4(shape):
+        return _render_v4_single
+    if env == "v6" and can_v6(shape):
+        return _render_v6_single
+    if env != "v3" and can_v5(shape):
+        return _render_v5_single
+    return _render_v3_single
+
+
+# in-program seed batches: cap the resident output stack (the staged
+# pipeline's working set is ~3 field-sized buffers; outputs add b more)
+BATCH_BUDGET_BYTES = 12 * 1024**3
+
+
+def can_batch_staged(shape, batch) -> bool:
+    nx, ny, nz = shape
+    field = 4 * nx * ny * nz
+    return (batch + 3) * field <= BATCH_BUDGET_BYTES
+
+
+@functools.lru_cache(maxsize=16)
+def _render_batch_program(shape, spacing, dtype_name, batch):
+    build = _select_build(shape)
+    fn = build(shape, float(spacing), dtype_name)
+
+    @jax.jit
+    def bfn(seeds, smoothing, lk0, inv_dlk, stab, weights):
+        def one(s):
+            return fn(s, smoothing, lk0, inv_dlk, stab, weights)
+
+        return jax.lax.map(one, seeds)
+
+    return bfn
+
+
+def render_v3_batch(seeds, table, shape, spacing, dtype_name, weights,
+                    smoothing_length=0.0):
+    """A seed batch through ONE program (lax.map over the fused render).
+
+    Per-seed outputs are BIT-IDENTICAL to :func:`render_v3` — the
+    stream depends only on the seed scalar, so mapping over seeds
+    in-program just amortizes the per-dispatch sync (~30 ms on this
+    runtime) across the batch.  Caller must check
+    :func:`can_batch_staged` (the output stack is resident).
+    """
+    shape = tuple(shape)
+    seeds = jnp.asarray(
+        [int(s) & 0x7FFFFFFF for s in np.asarray(seeds)], jnp.uint32
+    )
+    lk0, dlk, stab = table
+    bfn = _render_batch_program(
+        shape, float(spacing), dtype_name, int(seeds.shape[0])
+    )
+    return bfn(
+        seeds, jnp.float32(smoothing_length), jnp.float32(lk0),
+        jnp.float32(1.0 / float(dlk)), jnp.asarray(stab), weights,
+    )
+
+
 def _pallas_compiled() -> bool:
     """True when Pallas kernels run compiled (i.e. not the CPU tests)."""
     try:

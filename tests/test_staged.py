@@ -155,3 +155,11 @@ def test_can_v5():
     assert not can_v5((256, 256, 128))   # nz//2 = 64 not Pallas-able
     assert not can_v5((96, 256, 256))    # nx not a multiple of 128
     assert not can_v5((256, 256, 255))   # odd nz
+
+
+def test_can_batch_staged_budget():
+    from randomfield_tpu.engine.staged import can_batch_staged
+
+    assert can_batch_staged((512, 512, 512), 16)
+    assert not can_batch_staged((1024, 1024, 1024), 4)
+    assert can_batch_staged((256, 256, 256), 64)
