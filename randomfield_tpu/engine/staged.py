@@ -839,24 +839,79 @@ def _pallas_compiled() -> bool:
 
 @functools.lru_cache(maxsize=16)
 def _sample_power_v3(shape, spacing, nbins, dtype_name):
-    """ONE jitted program: Pallas sample (re/im) -> binned |c|^2 V.
+    """ONE jitted program: Pallas sample -> binned |c|^2 V.
 
     The config-4 workload with no FFT, no complex spectrum, and no
-    intermediate program boundary — sampling feeds the one-hot MXU
-    binning directly.
+    intermediate program boundary.  Where the in-kernel binned sampler
+    applies (every practical size), the interior modes are histogrammed
+    INSIDE the sampling kernel (ops/pallas_sampler.py, ``bins=`` mode)
+    so the 2 x half-spectrum HBM round-trip disappears — only the two
+    self-conjugate kz planes come back (O(N^2)), get the Hermitian
+    fixup, and are binned here exactly as the materialized path bins
+    them (multiplicity 1).  Fallback: sample re/im then bin (still one
+    program).
     """
+    from randomfield_tpu.ops import grid as _grid
     from randomfield_tpu.ops import pallas_sampler as ps
-    from randomfield_tpu.validate.stats import _binned_spectrum_reim
+    from randomfield_tpu.ops import transform as _tr
+    from randomfield_tpu.validate.stats import (
+        _bin_setup, _binned_spectrum_reim, _masked_bins,
+    )
+
+    if not ps.can_bin_sample(shape, nbins):
+        @jax.jit
+        def fn(seed, smoothing, lk0, inv_dlk, stab):
+            re, im = ps._sample_jit_reim(
+                seed, smoothing, lk0, inv_dlk, stab, shape, float(spacing),
+                "xzy", False,
+            )
+            return _binned_spectrum_reim(
+                re, im, shape, float(spacing), nbins, "xzy"
+            )
+
+        return fn
+
+    nx, ny, nz = shape
+    edges, _mult = _bin_setup(shape, spacing, nbins)
+    ledges = np.log10(edges)
+    le0 = float(ledges[0])
+    inv_dle = float(nbins / (ledges[-1] - ledges[0]))
+    volume = nx * ny * nz * float(spacing) ** 3
+    two_pi = 2.0 * np.pi
+    kx_sq = (two_pi * np.fft.fftfreq(nx, d=spacing)) ** 2
+    ky_sq = (two_pi * np.fft.fftfreq(ny, d=spacing)) ** 2
+    kz_of = [
+        float((two_pi / (nz * spacing)) * p)
+        for p in _grid.self_conjugate_kz_planes(nz)
+    ]
 
     @jax.jit
     def fn(seed, smoothing, lk0, inv_dlk, stab):
-        re, im = ps._sample_jit_reim(
+        acc, pre, pim = ps.sample_power_bins_reim(
             seed, smoothing, lk0, inv_dlk, stab, shape, float(spacing),
-            "xzy", False,
+            nbins, le0, inv_dle,
         )
-        return _binned_spectrum_reim(
-            re, im, shape, float(spacing), nbins, "xzy"
-        )
+        counts = acc[0, :nbins]
+        psum = acc[1, :nbins]
+        ksum = acc[2, :nbins]
+        edges_j = jnp.asarray(edges, jnp.float32)
+        kx2 = jnp.asarray(kx_sq, jnp.float32)
+        ky2 = jnp.asarray(ky_sq, jnp.float32)
+        for pi, kzv in enumerate(kz_of):
+            fre, fim = _tr._symmetrize_plane_reim(
+                pre[:, pi, :], pim[:, pi, :], True
+            )
+            km = jnp.sqrt(
+                kx2[:, None] + ky2[None, :] + jnp.float32(kzv * kzv)
+            )
+            p = (fre * fre + fim * fim) * jnp.float32(volume)
+            c2, p2, k2 = _masked_bins(
+                km, jnp.float32(1.0), p, edges_j, nbins, per_slab=False
+            )
+            counts = counts + c2
+            psum = psum + p2
+            ksum = ksum + k2
+        return counts, psum, ksum
 
     return fn
 

@@ -164,34 +164,83 @@ def _signed_index(idx, n):
     return jnp.where(idx <= n // 2, idx, idx - n)
 
 
-def _make_kernel(shape, spacing, layout):
-    """Kernel closure for a (d0, d1, d2) half-spectrum tile row.
+def _tile_geometry(shape, layout):
+    """(d1, d2, d2t, blk1, n1_tiles, n2_tiles) for the sampler kernels.
 
-    ``layout`` maps array axes to physical axes: 'xyz' = (x, y, kz) with
-    kz packed on the minor axis; 'xzy' = (x, kz, y) (the staged
-    pipeline's padding-free order).
+    Lane tiles are cut to 128 (one f32 vreg) so the sigma-table gather
+    is legal (Mosaic: single source vreg along the gather dimension);
+    the middle axis is tiled so all VMEM-resident lattices (two bit
+    lattices, re/im outputs, gather temps, the table rows) stay well
+    under the ~16 MB budget.
     """
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     d1, d2 = (ny, nzh) if layout == "xyz" else (nzh, ny)
-    m_seg, width, n_knots = _segment_rows(shape, layout)
-    # lane tiles are cut to 128 (one f32 vreg) so the sigma-table gather
-    # is legal (Mosaic: single source vreg along the gather dimension)
     d2t = min(d2, 128)
     n2_tiles = pl.cdiv(d2, d2t)
-    # tile the middle axis so all VMEM-resident lattices (two bit
-    # lattices, re/im outputs, gather temps, the table rows) stay well
-    # under the ~16 MB budget
     blk1 = d1
     while blk1 * d2t * 4 * 7 > 10 * 2**20:
         blk1 = (blk1 + 1) // 2
     if blk1 != d1:
         blk1 = max(8, ((blk1 + 7) // 8) * 8)  # sublane-divisible tiles
     n1_tiles = pl.cdiv(d1, blk1)
+    return d1, d2, d2t, blk1, n1_tiles, n2_tiles
+
+
+def can_bin_sample(shape, nbins, layout="xzy"):
+    """True when the in-kernel binned sampler supports this workload.
+
+    Requires the whole kz axis in one middle-axis tile (true for every
+    nz <= ~5800 under the VMEM budget) and nbins <= 128 lanes.
+    """
+    if layout != "xzy" or nbins > 128:
+        return False
+    _, _, _, _, n1_tiles, _ = _tile_geometry(shape, layout)
+    return n1_tiles == 1
+
+
+def _make_kernel(shape, spacing, layout, bins=None):
+    """Kernel closure for a (d0, d1, d2) half-spectrum tile row.
+
+    ``layout`` maps array axes to physical axes: 'xyz' = (x, y, kz) with
+    kz packed on the minor axis; 'xzy' = (x, kz, y) (the staged
+    pipeline's padding-free order).
+
+    ``bins=(nbins, le0, inv_dle)`` switches the kernel from writing the
+    re/im lattices to accumulating the binned power statistics of the
+    sampled spectrum in place (the config-4 ``sample_power`` workload):
+    per tile it reuses the already-computed log10|k| for an affine bin
+    index (the estimator's edges are uniform in log10 k), reduces
+    (sum w, sum w*|c|^2 V, sum w*|k|) per bin with the interior
+    Hermitian multiplicity w = 2, and adds them into a single (8, 128)
+    accumulator that lives across the whole grid.  The self-conjugate
+    kz = 0 / Nyquist planes (multiplicity 1, and coupled by the
+    Hermitian fixup that runs outside the kernel) are NOT binned;
+    instead their raw draws are emitted as small (nx, n_planes, ny)
+    side outputs so the caller can fix them up and bin them exactly as
+    the materialized path does.  The draw stream is identical to the
+    re/im kernel's (same tile ids, same bit order), so the planes — and
+    hence the binned spectrum — belong to the same realization a render
+    of this seed produces.  The 8.6 GB spectrum write disappears: the
+    kernel's HBM traffic is O(N^2).
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    d1, d2, d2t, blk1, n1_tiles, n2_tiles = _tile_geometry(shape, layout)
+    m_seg, width, n_knots = _segment_rows(shape, layout)
+    if bins is not None:
+        if layout != "xzy":
+            raise ValueError("binned sampling is staged-only (layout 'xzy')")
+        if n1_tiles != 1:
+            raise ValueError(
+                "binned sampling needs the whole kz axis in one tile"
+            )
+        if bins[0] > 128:
+            raise ValueError("binned sampling supports nbins <= 128")
     dk = _TWO_PI / spacing  # per-axis scale is dk / n_axis
 
     def kernel(seed_ref, smooth_ref, lk0_ref, inv_dlk_ref, stab_ref,
-               re_ref, im_ref):
+               *out_refs):
         i = pl.program_id(0)
         j1 = pl.program_id(1)
         j2 = pl.program_id(2)
@@ -251,27 +300,96 @@ def _make_kernel(shape, spacing, layout):
             0.5 * _INV_2_24
         )
         u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * _INV_2_24
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = _TWO_PI * u2
-
         s = smooth_ref[0]
         base = sig * _INV_SQRT2
-        zre = r * jnp.cos(theta)
-        zim = r * jnp.sin(theta)
 
-        # exp(0) == 1 exactly, so branching on s == 0 is bit-identical
-        # to always applying the filter — it just skips one
-        # transcendental per mode in the (common) unsmoothed case
-        @pl.when(s == 0.0)
-        def _():
-            re_ref[0] = base * zre
-            im_ref[0] = base * zim
+        if bins is None:
+            re_ref, im_ref = out_refs
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            theta = _TWO_PI * u2
+            zre = r * jnp.cos(theta)
+            zim = r * jnp.sin(theta)
 
-        @pl.when(s != 0.0)
+            # exp(0) == 1 exactly, so branching on s == 0 is
+            # bit-identical to always applying the filter — it just
+            # skips one transcendental per mode in the (common)
+            # unsmoothed case
+            @pl.when(s == 0.0)
+            def _():
+                re_ref[0] = base * zre
+                im_ref[0] = base * zim
+
+            @pl.when(s != 0.0)
+            def _():
+                amp = base * jnp.exp(-0.5 * ksq * s * s)
+                re_ref[0] = amp * zre
+                im_ref[0] = amp * zim
+
+            return
+
+        acc_ref, pre_ref, pim_ref = out_refs
+        nb, le0, inv_dle = bins
+        vol = float(nx) * float(ny) * float(nz) * float(spacing) ** 3
+        # |c|^2 needs no angle: |z|^2 = r^2 = -2 ln u1 — the full-tile
+        # trig of the re/im tail is skipped entirely
+        r2 = -2.0 * jnp.log(u1)
+        amp = base * jnp.exp(-0.5 * ksq * s * s)  # == base at s == 0
+        pv = (amp * amp) * r2 * vol
+        # affine bin index: the estimator's edges are uniform in
+        # log10 k (validate/stats._bin_setup) and lk is already here
+        t_b = (lk - le0) * inv_dle
+        idx = t_b.astype(jnp.int32)  # trunc == floor for t_b >= 0
+        is_plane = a1 == 0
+        if nz % 2 == 0:
+            is_plane = is_plane | (a1 == nz // 2)
+        valid = (
+            (t_b >= 0.0) & (idx < nb)
+            & jnp.logical_not(is_plane) & (ksq > 0.0)
+        )
+        w = jnp.where(valid, 2.0, 0.0)  # interior Hermitian multiplicity
+        wp = w * pv
+        wk = w * jnp.sqrt(ksq)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        upd = jnp.zeros((8, 128), jnp.float32)
+        for b in range(nb):
+            m = idx == b
+            sw = jnp.sum(jnp.where(m, w, 0.0))
+            sp = jnp.sum(jnp.where(m, wp, 0.0))
+            sk = jnp.sum(jnp.where(m, wk, 0.0))
+            vals = jnp.where(
+                row8 == 0, sw,
+                jnp.where(row8 == 1, sp, jnp.where(row8 == 2, sk, 0.0)),
+            )
+            upd = upd + jnp.where(lane8 == b, vals, 0.0)
+        first = (
+            (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+            & (pl.program_id(2) == 0)
+        )
+
+        @pl.when(first)
         def _():
-            amp = base * jnp.exp(-0.5 * ksq * s * s)
-            re_ref[0] = amp * zre
-            im_ref[0] = amp * zim
+            acc_ref[...] = upd
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            acc_ref[...] = acc_ref[...] + upd
+
+        # raw draws of the self-conjugate planes for the caller's
+        # Hermitian fixup + binning (same values the re/im tail writes:
+        # same stream, same op association)
+        rows_re = []
+        rows_im = []
+        for prow in ((0, nz // 2) if nz % 2 == 0 else (0,)):
+            u1p = u1[prow:prow + 1, :]
+            u2p = u2[prow:prow + 1, :]
+            ap = amp[prow:prow + 1, :]
+            rp = jnp.sqrt(-2.0 * jnp.log(u1p))
+            thp = _TWO_PI * u2p
+            rows_re.append(ap * (rp * jnp.cos(thp)))
+            rows_im.append(ap * (rp * jnp.sin(thp)))
+        pre_ref[0] = jnp.concatenate(rows_re, axis=0)
+        pim_ref[0] = jnp.concatenate(rows_im, axis=0)
 
     return kernel, (nx, d1, d2, blk1, d2t, n1_tiles, n2_tiles)
 
@@ -348,6 +466,59 @@ def sample_spectrum_pallas_reim(seed, table, shape, spacing,
         int(seed) & 0x7FFFFFFF, smoothing_length, float(lk0),
         1.0 / float(dlk), stab,
         tuple(int(s) for s in shape), float(spacing), "xzy", bool(interpret)
+    )
+
+
+def sample_power_bins_reim(seed, smoothing_length, lk0, inv_dlk, stab,
+                           shape, spacing, nbins, le0, inv_dle,
+                           interpret=False):
+    """Traceable core of the in-kernel binned ``sample_power``.
+
+    Returns ``(acc, plane_re, plane_im)``: ``acc`` is an (8, 128) f32
+    block whose rows 0..2 hold the interior modes' per-bin
+    (sum w, sum w |c|^2 V, sum w |k|) in lanes [0, nbins); ``plane_re``
+    / ``plane_im`` are the raw (nx, n_planes, ny) draws of the
+    self-conjugate kz planes (kz = 0, and Nyquist for even nz), to be
+    Hermitian-fixed and binned by the caller (engine/staged.py:
+    _sample_power_v3).  ``le0`` / ``inv_dle`` are the log10-k offset
+    and inverse step of the estimator's uniform-in-log10 bin edges.
+    Check :func:`can_bin_sample` first.
+    """
+    shape = tuple(int(s) for s in shape)
+    kernel, (nx, d1, d2, blk1, d2t, n1_tiles, n2_tiles) = _make_kernel(
+        shape, float(spacing), "xzy",
+        bins=(int(nbins), float(le0), float(inv_dle)),
+    )
+    nz = shape[2]
+    n_planes = 2 if nz % 2 == 0 else 1
+    acc_shape = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+    plane_shape = jax.ShapeDtypeStruct((nx, n_planes, d2), stab.dtype)
+    acc_spec = pl.BlockSpec(
+        (8, 128), lambda i, j1, j2: (0, 0), memory_space=pltpu.VMEM
+    )
+    plane_spec = pl.BlockSpec(
+        (1, n_planes, d2t), lambda i, j1, j2: (i, 0, j2),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nx, n1_tiles, n2_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(acc_spec, plane_spec, plane_spec),
+        out_shape=(acc_shape, plane_shape, plane_shape),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray([seed], jnp.int32).ravel(),
+        jnp.asarray([smoothing_length], stab.dtype).ravel(),
+        jnp.asarray([lk0], stab.dtype).ravel(),
+        jnp.asarray([inv_dlk], stab.dtype).ravel(),
+        stab,
     )
 
 
