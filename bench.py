@@ -134,19 +134,21 @@ def time_tpu_batch(n=512, batch=4, iters=3, sampler="pallas",
     return dt, ts
 
 
-def time_sample_power(n=1024, seeds=3):
-    """Config-4 workload: FFT-free spectrum-space P(k) per seed at n^3
-    (fused Pallas sample->bin program; engine/staged.py:sample_power_v3)."""
+def time_sample_power(n=1024, batch=8, iters=3):
+    """Config-4 workload: FFT-free spectrum-space P(k) at n^3 via the
+    in-kernel binned Pallas sampler, a seed batch per program
+    (engine/staged.py:sample_power_v3_batch — the ensemble path)."""
     import randomfield_tpu as rf
 
     g = rf.Generator(n, n, n, grid_spacing=2048.0 / n, sampler="pallas")
-    g.sample_power(0)  # compile + warm
+    g.sample_power_batch(np.arange(batch))  # compile + warm
     ts = []
-    for s in range(1, seeds + 1):
+    for i in range(1, iters + 1):
         t0 = time.perf_counter()
-        g.sample_power(s)
-        ts.append(time.perf_counter() - t0)
-    log(f"  {n}^3 sample_power: {[round(t * 1e3) for t in ts]} ms/seed")
+        g.sample_power_batch(np.arange(batch) + i * batch)
+        ts.append((time.perf_counter() - t0) / batch)
+    log(f"  {n}^3 sample_power batch[{batch}]: "
+        f"{[round(t * 1e3) for t in ts]} ms/seed")
     return statistics.median(ts), ts
 
 

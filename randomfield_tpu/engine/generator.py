@@ -734,6 +734,50 @@ class Generator:
             c, self.scene.shape, self.scene.grid_spacing, nbins, self._layout
         )
 
+    def sample_power_batch(self, seeds, smoothing_length=0.0, nbins=32):
+        """:meth:`sample_power` for a seed batch, one program when possible.
+
+        With ``sampler='pallas'`` on hardware the batch runs as a single
+        ``lax.map`` over the in-kernel binned sampler — per-seed results
+        identical to :meth:`sample_power`, per-dispatch sync paid once
+        (at 1024^3 the sync is ~a third of the ~0.1 s per-seed cost).
+        Other configurations fall back to the per-seed loop.  Returns
+        host float64 ``(k_mean, p_hat[nseeds, nbins], n_modes)`` in
+        ``seeds`` order (k_mean/n_modes are seed-independent).
+        """
+        seeds_list = [int(s) for s in np.asarray(seeds).ravel()]
+        if (
+            self.mesh is None and self.sampler == "pallas"
+            and self._layout == "xzy"
+        ):
+            from randomfield_tpu.engine.staged import (
+                _pallas_compiled, sample_power_v3_batch,
+            )
+
+            if _pallas_compiled():
+                counts, psum, ksum = sample_power_v3_batch(
+                    seeds_list, self._pallas_table, self.scene.shape,
+                    self.scene.grid_spacing, int(nbins), smoothing_length,
+                )
+                counts = np.asarray(counts, np.float64)
+                psum = np.asarray(psum, np.float64)
+                ksum = np.asarray(ksum, np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    return (
+                        ksum[0] / counts[0],
+                        psum / counts,
+                        counts[0],
+                    )
+        ks = ms = None
+        rows = []
+        for s in seeds_list:
+            k, p, m = self.sample_power(
+                s, smoothing_length=smoothing_length, nbins=nbins
+            )
+            ks, ms = k, m
+            rows.append(p)
+        return ks, np.asarray(rows), ms
+
     def _sampled_spectrum(self, seed, sm):
         """The seed's packed spectrum c_k (device, ``self._layout``)."""
         if self.mesh is not None:

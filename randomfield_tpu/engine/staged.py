@@ -926,6 +926,43 @@ def sample_power_v3(seed, table, shape, spacing, nbins, smoothing_length=0.0):
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _sample_power_v3_batch(shape, spacing, nbins, dtype_name):
+    base = _sample_power_v3(shape, spacing, nbins, dtype_name)
+
+    @jax.jit
+    def bfn(seeds, smoothing, lk0, inv_dlk, stab):
+        return jax.lax.map(
+            lambda s: base(s, smoothing, lk0, inv_dlk, stab), seeds
+        )
+
+    return bfn
+
+
+def sample_power_v3_batch(seeds, table, shape, spacing, nbins,
+                          smoothing_length=0.0):
+    """A seed batch of binned spectra through ONE program.
+
+    ``lax.map`` over :func:`sample_power_v3`'s body: per-seed results
+    are identical to the single-seed program (the stream depends only
+    on the seed scalar); the per-dispatch host sync (~30 ms) — now a
+    third of the 1024^3 per-seed cost after the in-kernel binning — is
+    paid once per batch.  Returns stacked (counts, power_sum, k_sum)
+    with a leading seed axis.
+    """
+    lk0, dlk, stab = table
+    seeds = jnp.asarray(
+        [int(s) & 0x7FFFFFFF for s in np.asarray(seeds).ravel()], jnp.uint32
+    )
+    bfn = _sample_power_v3_batch(
+        tuple(shape), float(spacing), int(nbins), "float32"
+    )
+    return bfn(
+        seeds, jnp.float32(smoothing_length), jnp.float32(lk0),
+        jnp.float32(1.0 / float(dlk)), jnp.asarray(stab),
+    )
+
+
 def finish_staged_reim(re, im, weights, shape, spacing, dtype_name):
     """v3 inverse-transform + weight from (re, im) spectrum lattices."""
     shape = tuple(shape)

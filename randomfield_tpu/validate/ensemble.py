@@ -119,16 +119,22 @@ def sample_power_ensemble(generator, seeds, smoothing_length=0.0, nbins=32,
         )
         tmp.replace(checkpoint_path)
 
+    todo = [s for s in seeds_list if s not in done]
+    # chunks ride Generator.sample_power_batch (one program per chunk on
+    # the Pallas path; per-seed fallback elsewhere), capped at the
+    # checkpoint cadence so a crash still loses at most checkpoint_every
+    # seeds
+    batch = max(1, min(int(checkpoint_every), 16))
     pending = 0
-    for s in seeds_list:
-        if s in done:
-            continue
-        k, p, m = generator.sample_power(
-            s, smoothing_length=smoothing_length, nbins=nbins
+    for i in range(0, len(todo), batch):
+        chunk = todo[i:i + batch]
+        k, p_rows, m = generator.sample_power_batch(
+            chunk, smoothing_length=smoothing_length, nbins=nbins
         )
         ks, ms = k, m
-        done[s] = p
-        pending += 1
+        for s, row in zip(chunk, np.asarray(p_rows)):
+            done[s] = row
+        pending += len(chunk)
         if checkpoint_path is not None and pending >= int(checkpoint_every):
             _write()
             pending = 0
