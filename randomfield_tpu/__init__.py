@@ -27,7 +27,20 @@ granularity because the reference mount was empty at survey time
 """
 
 from randomfield_tpu.engine.generator import Generator
-from randomfield_tpu.models.cosmology import Cosmology, Planck13, Planck15, Planck18
+from randomfield_tpu.models.cosmology import (
+    Cosmology,
+    Planck13,
+    Planck15,
+    Planck18,
+    create_cosmology,
+)
+from randomfield_tpu.models.powerspec import (
+    bbks_power,
+    eisenstein_hu_power,
+    load_camb_power,
+    power_at_redshift,
+    power_law_power,
+)
 from randomfield_tpu.ops.power import load_default_power, validate_power
 
 __version__ = "0.1.0"
@@ -38,7 +51,13 @@ __all__ = [
     "Planck13",
     "Planck15",
     "Planck18",
+    "create_cosmology",
     "load_default_power",
     "validate_power",
+    "eisenstein_hu_power",
+    "bbks_power",
+    "power_law_power",
+    "load_camb_power",
+    "power_at_redshift",
     "__version__",
 ]

@@ -272,6 +272,27 @@ class Generator:
         )
         if power is None:
             power = _power.load_default_power()
+        elif isinstance(power, str):
+            # named model zoo: the shipped default table, or an analytic
+            # model evaluated for THIS scene's cosmology (so e.g.
+            # Generator(..., cosmology='Planck18', power='eh98') is
+            # self-consistent)
+            from randomfield_tpu.models import powerspec as _ps
+
+            name = power.lower()
+            if name == "default":
+                power = _power.load_default_power()
+            elif name in ("eh98", "eisenstein_hu"):
+                power = _ps.make_power_table(self.cosmology)
+            elif name == "bbks":
+                k = np.logspace(-4, 3, 1024)
+                power = (k, _ps.bbks_power(self.cosmology, k))
+            else:
+                raise ValueError(
+                    f"unknown power model {power!r}: expected 'default', "
+                    "'eh98'/'eisenstein_hu', 'bbks', or a tabulated "
+                    "(k, Pk) spectrum"
+                )
         from randomfield_tpu.engine.staged import pick_pipeline
 
         self.pipeline = pick_pipeline(self.scene.shape, pipeline)
@@ -448,14 +469,17 @@ class Generator:
         """(log10k, P) interpolation arrays for program inputs."""
         return self._table_host[0], self._table_host[1]
 
-    def predicted_variance(self, smoothing_length=0.0):
-        """Exact expected variance of a (non-lightcone) field.
+    def predicted_variance(self, smoothing_length=0.0, apply_lightcone=False):
+        """Exact expected variance of a rendered field.
 
         Computed on device — from the tabulated sigma grid, or for mesh
         scenes from the table directly (chunked inline evaluation; no
         grid is stored).  Matches the float64 oracle sum to ~1e-5
         relative — asserted in tests; the host sum costs minutes at
-        1024^3.
+        1024^3.  ``apply_lightcone=True`` predicts the default
+        lightcone-weighted render instead: each z-plane is scaled by
+        D(z)/D(0), so the global variance picks up the plane-mean of
+        D^2 exactly.
         """
         from randomfield_tpu.parallel.multihost import replicated_to_host
 
@@ -475,7 +499,11 @@ class Generator:
                 self.state.sigmas, sm,
                 self.scene.shape, self.scene.grid_spacing, self._layout,
             )
-        return float(replicated_to_host(out))
+        out = float(replicated_to_host(out))
+        if apply_lightcone:
+            w = np.asarray(self.growth_function, np.float64)
+            out *= float(np.mean(w * w))
+        return out
 
     # ---- rendering -----------------------------------------------------------
     def _weights(self, apply_lightcone):

@@ -1,4 +1,4 @@
-"""Flat Lambda-CDM background cosmology — no astropy dependency.
+"""Background cosmology — no astropy dependency.
 
 Reference parity: ``randomfield/cosmotools.py`` (``create_cosmology``,
 ``get_redshifts``, ``get_growth_function``).  The reference leans on
@@ -6,7 +6,11 @@ astropy's ``FlatLambdaCDM`` (default Planck13) plus scipy quadrature; here
 the two integrals it needs — comoving distance and the linear growth
 factor — are ~100 lines of float64 numpy evaluated once at scene-setup
 time (they are O(table), not O(N^3), so they stay on host in f64 and ship
-to the device as f32 constants).
+to the device as f32 constants).  Beyond the reference's flat-LCDM
+surface, curvature (``Ok0``) and CPL dark energy (``w0``/``wa``) are
+supported: distances pick up the extra density terms and the growth
+factor switches from the flat-LCDM closed form to an RK4 integration of
+the growth ODE (identical results on flat LCDM, asserted in tests).
 
 Simplification vs astropy: neutrinos are treated as massless (energy
 density scaled by Neff); astropy's Planck13 includes one 0.06 eV species.
@@ -50,6 +54,9 @@ class Cosmology:
     Neff: float = 3.046  # effective massless neutrino species
     ns: float = 0.9611  # scalar spectral index
     sigma8: float = 0.8288  # linear rms in 8 Mpc/h spheres at z=0
+    Ok0: float = 0.0  # curvature today (0 = flat)
+    w0: float = -1.0  # dark-energy equation of state today (CPL)
+    wa: float = 0.0  # CPL evolution: w(a) = w0 + wa (1 - a)
     name: str = "Planck13"
 
     # ---- derived densities -------------------------------------------------
@@ -73,27 +80,60 @@ class Cosmology:
 
     @property
     def Ode0(self) -> float:
-        return 1.0 - self.Om0 - self.Or0
+        return 1.0 - self.Om0 - self.Or0 - self.Ok0
 
     @property
     def hubble_distance(self) -> float:
         """c / H0 [Mpc]."""
         return C_KM_S / self.H0
 
-    # ---- background --------------------------------------------------------
-    def efunc(self, z):
-        """E(z) = H(z)/H0 for the flat model with radiation."""
-        zp1 = 1.0 + np.asarray(z, dtype=np.float64)
-        return np.sqrt(self.Or0 * zp1**4 + self.Om0 * zp1**3 + self.Ode0)
+    @property
+    def _is_flat_lcdm(self) -> bool:
+        """True for the flat cosmological-constant sector (closed-form
+        growth applies; the general w0waCDM+curvature path uses the ODE)."""
+        return self.Ok0 == 0.0 and self.w0 == -1.0 and self.wa == 0.0
 
-    def _efunc_matter_lambda(self, a):
-        """E(a) with matter + Lambda only (the sector that clusters).
+    def _de_density(self, a):
+        """rho_DE(a)/rho_DE0 for CPL w(a) = w0 + wa (1 - a).
 
-        The closed-form growth integral below is exact for matter+Lambda;
-        radiation is excluded there by convention (documented above).
+        a^{-3 (1 + w0 + wa)} exp(-3 wa (1 - a)); == 1 for a cosmological
+        constant.
         """
         a = np.asarray(a, dtype=np.float64)
-        return np.sqrt(self.Om0 / a**3 + 1.0 - self.Om0)
+        if self.w0 == -1.0 and self.wa == 0.0:
+            return np.ones_like(a)
+        return a ** (-3.0 * (1.0 + self.w0 + self.wa)) * np.exp(
+            -3.0 * self.wa * (1.0 - a)
+        )
+
+    # ---- background --------------------------------------------------------
+    def efunc(self, z):
+        """E(z) = H(z)/H0 with radiation, matter, curvature and CPL DE."""
+        zp1 = 1.0 + np.asarray(z, dtype=np.float64)
+        return np.sqrt(
+            self.Or0 * zp1**4
+            + self.Om0 * zp1**3
+            + self.Ok0 * zp1**2
+            + self.Ode0 * self._de_density(1.0 / zp1)
+        )
+
+    def _efunc_matter_lambda(self, a):
+        """E(a) excluding radiation (the sector that drives growth).
+
+        The closed-form growth integral below is exact for flat
+        matter+Lambda; the general case adds curvature and CPL dark
+        energy and goes through the growth ODE instead.  Radiation is
+        excluded by convention in both (documented above).
+        """
+        a = np.asarray(a, dtype=np.float64)
+        # radiation is dropped from the budget too (Ode = 1 - Om - Ok
+        # here, not 1 - Om - Or - Ok), matching the round-1 flat-LCDM
+        # convention bit-for-bit and keeping the growth sector closed
+        return np.sqrt(
+            self.Om0 / a**3
+            + self.Ok0 / a**2
+            + (1.0 - self.Om0 - self.Ok0) * self._de_density(a)
+        )
 
     @functools.cached_property
     def _distance_table(self):
@@ -112,6 +152,21 @@ class Cosmology:
         zt, dt = self._distance_table
         return np.interp(np.asarray(z, dtype=np.float64), zt, dt)
 
+    def transverse_comoving_distance(self, z):
+        """Transverse comoving distance D_M [Mpc] (a.k.a. proper motion
+        distance): equals the line-of-sight D_C when flat, sinh/sin-scaled
+        under open/closed curvature.  The quantity lensing kernels and
+        angular diameter / luminosity distances are built from."""
+        dc = self.comoving_distance(z)
+        if self.Ok0 == 0.0:
+            return dc
+        dh = self.hubble_distance
+        sq = np.sqrt(abs(self.Ok0))
+        x = sq * dc / dh
+        if self.Ok0 > 0:
+            return dh / sq * np.sinh(x)
+        return dh / sq * np.sin(x)
+
     def redshift_at_comoving_distance(self, dc_mpc):
         """Inverse of :meth:`comoving_distance` by monotone interpolation."""
         zt, dt = self._distance_table
@@ -126,23 +181,74 @@ class Cosmology:
     def growth_function(self, z):
         """Linear growth factor D(z), normalized so D(0) = 1.
 
-        D(a) proportional to E(a) * integral_0^a da' / (a' E(a'))^3 — the
-        exact matter+Lambda solution (ref: cosmotools.get_growth_function,
-        SURVEY.md section 3.4).  Evaluated by trapezoid on a log-a grid.
+        Flat LCDM: D(a) proportional to
+        E(a) * integral_0^a da' / (a' E(a'))^3 — the exact
+        matter+Lambda solution (ref: cosmotools.get_growth_function,
+        SURVEY.md section 3.4), evaluated by trapezoid on a log-a grid.
+        With curvature or CPL dark energy that closed form does not
+        hold; the growth ODE is integrated instead (:meth:`_growth_ode`).
         """
         z = np.asarray(z, dtype=np.float64)
         a_eval = 1.0 / (1.0 + z)
-        # cumulative integral on a fixed fine log-a grid; extends past
-        # a = 1 so growth-rate finite differences at z = 0 stay two-sided
-        lna = np.linspace(np.log(1e-8), 0.25, 20001)
-        a = np.exp(lna)
-        f = 1.0 / (a * self._efunc_matter_lambda(a)) ** 3 * a  # d(lna) measure
-        cum = np.zeros_like(a)
-        dl = np.diff(lna)
-        cum[1:] = np.cumsum(0.5 * dl * (f[1:] + f[:-1]))
-        d_unnorm = self._efunc_matter_lambda(a) * cum
+        lna, d_unnorm = self._growth_table
         d_of_a = lambda aq: np.interp(np.log(aq), lna, d_unnorm)
         return d_of_a(a_eval) / d_of_a(1.0)
+
+    @functools.cached_property
+    def _growth_table(self):
+        """(ln a grid, unnormalized D) — closed form or ODE per model."""
+        # fixed fine log-a grid; extends past a = 1 so growth-rate
+        # finite differences at z = 0 stay two-sided
+        lna = np.linspace(np.log(1e-8), 0.25, 20001)
+        a = np.exp(lna)
+        if self._is_flat_lcdm:
+            f = 1.0 / (a * self._efunc_matter_lambda(a)) ** 3 * a  # dlna
+            cum = np.zeros_like(a)
+            dl = np.diff(lna)
+            cum[1:] = np.cumsum(0.5 * dl * (f[1:] + f[:-1]))
+            return lna, self._efunc_matter_lambda(a) * cum
+        return lna, self._growth_ode(lna)
+
+    def _growth_ode(self, lna):
+        """Integrate D'' + (2 + dlnE/dx) D' = (3/2) Om(a) D in x = ln a.
+
+        RK4 from deep matter domination (D proportional to a there — the
+        curvature/DE terms are negligible at a = 1e-8 for any sane
+        parameters), on the same log-a grid the closed form uses.
+        Om(a) = Om0 a^-3 / E(a)^2 with the radiation-free E of
+        :meth:`_efunc_matter_lambda`.  Matches the closed form to ~1e-5
+        when evaluated on flat LCDM (asserted in tests).
+        """
+        ok0 = self.Ok0
+        om0 = self.Om0
+        ode0 = 1.0 - om0 - ok0
+
+        def rhs(x, y):
+            a = np.exp(x)
+            fde = self._de_density(a)
+            e2 = om0 / a**3 + ok0 / a**2 + ode0 * fde
+            # dlnE/dx = dE^2/dx / (2 E^2)
+            dfde = fde * (-3.0 * (1.0 + self.w0 + self.wa)
+                          + 3.0 * self.wa * a)
+            de2 = -3.0 * om0 / a**3 - 2.0 * ok0 / a**2 + ode0 * dfde
+            dlne = 0.5 * de2 / e2
+            om_a = om0 / a**3 / e2
+            d, dp = y
+            return np.array([dp, 1.5 * om_a * d - (2.0 + dlne) * dp])
+
+        out = np.empty_like(lna)
+        a0 = np.exp(lna[0])
+        y = np.array([a0, a0])  # D ~ a, dD/dx ~ a in matter domination
+        out[0] = y[0]
+        for i in range(1, lna.size):
+            x, h = lna[i - 1], lna[i] - lna[i - 1]
+            k1 = rhs(x, y)
+            k2 = rhs(x + 0.5 * h, y + 0.5 * h * k1)
+            k3 = rhs(x + 0.5 * h, y + 0.5 * h * k2)
+            k4 = rhs(x + h, y + h * k3)
+            y = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+            out[i] = y[0]
+        return out
 
     def growth_rate(self, z):
         """Logarithmic growth rate f = dlnD/dlna (central difference).
@@ -195,12 +301,17 @@ def create_cosmology(name_or_cosmology="Planck13") -> Cosmology:
         return Planck13
     if isinstance(name_or_cosmology, Cosmology):
         return name_or_cosmology
+    if isinstance(name_or_cosmology, dict):
+        # parameter overrides on the default, e.g.
+        # {"H0": 70, "Om0": 0.3, "w0": -0.9, "Ok0": 0.01}
+        return Cosmology(**{"name": "custom", **name_or_cosmology})
     try:
         return _NAMED[str(name_or_cosmology).lower()]
     except KeyError:
         raise ValueError(
             f"unknown cosmology {name_or_cosmology!r}; expected one of "
-            f"{sorted(_NAMED)} or a Cosmology instance"
+            f"{sorted(_NAMED)}, a Cosmology instance, or a dict of "
+            "parameter overrides"
         ) from None
 
 

@@ -17,7 +17,16 @@ import numpy as np
 
 from randomfield_tpu.models.cosmology import Cosmology, create_cosmology
 
-__all__ = ["eh98_transfer", "eisenstein_hu_power", "make_power_table"]
+__all__ = [
+    "eh98_transfer",
+    "eisenstein_hu_power",
+    "bbks_transfer",
+    "bbks_power",
+    "power_law_power",
+    "load_camb_power",
+    "power_at_redshift",
+    "make_power_table",
+]
 
 
 def eh98_transfer(cosmology: Cosmology, k_mpc):
@@ -116,6 +125,113 @@ def eisenstein_hu_power(cosmology=None, k_h=None):
     t_ref = eh98_transfer(cosmology, k_ref * cosmology.h)
     s8 = _sigma_r_unnormalized(k_ref, k_ref**cosmology.ns * t_ref**2, r=8.0)
     return p_shape * (cosmology.sigma8 / s8) ** 2
+
+
+def bbks_transfer(cosmology: Cosmology, k_mpc):
+    """BBKS CDM transfer function (Bardeen et al. 1986, eq. G3).
+
+    With the Sugiyama (1995) baryon correction to the shape parameter:
+    Gamma = Om0 h exp(-Ob0 (1 + sqrt(2h)/Om0)).  Smooth (no BAO) —
+    the classic pre-CAMB analytic model; useful as a cheap alternative
+    shape and as a cross-check on :func:`eh98_transfer` (they agree at
+    the ~10% level over the BAO range).  ``k_mpc`` in 1/Mpc.
+    """
+    k = np.asarray(k_mpc, dtype=np.float64)
+    h = cosmology.h
+    gamma = cosmology.Om0 * h * np.exp(
+        -cosmology.Ob0 * (1.0 + np.sqrt(2.0 * h) / cosmology.Om0)
+    )
+    # BBKS variable q = k / (Gamma h) with k in 1/Mpc  (== k[h/Mpc]/Gamma)
+    q = k / (gamma * h)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (
+            np.log(1.0 + 2.34 * q) / (2.34 * q)
+            * (
+                1.0
+                + 3.89 * q
+                + (16.1 * q) ** 2
+                + (5.46 * q) ** 3
+                + (6.71 * q) ** 4
+            ) ** -0.25
+        )
+    return np.where(q > 0, t, 1.0)
+
+
+def _normalized_power(cosmology, k_h, transfer):
+    """k^ns T(k)^2 scaled so sigma8 matches the cosmology's value."""
+    k_h = np.asarray(k_h, dtype=np.float64)
+    p_shape = k_h**cosmology.ns * transfer(cosmology, k_h * cosmology.h) ** 2
+    k_ref = np.logspace(-4.5, 2.5, 4096)
+    p_ref = k_ref**cosmology.ns * transfer(cosmology, k_ref * cosmology.h) ** 2
+    s8 = _sigma_r_unnormalized(k_ref, p_ref, r=8.0)
+    return p_shape * (cosmology.sigma8 / s8) ** 2
+
+
+def bbks_power(cosmology=None, k_h=None):
+    """BBKS linear P(k) at z=0, sigma8-normalized; k in h/Mpc."""
+    return _normalized_power(create_cosmology(cosmology), k_h, bbks_transfer)
+
+
+def power_law_power(k_h, ns=1.0, sigma8=0.8288):
+    """Scale-free P(k) = A k^ns with A set so sigma(8 Mpc/h) = sigma8.
+
+    The standard analytic test spectrum: every statistic of the
+    rendered field has a closed form, which makes it the natural input
+    for convergence studies and estimator validation (the test suite's
+    statistical gates run on exactly this class of spectrum).
+    Requires ns > -3 for the variance integral to converge at low k.
+    """
+    if ns <= -3.0:
+        raise ValueError(f"power-law spectrum needs ns > -3, got {ns}")
+    k_h = np.asarray(k_h, dtype=np.float64)
+    k_ref = np.logspace(-4.5, 2.5, 4096)
+    s8 = _sigma_r_unnormalized(k_ref, k_ref**ns, r=8.0)
+    return k_h**ns * (sigma8 / s8) ** 2
+
+
+def load_camb_power(path, h_units=True):
+    """Read a CAMB ``matter_power`` table: columns k/h [h/Mpc], P [(Mpc/h)^3].
+
+    The reference ships exactly this format as its default data file
+    (SURVEY.md section 2, "tabulated CAMB linear P(k)"); this loader
+    accepts the files CAMB writes (comment headers with ``#``, two or
+    more whitespace-separated columns, extra columns ignored) so a
+    reference user's own spectra drop straight in:
+    ``Generator(..., power=load_camb_power("my_matterpower.dat"))``.
+    ``h_units=False`` converts from k [1/Mpc], P [Mpc^3] using the
+    ambiguity-free rule k_h = k / h, P_h = P * h^3 — pass the
+    cosmology's h via functools.partial or convert beforehand if your
+    table is not in h-units (CAMB's default output is).
+    """
+    arr = np.loadtxt(path, comments="#", dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[None, :]
+    if arr.shape[1] < 2:
+        raise ValueError(
+            f"{path}: expected at least 2 columns (k, P), got {arr.shape[1]}"
+        )
+    k, pk = arr[:, 0], arr[:, 1]
+    if not h_units:
+        raise ValueError(
+            "h_units=False needs the table pre-converted: k_h = k/h, "
+            "P_h = P * h^3 (the file does not record h)"
+        )
+    return k, pk
+
+
+def power_at_redshift(power, cosmology, z):
+    """Scale a z=0 linear P(k) table to redshift z: P(k, z) = D(z)^2 P(k, 0).
+
+    For a snapshot box at fixed z (as opposed to the engine's lightcone
+    weighting, which applies D(z)/D(0) per plane along the line of
+    sight — engine/generator.py).  Returns a (k, Pk) pair.
+    """
+    from randomfield_tpu.ops.power import as_power_table
+
+    t = as_power_table(power)
+    cosmology = create_cosmology(cosmology)
+    d = float(cosmology.growth_function(float(z)))
+    return t.k.copy(), t.Pk * d * d
 
 
 def make_power_table(cosmology=None, kmin=1e-4, kmax=1e3, n=1024):

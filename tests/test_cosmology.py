@@ -107,3 +107,82 @@ def test_mean_matter_density():
     )
     # astropy Planck13 cross-check: rho_m(0) ~ 3.9e10 Msun/Mpc^3
     assert 3.5e10 < rho0 < 4.3e10
+
+
+# ---- generalized background: curvature + CPL dark energy -------------------
+
+
+def test_growth_ode_matches_closed_form_on_flat_lcdm():
+    c = cosmo.Planck13
+    lna, d_closed = c._growth_table
+    d_ode = c._growth_ode(lna)
+    # both unnormalized with the same D ~ a seed; compare normalized
+    ratio = (d_ode / d_ode[-1]) / (d_closed / d_closed[-1])
+    assert np.max(np.abs(ratio[lna > np.log(1e-3)] - 1.0)) < 1e-4
+
+
+def test_eds_growth_is_scale_factor():
+    # Om0 = 1, Ode0 = 0: D proportional to a exactly; w0 != -1 forces the
+    # ODE path (the DE term has zero density, so the physics is pure EdS)
+    c = cosmo.Cosmology(Om0=1.0, Ob0=0.05, w0=-0.9, name="eds")
+    assert not c._is_flat_lcdm
+    z = np.array([0.0, 0.5, 1.0, 3.0, 9.0])
+    d = c.growth_function(z)
+    assert np.allclose(d * (1.0 + z), 1.0, atol=2e-3)
+
+
+def test_wcdm_growth_direction():
+    # w0 > -1: dark energy denser in the past, growth suppressed earlier,
+    # so D(z=1)/D(0) sits ABOVE the LCDM value
+    lcdm = cosmo.Planck13
+    wcdm = cosmo.Cosmology(w0=-0.8, name="wcdm")
+    assert float(wcdm.growth_function(1.0)) > float(lcdm.growth_function(1.0))
+    # and wa pulls it further in the same direction for w(a) > -1 at high z
+    w0wa = cosmo.Cosmology(w0=-0.9, wa=0.3, name="w0wa")
+    assert float(w0wa.growth_function(1.0)) > float(
+        cosmo.Cosmology(w0=-0.9, name="w0").growth_function(1.0)
+    )
+
+
+def test_curvature_budget_and_efunc():
+    c = cosmo.Cosmology(Om0=0.25, Ok0=0.1, name="open")
+    assert np.isclose(c.Om0 + c.Ok0 + c.Or0 + c.Ode0, 1.0, atol=1e-12)
+    assert np.isclose(c.efunc(0.0), 1.0, atol=1e-12)
+    # open universes expand faster at modest z than flat same-Om
+    f = cosmo.Cosmology(Om0=0.25, name="flat")
+    assert c.efunc(1.0) > 0.9 * f.efunc(1.0)
+
+
+def test_transverse_comoving_distance_curvature():
+    z = 2.0
+    flat = cosmo.Planck13
+    assert np.isclose(
+        flat.transverse_comoving_distance(z), flat.comoving_distance(z)
+    )
+    opn = cosmo.Cosmology(Om0=0.25, Ok0=0.1, name="open")
+    cls = cosmo.Cosmology(Om0=0.35, Ok0=-0.1, name="closed")
+    assert opn.transverse_comoving_distance(z) > opn.comoving_distance(z)
+    assert cls.transverse_comoving_distance(z) < cls.comoving_distance(z)
+
+
+def test_factory_accepts_dict_overrides():
+    c = cosmo.create_cosmology({"H0": 70.0, "Om0": 0.3, "w0": -0.9})
+    assert c.H0 == 70.0 and c.w0 == -0.9 and c.name == "custom"
+    # hashable (jit-static Scene embeds it)
+    hash(c)
+
+
+def test_generalized_cosmology_through_generator():
+    # end-to-end: a w0waCDM open scene renders and its lightcone weights
+    # are finite, decreasing with plane redshift
+    from randomfield_tpu import Generator
+
+    g = Generator(
+        8, 8, 8, grid_spacing=32.0,
+        cosmology={"Om0": 0.29, "Ok0": 0.02, "w0": -0.95, "wa": 0.1},
+    )
+    d = np.asarray(g.generate_delta_field(seed=1))
+    assert np.all(np.isfinite(d))
+    w = np.asarray(g.growth_function)
+    assert w[0] == pytest.approx(1.0, abs=1e-6) or w[0] <= 1.0
+    assert np.all(np.diff(w) <= 0)

@@ -149,3 +149,24 @@ def test_predicted_variance_matches_oracle():
             )
             got = g.predicted_variance(smoothing_length=s)
             assert abs(got - ref) < 2e-4 * ref, (pipeline, s, got, ref)
+
+
+def test_predicted_variance_lightcone_matches_deep_box():
+    # deep box: <D^2> is far from 1, so the lightcone prediction must
+    # track the weighted render while the plain one tracks the
+    # no-lightcone render
+    from randomfield_tpu import Generator
+
+    g = Generator(24, 24, 48, grid_spacing=40.0)
+    w = np.asarray(g.growth_function, np.float64)
+    growth_sq = float(np.mean(w * w))
+    assert growth_sq < 0.9  # the geometry actually exercises the path
+    plain = g.predicted_variance()
+    lc = g.predicted_variance(apply_lightcone=True)
+    assert lc == pytest.approx(plain * growth_sq, rel=1e-12)
+    fields = np.stack([
+        np.asarray(g.generate_delta_field(seed=s)) for s in range(6)
+    ])
+    var_lc = float(fields.var(axis=(1, 2, 3)).mean())
+    assert var_lc == pytest.approx(lc, rel=0.2)
+    assert var_lc < 0.85 * plain

@@ -116,3 +116,76 @@ def test_default_power_loads():
     t = power.load_default_power()
     assert t.k[0] <= 1e-3 and t.k[-1] >= 100
     assert np.all(t.Pk > 0)
+
+
+# ---- power-spectrum model zoo ----------------------------------------------
+
+
+def test_bbks_power_normalized_and_close_to_eh98():
+    from randomfield_tpu.models import powerspec as ps
+    from randomfield_tpu.models.cosmology import Planck13
+    from randomfield_tpu.ops.power import sigma8 as sigma8_of
+
+    k = np.logspace(-4, 2, 512)
+    p_bbks = ps.bbks_power(None, k)
+    assert np.all(p_bbks > 0) and np.all(np.isfinite(p_bbks))
+    s8 = sigma8_of((k, p_bbks))
+    assert s8 == pytest.approx(Planck13.sigma8, rel=1e-2)
+    # same normalization, smooth-vs-BAO shapes: agree broadly at BAO scales
+    p_eh = ps.eisenstein_hu_power(None, k)
+    band = (k > 1e-2) & (k < 1.0)
+    ratio = p_bbks[band] / p_eh[band]
+    assert np.all((ratio > 0.6) & (ratio < 1.6))
+
+
+def test_power_law_sigma8_exact():
+    from randomfield_tpu.models import powerspec as ps
+    from randomfield_tpu.ops.power import sigma8 as sigma8_of
+
+    k = np.logspace(-4, 2, 2048)
+    p = ps.power_law_power(k, ns=0.5, sigma8=0.7)
+    assert sigma8_of((k, p)) == pytest.approx(0.7, rel=1e-2)
+    with pytest.raises(ValueError, match="ns > -3"):
+        ps.power_law_power(k, ns=-3.0)
+
+
+def test_load_camb_power(tmp_path):
+    from randomfield_tpu.models import powerspec as ps
+    from randomfield_tpu.ops.power import validate_power
+
+    f = tmp_path / "matterpower.dat"
+    k = np.logspace(-3, 1, 32)
+    pk = 1e4 * k / (1.0 + (k / 0.02) ** 3)
+    extra = np.ones_like(k)  # CAMB files may carry extra columns
+    np.savetxt(
+        f, np.column_stack([k, pk, extra]),
+        header="   k/h    P(k)   extra", comments="#",
+    )
+    k2, p2 = ps.load_camb_power(f)
+    np.testing.assert_allclose(k2, k, rtol=1e-12)
+    np.testing.assert_allclose(p2, pk, rtol=1e-12)
+    validate_power((k2, p2))  # drops straight into the engine
+    with pytest.raises(ValueError, match="pre-converted"):
+        ps.load_camb_power(f, h_units=False)
+
+
+def test_power_at_redshift_scales_by_growth_squared():
+    from randomfield_tpu.models import powerspec as ps
+    from randomfield_tpu.models.cosmology import Planck13
+
+    k = np.logspace(-3, 1, 64)
+    p0 = ps.eisenstein_hu_power(None, k)
+    k1, p1 = ps.power_at_redshift((k, p0), None, 1.0)
+    d = float(Planck13.growth_function(1.0))
+    np.testing.assert_allclose(p1 / p0, d * d, rtol=1e-12)
+
+
+def test_generator_named_power_models():
+    from randomfield_tpu import Generator
+
+    for name in ("default", "eh98", "bbks"):
+        g = Generator(8, 8, 8, grid_spacing=32.0, power=name)
+        d = np.asarray(g.generate_delta_field(seed=0))
+        assert np.all(np.isfinite(d))
+    with pytest.raises(ValueError, match="unknown power model"):
+        Generator(8, 8, 8, grid_spacing=32.0, power="nope")
