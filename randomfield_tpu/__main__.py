@@ -28,9 +28,17 @@ def main(argv=None):
                    help="Gaussian smoothing length in Mpc/h")
     p.add_argument("--cosmology", default="Planck13",
                    choices=["Planck13", "Planck15", "Planck18"])
+    p.add_argument("--w0", type=float, default=None,
+                   help="CPL dark-energy w0 override (default -1)")
+    p.add_argument("--wa", type=float, default=None,
+                   help="CPL dark-energy wa override (default 0)")
+    p.add_argument("--ok0", type=float, default=None,
+                   help="curvature Omega_k0 override (default 0, flat)")
     p.add_argument("--power", default=None,
-                   help="two-column text file (k [h/Mpc], P [(Mpc/h)^3]); "
-                        "default: built-in EH98 Planck13 table")
+                   help="a model name (default|eh98|bbks) or a CAMB-style "
+                        "text file (k [h/Mpc], P [(Mpc/h)^3], '#' comments, "
+                        "extra columns ignored); default: built-in EH98 "
+                        "Planck13 table")
     p.add_argument("--no-lightcone", action="store_true")
     p.add_argument("--out", default=None,
                    help="output .npz path ({seed} is substituted)")
@@ -89,12 +97,32 @@ def main(argv=None):
 
     power = None
     if args.power:
-        power = np.loadtxt(args.power)
+        if args.power.lower() in ("default", "eh98", "eisenstein_hu", "bbks"):
+            power = args.power.lower()
+        else:
+            from randomfield_tpu.models.powerspec import load_camb_power
+
+            power = load_camb_power(args.power)
+
+    cosmology = args.cosmology
+    overrides = {
+        k: v for k, v in
+        (("w0", args.w0), ("wa", args.wa), ("Ok0", args.ok0))
+        if v is not None
+    }
+    if overrides:
+        import dataclasses
+
+        from randomfield_tpu.models.cosmology import create_cosmology
+
+        cosmology = dataclasses.replace(
+            create_cosmology(cosmology), name="custom", **overrides
+        )
 
     ny = args.ny or args.nx
     nz = args.nz or args.nx
     gen = rf.Generator(
-        args.nx, ny, nz, grid_spacing=args.spacing, cosmology=args.cosmology,
+        args.nx, ny, nz, grid_spacing=args.spacing, cosmology=cosmology,
         power=power, mesh=mesh, verbose=not args.quiet,
     )
     if args.sample_power:

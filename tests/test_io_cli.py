@@ -161,3 +161,26 @@ def test_cli_sample_power_ensemble(tmp_path):
     with np.load(tmp_path / "ensemble.npz") as f:
         assert f["p_hat"].shape[0] == 3
         assert f["covariance"].shape == (8, 8)
+
+
+def test_cli_named_power_and_cosmology_overrides(tmp_path):
+    import os
+    import pathlib
+
+    out = tmp_path / "field_{seed}.npz"
+    cmd = [
+        sys.executable, "-m", "randomfield_tpu",
+        "--nx", "8", "--spacing", "32.0", "--seed", "5",
+        "--power", "bbks", "--w0", "-0.9", "--ok0", "0.02",
+        "--stats", "--out", str(out), "--quiet",
+    ]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    delta, meta = rio.load_field(tmp_path / "field_5.npz")
+    assert delta.shape == (8, 8, 8)

@@ -26,6 +26,10 @@ def test_two_process_mesh(tmp_path):
     port = _free_port()
     env = os.environ.copy()
     env.pop("JAX_PLATFORMS", None)  # workers force CPU via jax.config
+    # skip the sandbox's TPU plugin registration entirely: the workers
+    # are CPU-only, and importing jax with the axon tunnel unhealthy
+    # hangs at interpreter startup (verify skill notes)
+    env["PALLAS_AXON_POOL_IPS"] = ""
     procs = [
         subprocess.Popen(
             [sys.executable, str(_WORKER), str(i), "2", str(port), str(tmp_path)],
