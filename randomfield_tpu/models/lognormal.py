@@ -1,0 +1,223 @@
+"""Lognormal random fields with a prescribed power spectrum.
+
+The standard mock-catalog construction (Coles & Jones 1991): render a
+Gaussian field g with a *transformed* spectrum P_G, then map
+
+    delta_LN = exp(g - sigma_G^2 / 2) - 1,
+
+which is mean-zero, bounded below by -1 (a physical density contrast),
+and has the target two-point function.  The transformation runs in the
+engine's own grid conventions (ops/transform.py):
+
+    xi(r)   = (1/V) sum_k P(k) e^{ik.r}          (grid-exact target xi)
+    xi_G    = ln(1 + xi)                          (Gaussianized)
+    P_G(k)  = V * (1/N^3) sum_r xi_G(r) e^{-ik.r} (clipped at 0)
+
+P_G is shell-averaged into a fine :class:`PowerTable` so the result
+composes with the ENTIRE engine — every sampler (threefry / pallas),
+pipeline (fused / staged) and mesh (slab / pencil / multi-host) of
+:class:`randomfield_tpu.engine.generator.Generator` works unchanged
+underneath a :class:`LognormalGenerator`.  The shell-binned table is an
+approximation to the (mildly anisotropic) grid P_G; the end-to-end
+accuracy is gated statistically in tests/test_lognormal.py.
+
+Reference parity note: the upstream package generates Gaussian fields
+only; lognormal mocks are the canonical first consumer of such fields
+and are included for workflow completeness (SURVEY.md section 0 scope,
+"validation is statistical").
+
+Lightcone: with ``apply_lightcone=True`` the Gaussian field arrives with
+each z-plane scaled by D(z)/D(0) (engine convention), so the exp map
+subtracts the per-plane variance D^2 sigma_G^2 / 2 — every plane is a
+mean-zero lognormal field with local amplitude D(z) sigma_G.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from randomfield_tpu.ops import grid as _grid
+from randomfield_tpu.ops import power as _power
+from randomfield_tpu.ops import transform as _transform
+
+__all__ = ["transformed_power", "gaussian_to_lognormal", "LognormalGenerator"]
+
+
+def transformed_power(power, shape, spacing, nbins=256,
+                      interpolation="log10k"):
+    """Gaussianized power table P_G for a target ``power`` on this grid.
+
+    Returns ``(table, info)``: a :class:`PowerTable` covering the grid's
+    full [k_min, k_max] band (edge bins are clamp-extended so
+    ``require_coverage`` passes), and an info dict with the Gaussian
+    grid variance ``sigma_g2``, the target grid variance ``sigma2``, and
+    ``clipped_fraction`` — the fraction of |P_G| mass removed by the
+    non-negativity clip (0 for any spectrum whose xi_G transform is
+    realizable; large values mean the target is not lognormal-
+    representable on this grid).
+    """
+    shape = tuple(int(s) for s in shape)
+    spacing = float(spacing)
+    table = _power.validate_power(power)
+    _power.require_coverage(table, shape, spacing)
+    volume = shape[0] * shape[1] * shape[2] * spacing**3
+
+    kmag = _grid.kmag(shape, spacing, jnp.float32)
+    pgrid = _power.interpolate_power(table, kmag, interpolation)
+    pgrid = jnp.where(kmag > 0, pgrid, 0.0)
+    xi = _transform.irfftn(
+        (pgrid / jnp.asarray(volume, jnp.float32)).astype(jnp.complex64),
+        shape,
+    )
+    xi = np.asarray(xi, np.float64)
+    if xi.min() <= -1.0:
+        raise ValueError(
+            f"target xi reaches {xi.min():.4f} <= -1 on this grid; the "
+            "field has no lognormal representation (reduce the power "
+            "amplitude or refine the grid)"
+        )
+    xi_g = np.log1p(xi)
+    pg = np.asarray(
+        _transform.rfftn(jnp.asarray(xi_g, jnp.float32), norm="forward").real,
+        np.float64,
+    ) * volume
+    neg = -pg[pg < 0].sum()
+    total = np.abs(pg).sum()
+    pg = np.maximum(pg, 0.0)
+
+    # shell-average into a fine log-k table (mode-count weighted)
+    km = np.asarray(kmag, np.float64)
+    nz = shape[2]
+    mult = np.full(shape[2] // 2 + 1, 2.0)
+    mult[0] = 1.0
+    if nz % 2 == 0:
+        mult[-1] = 1.0
+    w = np.broadcast_to(mult[None, None, :], km.shape)
+    kmin, kmax = _grid.get_k_bounds(shape, spacing)
+    edges = np.logspace(np.log10(kmin * 0.999), np.log10(kmax * 1.001),
+                        int(nbins) + 1)
+    idx = np.searchsorted(edges, km) - 1
+    valid = (idx >= 0) & (idx < int(nbins)) & (km > 0)
+    cnt = np.bincount(idx[valid], weights=w[valid], minlength=int(nbins))
+    ksum = np.bincount(idx[valid], weights=(w * km)[valid], minlength=int(nbins))
+    psum = np.bincount(idx[valid], weights=(w * pg)[valid], minlength=int(nbins))
+    occ = cnt > 0
+    k_tab = ksum[occ] / cnt[occ]
+    p_tab = psum[occ] / cnt[occ]
+    # clamp-extend so the table covers the exact grid band
+    k_tab = np.concatenate([[kmin * 0.99], k_tab, [kmax * 1.01]])
+    p_tab = np.concatenate([[p_tab[0]], p_tab, [p_tab[-1]]])
+    info = {
+        "sigma2": float((np.asarray(pgrid, np.float64) * w).sum() / volume),
+        "sigma_g2": float(xi_g[0, 0, 0]),
+        "clipped_fraction": float(neg / total) if total > 0 else 0.0,
+    }
+    return _power.PowerTable(k_tab, p_tab), info
+
+
+@jax.jit
+def _exp_map(g, plane_var):
+    return jnp.expm1(g - 0.5 * plane_var[None, None, :].astype(g.dtype))
+
+
+def gaussian_to_lognormal(g, sigma_g2, lightcone_weights=None):
+    """exp-map a Gaussian field: ``exp(g - var/2) - 1`` (jitted, device).
+
+    ``sigma_g2`` is the Gaussian field's variance; with
+    ``lightcone_weights`` (the per-plane D(z)/D(0) already multiplied
+    into ``g``) the subtracted variance is per-plane ``D^2 sigma_g2``.
+    """
+    g = jnp.asarray(g)
+    nz = g.shape[-1]
+    w = np.ones(nz) if lightcone_weights is None else np.asarray(lightcone_weights, np.float64)
+    return _exp_map(g, jnp.asarray(w**2 * float(sigma_g2)))
+
+
+class LognormalGenerator:
+    """Generate lognormal density fields with a target P(k).
+
+    A thin composition: a :class:`Generator` renders Gaussian fields
+    with the transformed spectrum (so every engine feature — pallas
+    sampler, staged pipeline, slab/pencil meshes, batching — is
+    available via ``**kwargs``), and the exp map runs as one fused
+    elementwise device program on top.
+
+    ``generate_delta_field(seed)`` returns a mean-zero field bounded
+    below by -1 whose measured P(k) matches ``power``; one-point
+    statistics are lognormal (``log1p(delta) + sigma_G^2/2`` per plane
+    is Gaussian).
+    """
+
+    def __init__(self, nx, ny, nz, grid_spacing, cosmology=None, power=None,
+                 table_bins=256, **kwargs):
+        from randomfield_tpu.engine.generator import Generator
+
+        if power is None:
+            power = _power.load_default_power()
+        self.power = _power.validate_power(power)
+        shape = (int(nx), int(ny), int(nz))
+        self.gaussian_power, self.transform_info = transformed_power(
+            self.power, shape, float(grid_spacing), nbins=table_bins,
+            interpolation=kwargs.get("interpolation", "log10k"),
+        )
+        self.gaussian = Generator(
+            nx, ny, nz, grid_spacing, cosmology=cosmology,
+            power=self.gaussian_power, **kwargs,
+        )
+        # the variance actually rendered (table-interpolated, grid-exact)
+        self.sigma_g2 = float(self.gaussian.predicted_variance())
+
+    @property
+    def scene(self):
+        return self.gaussian.scene
+
+    @property
+    def cosmology(self):
+        return self.gaussian.cosmology
+
+    @property
+    def growth_function(self):
+        return self.gaussian.growth_function
+
+    def generate_delta_field(self, seed=0, smoothing_length=0.0,
+                             apply_lightcone=True):
+        """One lognormal realization (cf. Generator.generate_delta_field).
+
+        ``smoothing_length`` smooths the underlying GAUSSIAN field (its
+        variance correction follows exactly); the lognormal field's
+        spectrum then deviates from the smoothed target at second order.
+        """
+        g = self.gaussian.generate_delta_field(
+            seed, smoothing_length=smoothing_length,
+            apply_lightcone=apply_lightcone,
+        )
+        var = float(
+            self.gaussian.predicted_variance(smoothing_length=smoothing_length)
+        )
+        w = self.growth_function if apply_lightcone else None
+        return gaussian_to_lognormal(g, var, lightcone_weights=w)
+
+    def generate_delta_fields(self, seeds, smoothing_length=0.0,
+                              apply_lightcone=True):
+        """Batch of lognormal realizations (leading axis = seeds)."""
+        g = self.gaussian.generate_delta_fields(
+            seeds, smoothing_length=smoothing_length,
+            apply_lightcone=apply_lightcone,
+        )
+        var = float(
+            self.gaussian.predicted_variance(smoothing_length=smoothing_length)
+        )
+        w = self.growth_function if apply_lightcone else None
+        return gaussian_to_lognormal(g, var, lightcone_weights=w)
+
+    def predicted_variance(self, smoothing_length=0.0):
+        """Expected variance of the (snapshot) lognormal field."""
+        var = float(
+            self.gaussian.predicted_variance(smoothing_length=smoothing_length)
+        )
+        return float(np.expm1(var))
+
+    def calculate_power(self, delta, nbins=32):
+        return self.gaussian.calculate_power(delta, nbins=nbins)

@@ -18,7 +18,13 @@ import numpy as np
 from randomfield_tpu.ops import grid as _grid
 from randomfield_tpu.ops import transform as _transform
 
-__all__ = ["calculate_power", "spectrum_power", "field_moments"]
+__all__ = [
+    "calculate_power",
+    "spectrum_power",
+    "field_moments",
+    "calculate_correlation",
+    "predicted_correlation",
+]
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "spacing"))
@@ -417,6 +423,115 @@ def spectrum_power(c, shape, spacing, nbins=32, layout="xyz"):
     ksum = np.asarray(ksum, np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         return ksum / counts, psum / counts, counts
+
+
+# ---------------------------------------------------------------------------
+# Two-point correlation function xi(r)
+#
+# xi_hat(r) = (1/V) sum_k P_hat(k) exp(ik.r) — one inverse transform of
+# the per-mode power, binned by periodic minimum-image separation.  The
+# Hermitian extension of the (real, symmetric) P_hat half-grid makes the
+# packed irfftn compute the full-spectrum sum directly; no multiplicity
+# weights are needed.  E[xi_hat] equals predicted_correlation bin for bin
+# (same modes, same binning), so tests gate on pure sample noise.
+# ---------------------------------------------------------------------------
+
+def _r_bin_setup(shape, spacing, nbins):
+    """Linear r bins over (0, half the shortest box side]."""
+    rmax = 0.5 * min(shape) * spacing
+    return np.linspace(0.0, rmax, nbins + 1)
+
+
+def _min_image_r(shape, spacing, dtype):
+    """Periodic minimum-image separation |r| over the full real grid."""
+    ax = []
+    for n in shape:
+        idx = np.arange(n)
+        ax.append((np.minimum(idx, n - idx) * spacing).astype(np.float64))
+    r2 = (
+        (ax[0] ** 2)[:, None, None]
+        + (ax[1] ** 2)[None, :, None]
+        + (ax[2] ** 2)[None, None, :]
+    )
+    return jnp.asarray(np.sqrt(r2), dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "nbins"))
+def _binned_xi_from_power_grid(p, shape, spacing, nbins):
+    """Bin xi(r) from a P_hat half-grid (per-mode power, real f32)."""
+    volume = shape[0] * shape[1] * shape[2] * spacing**3
+    xi = _transform.irfftn(
+        (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64), shape
+    )
+    rmag = _min_image_r(shape, spacing, xi.dtype)
+    edges = _r_bin_setup(shape, spacing, nbins)
+    return _masked_bins(
+        rmag, 1.0, xi, jnp.asarray(edges, xi.dtype), nbins, per_slab=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "nbins"))
+def _binned_xi_from_field(delta, shape, spacing, nbins):
+    p = _mode_power(delta, shape, spacing)
+    # zero the DC mode (the field mean squared): the prediction carries
+    # P(0) = 0, and a residual mean would otherwise offset every lag
+    p = p.at[0, 0, 0].set(0.0)
+    return _binned_xi_from_power_grid(p, shape, spacing, nbins)
+
+
+def _xi_host(counts, psum, ksum):
+    counts = np.asarray(counts, np.float64)
+    psum = np.asarray(psum, np.float64)
+    ksum = np.asarray(ksum, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return ksum / counts, psum / counts, counts
+
+
+def calculate_correlation(delta, spacing, nbins=24):
+    """Measured isotropic two-point correlation xi(r) of a field.
+
+    Returns ``(r_mean, xi_hat, n_cells)`` numpy arrays: per-bin
+    cell-weighted mean separation, mean correlation, and cell-pair count
+    (one entry per grid cell — every cell contributes its periodic
+    autocorrelation at each lag).  Bins are linear in r from 0 to half
+    the shortest box side; the zero-lag cell (the variance) is excluded.
+    Empty bins yield NaN.
+
+    Validation-scale tool (single device; the full xi grid plus the
+    minimum-image radius grid are materialized — fine through 512^3).
+    The companion theory curve on the SAME discrete modes and bins is
+    :func:`predicted_correlation`; the continuum-integral counterpart is
+    :func:`randomfield_tpu.ops.power.power_to_correlation`.
+    """
+    shape = tuple(int(s) for s in delta.shape[-3:])
+    counts, psum, ksum = _binned_xi_from_field(
+        jnp.asarray(delta), shape, float(spacing), int(nbins)
+    )
+    return _xi_host(counts, psum, ksum)
+
+
+def predicted_correlation(power, shape, spacing, nbins=24,
+                          interpolation="log10k"):
+    """Expectation of :func:`calculate_correlation` for a power table.
+
+    Interpolates P onto this grid's discrete modes (the engine's
+    log10(k) convention), runs the identical inverse transform and
+    binning, and returns ``(r_mean, xi, n_cells)`` — the exact estimator
+    expectation, so measured-vs-predicted residuals are pure sample
+    noise (no discreteness systematics).
+    """
+    from randomfield_tpu.ops import power as _power
+
+    shape = tuple(int(s) for s in shape)
+    table = _power.validate_power(power)
+    _power.require_coverage(table, shape, float(spacing))
+    kmag = _grid.kmag(shape, float(spacing), jnp.float32)
+    pgrid = _power.interpolate_power(table, kmag, interpolation)
+    pgrid = jnp.where(kmag > 0, pgrid, 0.0)
+    counts, psum, ksum = _binned_xi_from_power_grid(
+        pgrid, shape, float(spacing), int(nbins)
+    )
+    return _xi_host(counts, psum, ksum)
 
 
 def _mean_axiswise(x):

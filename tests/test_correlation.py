@@ -1,0 +1,131 @@
+"""Two-point correlation function: theory transform + measured estimator.
+
+Gates:
+* ``power_to_correlation`` against the closed form for a Gaussian P(k);
+* ``predicted_correlation`` == binned grid-mode sum (single-cosine algebra);
+* ``calculate_correlation`` of rendered fields against its exact
+  expectation ``predicted_correlation`` (same modes, same bins — the
+  residual is pure sample noise);
+* Parseval: the xi estimator's zero-lag completion equals the variance.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from randomfield_tpu import Generator
+from randomfield_tpu.ops import power as rf_power
+from randomfield_tpu.validate import stats
+
+
+def _gaussian_table(amp=2500.0, R=8.0):
+    k = np.logspace(-4, 2, 1500)
+    return k, amp * np.exp(-(k * R) ** 2)
+
+
+def test_power_to_correlation_gaussian_closed_form():
+    # P(k) = A exp(-k^2 R^2)  =>  xi(r) = A exp(-r^2/4R^2) / (8 pi^1.5 R^3)
+    amp, R = 2500.0, 8.0
+    table = _gaussian_table(amp, R)
+    r = np.array([0.5, 4.0, 10.0, 25.0, 40.0])
+    xi = rf_power.power_to_correlation(table, r)
+    expected = amp * np.exp(-(r**2) / (4 * R**2)) / (8 * np.pi**1.5 * R**3)
+    np.testing.assert_allclose(xi, expected, rtol=2e-3)
+
+
+def test_power_to_correlation_scalar_and_consistency():
+    table = _gaussian_table()
+    xi = rf_power.power_to_correlation(table, 10.0)
+    assert isinstance(xi, float)
+    np.testing.assert_allclose(
+        xi, rf_power.power_to_correlation(table, [10.0])[0], rtol=0
+    )
+
+
+def test_calculate_correlation_single_cosine():
+    # delta = A cos(k0 x): xi(r) = A^2/2 cos(k0 rx) — deterministic; every
+    # cell in a bin contributes A^2/2 cos(k0 * rx(cell))
+    n, spacing, amp, m = 32, 2.0, 0.7, 3
+    x = np.arange(n) * spacing
+    k0 = 2 * np.pi / (n * spacing) * m
+    delta = np.broadcast_to(amp * np.cos(k0 * x)[:, None, None], (n, n, n))
+    nbins = 16
+    r, xi, cnt = stats.calculate_correlation(
+        jnp.asarray(delta, jnp.float32), spacing, nbins=nbins
+    )
+    # reproduce the bin averages directly from the known xi(r) field
+    ax = np.minimum(np.arange(n), n - np.arange(n)) * spacing
+    rx = ax[:, None, None]
+    rmag = np.sqrt(rx**2 + ax[None, :, None] ** 2 + ax[None, None, :] ** 2)
+    xi_field = amp**2 / 2 * np.cos(k0 * rx) * np.ones((n, n, n))
+    edges = np.linspace(0.0, 0.5 * n * spacing, nbins + 1)
+    idx = np.searchsorted(edges, rmag) - 1
+    valid = (idx >= 0) & (idx < nbins) & (rmag > 0)
+    for b in range(nbins):
+        sel = valid & (idx == b)
+        if not sel.any():
+            assert np.isnan(xi[b])
+            continue
+        np.testing.assert_allclose(xi[b], xi_field[sel].mean(), rtol=2e-4,
+                                   atol=1e-7)
+        np.testing.assert_allclose(cnt[b], sel.sum(), rtol=1e-6)
+
+
+def test_measured_correlation_matches_prediction():
+    n, spacing, nbins, nseeds = 32, 4.0, 12, 6
+    g = Generator(n, n, n, grid_spacing=spacing)
+    r_pred, xi_pred, cnt = stats.predicted_correlation(
+        g.power, (n, n, n), spacing, nbins=nbins
+    )
+    acc = []
+    for s in range(nseeds):
+        r, xi, _ = stats.calculate_correlation(
+            g.generate_delta_field(s, apply_lightcone=False), spacing,
+            nbins=nbins,
+        )
+        acc.append(xi)
+        np.testing.assert_allclose(r, r_pred, rtol=1e-5)
+    xi_mean = np.mean(acc, axis=0)
+    xi_sd = np.std(acc, axis=0, ddof=1) / np.sqrt(nseeds)
+    mask = cnt > 0
+    # 5-sigma gate per bin on the seed-averaged residual, with an absolute
+    # floor for bins where xi ~ 0
+    resid = np.abs(xi_mean - xi_pred)[mask]
+    budget = 5.0 * xi_sd[mask] + 1e-4 * np.nanmax(np.abs(xi_pred))
+    assert (resid < budget).all(), (resid / budget).max()
+
+
+def test_zero_lag_completes_to_variance():
+    # sum_k P_hat/V over ALL modes = var(delta): check the Parseval
+    # identity through the same P_hat grid the estimator uses
+    n, spacing = 24, 4.0
+    g = Generator(n, n, n, grid_spacing=spacing)
+    delta = g.generate_delta_field(11, apply_lightcone=False)
+    _, var = stats.field_moments(delta)
+    p = stats._mode_power(jnp.asarray(delta), (n, n, n), spacing)
+    p = np.asarray(p, np.float64)
+    mult = np.full(n // 2 + 1, 2.0)
+    mult[0] = 1.0
+    mult[-1] = 1.0  # even n
+    volume = n**3 * spacing**3
+    total = (p * mult[None, None, :]).sum() / volume
+    mean, _ = stats.field_moments(delta)
+    np.testing.assert_allclose(total - mean**2, var, rtol=1e-4)
+
+
+def test_predicted_correlation_zero_lag_is_variance():
+    # completing predicted xi bins with the zero-lag cell reproduces the
+    # engine's predicted variance: xi(0) = sum_k P/V / V ... = sigma^2
+    n, spacing = 32, 4.0
+    g = Generator(n, n, n, grid_spacing=spacing)
+    from randomfield_tpu.ops import grid as rf_grid
+    from randomfield_tpu.ops.power import interpolate_power
+
+    kmag = rf_grid.kmag((n, n, n), spacing, jnp.float32)
+    pgrid = np.asarray(interpolate_power(g.power, kmag), np.float64)
+    pgrid[0, 0, 0] = 0.0
+    mult = np.full(n // 2 + 1, 2.0)
+    mult[0] = 1.0
+    mult[-1] = 1.0
+    volume = n**3 * spacing**3
+    xi0 = (pgrid * mult[None, None, :]).sum() / volume
+    np.testing.assert_allclose(xi0, g.predicted_variance(), rtol=2e-3)
