@@ -39,6 +39,9 @@ def main(argv=None):
                         "text file (k [h/Mpc], P [(Mpc/h)^3], '#' comments, "
                         "extra columns ignored); default: built-in EH98 "
                         "Planck13 table")
+    p.add_argument("--lognormal", action="store_true",
+                   help="render lognormal mock fields (Coles-Jones "
+                        "Gaussianized spectrum) instead of Gaussian ones")
     p.add_argument("--no-lightcone", action="store_true")
     p.add_argument("--out", default=None,
                    help="output .npz path ({seed} is substituted)")
@@ -121,10 +124,22 @@ def main(argv=None):
 
     ny = args.ny or args.nx
     nz = args.nz or args.nx
-    gen = rf.Generator(
-        args.nx, ny, nz, grid_spacing=args.spacing, cosmology=cosmology,
-        power=power, mesh=mesh, verbose=not args.quiet,
-    )
+    if args.lognormal:
+        if args.sample_power:
+            p.error("--lognormal is field-space only (the sampled spectrum "
+                    "would be the Gaussianized one, not the target); drop "
+                    "--sample-power")
+        from randomfield_tpu.models.lognormal import LognormalGenerator
+
+        gen = LognormalGenerator(
+            args.nx, ny, nz, grid_spacing=args.spacing, cosmology=cosmology,
+            power=power, mesh=mesh, verbose=not args.quiet,
+        )
+    else:
+        gen = rf.Generator(
+            args.nx, ny, nz, grid_spacing=args.spacing, cosmology=cosmology,
+            power=power, mesh=mesh, verbose=not args.quiet,
+        )
     if args.sample_power:
         from randomfield_tpu.validate.ensemble import (
             power_covariance, sample_power_ensemble,
@@ -181,8 +196,9 @@ def main(argv=None):
                           f"({nm[i]:8.0f} modes)")
         if args.out:
             path = args.out.replace("{seed}", str(seed))
+            extra = {"model": "lognormal"} if args.lognormal else None
             if getattr(delta, "is_fully_addressable", True):
-                save_field(path, delta, generator=gen, seed=seed)
+                save_field(path, delta, generator=gen, seed=seed, extra=extra)
             else:
                 # multi-host sharded field: each process writes only the
                 # chunks it owns

@@ -270,29 +270,12 @@ class Generator:
             cosmology=self.cosmology, interpolation=interpolation, dtype=dtype,
             z0=float(z0),
         )
-        if power is None:
-            power = _power.load_default_power()
-        elif isinstance(power, str):
-            # named model zoo: the shipped default table, or an analytic
-            # model evaluated for THIS scene's cosmology (so e.g.
-            # Generator(..., cosmology='Planck18', power='eh98') is
-            # self-consistent)
-            from randomfield_tpu.models import powerspec as _ps
+        from randomfield_tpu.models.powerspec import resolve_power
 
-            name = power.lower()
-            if name == "default":
-                power = _power.load_default_power()
-            elif name in ("eh98", "eisenstein_hu"):
-                power = _ps.make_power_table(self.cosmology)
-            elif name == "bbks":
-                k = np.logspace(-4, 3, 1024)
-                power = (k, _ps.bbks_power(self.cosmology, k))
-            else:
-                raise ValueError(
-                    f"unknown power model {power!r}: expected 'default', "
-                    "'eh98'/'eisenstein_hu', 'bbks', or a tabulated "
-                    "(k, Pk) spectrum"
-                )
+        # named model zoo resolves against THIS scene's cosmology (so e.g.
+        # Generator(..., cosmology='Planck18', power='eh98') is
+        # self-consistent)
+        power = resolve_power(power, self.cosmology)
         from randomfield_tpu.engine.staged import pick_pipeline
 
         self.pipeline = pick_pipeline(self.scene.shape, pipeline)

@@ -153,10 +153,11 @@ class LognormalGenerator:
     def __init__(self, nx, ny, nz, grid_spacing, cosmology=None, power=None,
                  table_bins=256, **kwargs):
         from randomfield_tpu.engine.generator import Generator
+        from randomfield_tpu.models.cosmology import create_cosmology
+        from randomfield_tpu.models.powerspec import resolve_power
 
-        if power is None:
-            power = _power.load_default_power()
-        self.power = _power.validate_power(power)
+        cosmology = create_cosmology(cosmology)
+        self.power = _power.validate_power(resolve_power(power, cosmology))
         shape = (int(nx), int(ny), int(nz))
         self.gaussian_power, self.transform_info = transformed_power(
             self.power, shape, float(grid_spacing), nbins=table_bins,
@@ -180,6 +181,18 @@ class LognormalGenerator:
     @property
     def growth_function(self):
         return self.gaussian.growth_function
+
+    @property
+    def redshifts(self):
+        return self.gaussian.redshifts
+
+    @property
+    def pipeline(self):
+        return self.gaussian.pipeline
+
+    @property
+    def sampler(self):
+        return self.gaussian.sampler
 
     def generate_delta_field(self, seed=0, smoothing_length=0.0,
                              apply_lightcone=True):

@@ -26,6 +26,7 @@ __all__ = [
     "load_camb_power",
     "power_at_redshift",
     "make_power_table",
+    "resolve_power",
 ]
 
 
@@ -242,3 +243,34 @@ def make_power_table(cosmology=None, kmin=1e-4, kmax=1e3, n=1024):
     """
     k = np.logspace(np.log10(kmin), np.log10(kmax), n)
     return k, eisenstein_hu_power(cosmology, k)
+
+
+def resolve_power(power, cosmology=None):
+    """Resolve a power-spectrum spec to a concrete table.
+
+    ``None`` -> the shipped default table; a model-zoo name
+    (``'default'``, ``'eh98'``/``'eisenstein_hu'``, ``'bbks'``) -> an
+    analytic spectrum evaluated for ``cosmology`` (so a named model is
+    always self-consistent with the scene's cosmology); anything else is
+    returned untouched for :func:`validate_power` coercion downstream.
+    Shared by ``Generator`` and ``LognormalGenerator``.
+    """
+    from randomfield_tpu.ops.power import load_default_power
+
+    if power is None:
+        return load_default_power()
+    if isinstance(power, str):
+        name = power.lower()
+        if name == "default":
+            return load_default_power()
+        cosmology = create_cosmology(cosmology)
+        if name in ("eh98", "eisenstein_hu"):
+            return make_power_table(cosmology)
+        if name == "bbks":
+            k = np.logspace(-4, 3, 1024)
+            return k, bbks_power(cosmology, k)
+        raise ValueError(
+            f"unknown power model {power!r}: expected 'default', "
+            "'eh98'/'eisenstein_hu', 'bbks', or a tabulated (k, Pk) spectrum"
+        )
+    return power

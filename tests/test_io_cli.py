@@ -184,3 +184,40 @@ def test_cli_named_power_and_cosmology_overrides(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     delta, meta = rio.load_field(tmp_path / "field_5.npz")
     assert delta.shape == (8, 8, 8)
+
+
+def test_cli_lognormal(tmp_path):
+    import os
+    import pathlib
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    out = tmp_path / "ln_{seed}.npz"
+    cmd = [sys.executable, "-m", "randomfield_tpu", "--nx", "16",
+           "--spacing", "16.0", "--seed", "7", "--lognormal",
+           "--stats", "--out", str(out), "--quiet"]
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    delta, meta = rio.load_field(tmp_path / "ln_7.npz")
+    assert delta.shape == (16, 16, 16)
+    assert delta.min() > -1.0  # lognormal fields are bounded below
+    assert meta["extra"]["model"] == "lognormal"
+    # provenance carries the TARGET spectrum (here the default table),
+    # not the Gaussianized one
+    from randomfield_tpu.ops.power import load_default_power
+
+    default = load_default_power()
+    assert np.allclose(meta["power_k"], default.k)
+    assert np.allclose(meta["power_pk"], default.Pk)
+
+    # --lognormal + --sample-power is a usage error
+    cmd = [sys.executable, "-m", "randomfield_tpu", "--nx", "8",
+           "--spacing", "16.0", "--lognormal", "--sample-power"]
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=repo, timeout=600)
+    assert res.returncode != 0
