@@ -1,0 +1,226 @@
+"""Zel'dovich mock catalogs: displaced particles, painting, catalog P(k).
+
+The canonical consumer loop for a Gaussian-field engine's displacement
+output (ops/derived.py: ``psi_k = +i k / k^2 delta_k``, ``x = q + D psi``):
+
+1. ``zeldovich_positions`` — move one particle per grid cell from its
+   Lagrangian point q by the displacement field (optionally boosted
+   along the line of sight for redshift-space distortions: the
+   Zel'dovich RSD mapping ``s = q + psi + f psi_los``).
+2. ``poisson_sample`` — discrete tracers: per-cell Poisson counts with
+   intensity ``nbar * Vcell * (1 + delta)`` (use a lognormal field for a
+   positive-definite intensity; Gaussian fields are clipped at zero).
+3. ``paint_cic`` — mass assignment back onto a grid (NGP/CIC/TSC).
+4. ``catalog_power`` — the painted field's P(k) with the assignment
+   window deconvolved and the weighted shot noise subtracted.
+
+TPU-native design: the "catalog" is grid-shaped — positions ``(3, nx,
+ny, nz)`` and per-particle weights — so every stage is one jitted
+static-shape device program (a variable-length particle list would
+force host round-trips and recompilation; weights of zero represent
+absent particles for free).  Painting uses XLA scatter-add, which
+serializes colliding updates on TPU — these are validation-scale tools
+(fine through ~256^3), not the render hot path, and are documented as
+such.  Reference parity: the upstream package ends at Gaussian fields
+(SURVEY.md section 0); this module is framework surface for its
+standard downstream use (N-body initial conditions and mock catalogs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from randomfield_tpu.ops import grid as _grid
+
+__all__ = [
+    "lagrangian_positions",
+    "zeldovich_positions",
+    "poisson_sample",
+    "paint",
+    "paint_cic",
+    "catalog_power",
+    "shot_noise",
+]
+
+
+def lagrangian_positions(shape, spacing, dtype=jnp.float32):
+    """Unperturbed particle grid q [Mpc/h]: one particle per cell center
+    at ``(i + 0.5) * spacing`` (grid layout ``(3, nx, ny, nz)``)."""
+    nx, ny, nz = (int(s) for s in shape)
+    spacing = float(spacing)
+    qx = (jnp.arange(nx, dtype=dtype) + 0.5) * spacing
+    qy = (jnp.arange(ny, dtype=dtype) + 0.5) * spacing
+    qz = (jnp.arange(nz, dtype=dtype) + 0.5) * spacing
+    zero = jnp.zeros((nx, ny, nz), dtype)
+    return jnp.stack([
+        zero + qx[:, None, None],
+        zero + qy[None, :, None],
+        zero + qz[None, None, :],
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("spacing", "f", "los_axis"))
+def _zeldovich_positions(psi, spacing, f, los_axis):
+    shape = psi.shape[1:]
+    q = lagrangian_positions(shape, spacing, psi.dtype)
+    x = q + psi
+    if f:
+        x = x.at[los_axis].add(jnp.asarray(f, psi.dtype) * psi[los_axis])
+    box = jnp.asarray(
+        [n * spacing for n in shape], psi.dtype
+    )[:, None, None, None]
+    return jnp.mod(x, box)
+
+
+def zeldovich_positions(psi, spacing, f=0.0, los_axis=2):
+    """Particle positions ``x = q + psi`` (periodic wrap), grid layout.
+
+    ``psi`` is a ``(3, nx, ny, nz)`` displacement field in Mpc/h (e.g.
+    ``Generator.generate_displacement``, which carries the lightcone /
+    growth scaling already).  ``f`` adds the plane-parallel Zel'dovich
+    redshift-space mapping ``s = x + f psi_los`` along ``los_axis``
+    (``f = cosmology.growth_rate(z)``; the linear velocity
+    ``v = a H f psi`` divided by ``a H``), producing Kaiser-distorted
+    catalogs.
+    """
+    psi = jnp.asarray(psi)
+    if psi.ndim != 4 or psi.shape[0] != 3:
+        raise ValueError(
+            f"psi must be (3, nx, ny, nz), got {psi.shape}"
+        )
+    return _zeldovich_positions(psi, float(spacing), float(f), int(los_axis))
+
+
+def poisson_sample(delta, nbar, spacing, seed=0):
+    """Per-cell Poisson tracer counts with intensity nbar*Vcell*(1+delta).
+
+    ``nbar`` is the mean tracer density [(Mpc/h)^-3]; negative
+    intensities (a Gaussian delta below -1) are clipped to zero —
+    lognormal fields (models/lognormal.py) need no clip by
+    construction.  Returns a float grid of counts (a weight array for
+    :func:`paint` / :func:`catalog_power`).
+    """
+    delta = jnp.asarray(delta)
+    lam = jnp.maximum(
+        (1.0 + delta) * (float(nbar) * float(spacing) ** 3), 0.0
+    )
+    key = jax.random.key(int(seed) ^ 0x5EEDC0DE)
+    return jax.random.poisson(key, lam).astype(delta.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "order"))
+def _paint(positions, weights, shape, spacing, order):
+    nx, ny, nz = shape
+    u = positions.reshape(3, -1) / jnp.asarray(spacing, positions.dtype)
+    w = weights.reshape(-1).astype(positions.dtype)
+    grid = jnp.zeros(nx * ny * nz, positions.dtype)
+    dims = (nx, ny, nz)
+    if order == 1:  # NGP: nearest cell center (particles live at centers)
+        idx = [jnp.floor(u[a]).astype(jnp.int32) % dims[a] for a in range(3)]
+        flat = (idx[0] * ny + idx[1]) * nz + idx[2]
+        return grid.at[flat].add(w).reshape(shape)
+    # CIC: cell-centered convention — a particle at a cell center gives
+    # that cell weight 1 exactly
+    uc = u - 0.5
+    i0 = jnp.floor(uc).astype(jnp.int32)
+    frac = uc - i0.astype(positions.dtype)
+    for corner in range(8):
+        off = [(corner >> a) & 1 for a in range(3)]
+        wc = w
+        flat = jnp.zeros_like(i0[0])
+        for a in range(3):
+            wc = wc * jnp.where(off[a], frac[a], 1.0 - frac[a])
+            flat = flat * dims[a] + (i0[a] + off[a]) % dims[a]
+        grid = grid.at[flat].add(wc)
+    return grid.reshape(shape)
+
+
+def paint(positions, shape, spacing, weights=1.0, window="cic"):
+    """Mass-assign particles onto a grid -> density contrast delta.
+
+    ``positions``: ``(3, ...)`` array in Mpc/h (any trailing shape).
+    ``weights``: scalar or per-particle array broadcastable to the
+    trailing shape.  ``window``: ``'ngp'`` or ``'cic'`` (cell-centered:
+    a particle exactly at a cell center lands wholly in that cell, so
+    painting an undisplaced :func:`lagrangian_positions` grid returns
+    exactly zero).  Returns ``(delta, w_mean)`` — the contrast grid and
+    the mean painted mass per cell (for shot-noise bookkeeping).
+    """
+    positions = jnp.asarray(positions)
+    if positions.shape[0] != 3:
+        raise ValueError(f"positions must be (3, ...), got {positions.shape}")
+    shape = tuple(int(s) for s in shape)
+    orders = {"ngp": 1, "cic": 2}
+    if window not in orders:
+        raise ValueError(f"window must be 'ngp' or 'cic', got {window!r}")
+    weights = jnp.broadcast_to(
+        jnp.asarray(weights, positions.dtype), positions.shape[1:]
+    )
+    mass = _paint(positions, weights, shape, float(spacing), orders[window])
+    mean = jnp.mean(mass)
+    return mass / mean - 1.0, mean
+
+
+def paint_cic(positions, shape, spacing, weights=1.0):
+    """CIC-paint particles -> density contrast (see :func:`paint`)."""
+    return paint(positions, shape, spacing, weights, window="cic")[0]
+
+
+def shot_noise(weights, volume, counts=True):
+    """Poisson shot-noise power of a painted catalog [(Mpc/h)^3].
+
+    ``counts=True`` (this module's representation — ``weights`` are
+    per-cell Poisson tracer COUNTS, :func:`poisson_sample`): the painted
+    field's white-noise floor is ``V / N_gal = V * sum(w) / (sum w)^2``
+    — per-cell Poisson variance equals the mean, so coincident tracers
+    in one cell do NOT inflate the noise.  ``counts=False``: the
+    independent weighted-point formula ``V * sum(w^2) / (sum w)^2``
+    (FKP-style per-particle weights at independent positions).
+    """
+    w = np.asarray(weights, np.float64).ravel()
+    sw = w.sum()
+    num = w.sum() if counts else (w * w).sum()
+    return float(volume) * float(num) / (sw * sw)
+
+
+def catalog_power(positions, spacing, shape=None, weights=1.0, nbins=32,
+                  window="cic", subtract_shot_noise=None):
+    """P(k) of a particle catalog: paint, deconvolve, bin, de-noise.
+
+    Paints with ``window``, estimates P(k) with that window deconvolved
+    (validate/stats.py ``calculate_power(window=...)``) and subtracts
+    the shot noise when the catalog is discrete (``subtract_shot_noise``
+    defaults to True for non-scalar weights — per-cell Poisson counts —
+    and False for the equal-weight displaced particle grid, which is a
+    deterministic density representation, not a sparse sample).  The
+    flat-noise subtraction and window deconvolution are exact at
+    ``k << k_Nyquist``; near Nyquist, aliasing of the assignment window
+    makes both approximate (the standard validation-scale convention).
+    Returns ``(k_mean, p_hat, n_modes)``.
+    """
+    from randomfield_tpu.validate import stats as _stats
+
+    positions = jnp.asarray(positions)
+    if shape is None:
+        if positions.ndim != 4:
+            raise ValueError(
+                "pass shape= explicitly for non-grid-layout positions"
+            )
+        shape = positions.shape[1:]
+    shape = tuple(int(s) for s in shape)
+    if subtract_shot_noise is None:
+        subtract_shot_noise = jnp.ndim(weights) > 0
+    delta, _ = paint(positions, shape, float(spacing), weights, window)
+    k, p, n = _stats.calculate_power(
+        delta, float(spacing), nbins=int(nbins), window=window
+    )
+    if subtract_shot_noise:
+        w = weights if jnp.ndim(weights) else jnp.full(positions.shape[1:],
+                                                       weights)
+        volume = shape[0] * shape[1] * shape[2] * float(spacing) ** 3
+        p = p - shot_noise(np.asarray(w), volume)
+    return k, p, n

@@ -96,14 +96,39 @@ def _masked_bins(km, w, p, edges_j, nbins, per_slab):
     return _dot_bin(idx, wv, p, kmb, nbins)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "spacing", "nbins"))
-def _binned(delta, shape, spacing, nbins):
+@functools.partial(
+    jax.jit, static_argnames=("shape", "spacing", "nbins", "window_order")
+)
+def _binned(delta, shape, spacing, nbins, window_order=0):
     p = _mode_power(delta, shape, spacing)
+    if window_order:
+        p = p / _assignment_window(shape, spacing, p.dtype) ** (
+            2 * window_order
+        )
     kmag = jnp.broadcast_to(_grid.kmag(shape, spacing, p.dtype), p.shape)
     edges, mult = _bin_setup(shape, spacing, nbins)
     return _masked_bins(
         kmag, jnp.asarray(mult)[None, None, :], p,
         jnp.asarray(edges, p.dtype), nbins, per_slab=True,
+    )
+
+
+_WINDOW_ORDERS = {None: 0, "ngp": 1, "cic": 2, "tsc": 3}
+
+
+def _assignment_window(shape, spacing, dtype):
+    """Per-mode mass-assignment window W(k) = prod_i sinc(k_i dx / 2)^order
+    at order 1 (NGP); CIC/TSC are its square/cube (Hockney & Eastwood)."""
+    kx, ky, kz = _grid.kvectors(shape, spacing)
+
+    def sinc(k):
+        x = jnp.asarray(k, dtype) * (spacing / 2.0)
+        return jnp.where(x != 0, jnp.sin(x) / jnp.where(x != 0, x, 1.0), 1.0)
+
+    return (
+        sinc(kx)[:, None, None]
+        * sinc(ky)[None, :, None]
+        * sinc(kz)[None, None, :]
     )
 
 
@@ -171,12 +196,17 @@ def _staged_field_power(delta, shape, spacing, nbins, chunks):
 _STAGED_POWER_THRESHOLD = 256 * 1024 * 1024
 
 
-def calculate_power(delta, spacing, nbins=32, mesh=None):
+def calculate_power(delta, spacing, nbins=32, mesh=None, window=None):
     """Realized isotropic P(k) of a field, binned in log |k|.
 
     Returns ``(k_mean, p_hat, n_modes)`` numpy arrays: per-bin
     mode-weighted mean |k|, mean estimated power <|c_k|^2>/V, and the
     effective number of (full-spectrum) modes.  Empty bins yield NaN.
+
+    ``window`` (``'ngp'``/``'cic'``/``'tsc'``) deconvolves the named
+    mass-assignment window before binning — pass the scheme used to
+    paint a particle catalog onto the grid (models/zeldovich.py);
+    density fields rendered spectrally need none (the default).
 
     With ``mesh`` (a ('data','space') mesh whose 'space' axis shards the
     field), the forward FFT runs as the distributed slab transform and
@@ -187,13 +217,25 @@ def calculate_power(delta, spacing, nbins=32, mesh=None):
     from randomfield_tpu.parallel.mesh import SPACE_AXIS
     from randomfield_tpu.parallel.pencil import is_pencil_mesh
 
+    if window not in _WINDOW_ORDERS:
+        raise ValueError(
+            f"unknown window {window!r}: expected None, 'ngp', 'cic' or 'tsc'"
+        )
+    if window is not None and mesh is not None:
+        raise ValueError(
+            "window deconvolution is single-device (catalog painting is "
+            "a validation-scale tool); drop mesh= or window="
+        )
     if mesh is not None and is_pencil_mesh(mesh):
         fn = _make_pencil_binned(mesh, shape, float(spacing), int(nbins))
         counts, psum, ksum = fn(delta)
     elif mesh is not None and mesh.shape.get(SPACE_AXIS, 1) > 1:
         fn = _make_sharded_binned(mesh, shape, float(spacing), int(nbins))
         counts, psum, ksum = fn(delta)
-    elif shape[0] * shape[1] * shape[2] > _STAGED_POWER_THRESHOLD:
+    elif (
+        window is None
+        and shape[0] * shape[1] * shape[2] > _STAGED_POWER_THRESHOLD
+    ):
         chunks = 1
         for c in range(min(16, shape[0]), 0, -1):
             if shape[0] % c == 0:
@@ -203,7 +245,10 @@ def calculate_power(delta, spacing, nbins=32, mesh=None):
             delta, shape, float(spacing), int(nbins), chunks
         )
     else:
-        counts, psum, ksum = _binned(delta, shape, float(spacing), int(nbins))
+        counts, psum, ksum = _binned(
+            delta, shape, float(spacing), int(nbins),
+            _WINDOW_ORDERS[window],
+        )
     from randomfield_tpu.parallel.multihost import replicated_to_host
 
     counts = replicated_to_host(counts).astype(np.float64)
