@@ -43,6 +43,7 @@ __all__ = [
     "paint",
     "paint_cic",
     "catalog_power",
+    "catalog_power_multipoles",
     "shot_noise",
 ]
 
@@ -224,3 +225,40 @@ def catalog_power(positions, spacing, shape=None, weights=1.0, nbins=32,
         volume = shape[0] * shape[1] * shape[2] * float(spacing) ** 3
         p = p - shot_noise(np.asarray(w), volume)
     return k, p, n
+
+
+def catalog_power_multipoles(positions, spacing, shape=None, weights=1.0,
+                             nbins=32, ells=(0, 2, 4), los_axis=2,
+                             window="cic", subtract_shot_noise=None):
+    """Redshift-space multipoles P_ell(k) of a particle catalog.
+
+    Paints with ``window``, runs validate/stats.py
+    ``calculate_power_multipoles`` with that window deconvolved, and
+    subtracts the (flat, hence monopole-only) shot noise under the same
+    default as :func:`catalog_power`.  Pair with RSD positions from
+    ``zeldovich_positions(psi, spacing, f=...)`` to measure the Kaiser
+    quadrupole.  Returns ``(k_mean, p_ell, n_modes)``.
+    """
+    from randomfield_tpu.validate import stats as _stats
+
+    positions = jnp.asarray(positions)
+    if shape is None:
+        if positions.ndim != 4:
+            raise ValueError(
+                "pass shape= explicitly for non-grid-layout positions"
+            )
+        shape = positions.shape[1:]
+    shape = tuple(int(s) for s in shape)
+    if subtract_shot_noise is None:
+        subtract_shot_noise = jnp.ndim(weights) > 0
+    delta, _ = paint(positions, shape, float(spacing), weights, window)
+    k, p_ell, n = _stats.calculate_power_multipoles(
+        delta, float(spacing), nbins=int(nbins), ells=ells,
+        los_axis=int(los_axis), window=window,
+    )
+    if subtract_shot_noise and 0 in tuple(ells):
+        w = weights if jnp.ndim(weights) else jnp.full(positions.shape[1:],
+                                                       weights)
+        volume = shape[0] * shape[1] * shape[2] * float(spacing) ** 3
+        p_ell[tuple(ells).index(0)] -= shot_noise(np.asarray(w), volume)
+    return k, p_ell, n

@@ -20,6 +20,7 @@ from randomfield_tpu.ops import transform as _transform
 
 __all__ = [
     "calculate_power",
+    "calculate_power_multipoles",
     "spectrum_power",
     "field_moments",
     "calculate_correlation",
@@ -114,6 +115,48 @@ def _binned(delta, shape, spacing, nbins, window_order=0):
 
 
 _WINDOW_ORDERS = {None: 0, "ngp": 1, "cic": 2, "tsc": 3}
+
+# even-order Legendre polynomials in mu^2 (odd multipoles vanish
+# identically under Hermitian symmetry: L_odd(-mu) = -L_odd(mu))
+_LEGENDRE_EVEN = {
+    0: lambda mu2: jnp.ones_like(mu2),
+    2: lambda mu2: 0.5 * (3.0 * mu2 - 1.0),
+    4: lambda mu2: 0.125 * (35.0 * mu2 * mu2 - 30.0 * mu2 + 3.0),
+}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "spacing", "nbins", "ells", "los_axis",
+                     "window_order"),
+)
+def _binned_multipoles(delta, shape, spacing, nbins, ells, los_axis,
+                       window_order):
+    p = _mode_power(delta, shape, spacing)
+    if window_order:
+        p = p / _assignment_window(shape, spacing, p.dtype) ** (
+            2 * window_order
+        )
+    kv = _grid.kvectors(shape, spacing)
+    km = _grid.kmag(shape, spacing, p.dtype)
+    k_los = jnp.asarray(kv[los_axis], p.dtype)
+    bcast = [None, None, None]
+    bcast[los_axis] = slice(None)
+    k_los = k_los[tuple(bcast)]
+    mu2 = jnp.where(km > 0, (k_los / jnp.where(km > 0, km, 1.0)) ** 2, 0.0)
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    kmb = jnp.broadcast_to(km, p.shape)
+    multb = jnp.asarray(mult)[None, None, :]
+    edges_j = jnp.asarray(edges, p.dtype)
+    out = []
+    counts = ksum = None
+    for ell in ells:
+        w_ell = (2.0 * ell + 1.0) * _LEGENDRE_EVEN[ell](mu2)
+        counts, psum, ksum = _masked_bins(
+            kmb, multb, p * w_ell, edges_j, nbins, per_slab=True
+        )
+        out.append(psum)
+    return counts, jnp.stack(out), ksum
 
 
 def _assignment_window(shape, spacing, dtype):
@@ -256,6 +299,48 @@ def calculate_power(delta, spacing, nbins=32, mesh=None, window=None):
     ksum = replicated_to_host(ksum).astype(np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         return ksum / counts, psum / counts, counts
+
+
+def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
+                               los_axis=2, window=None):
+    """Power-spectrum multipoles P_ell(k) along a plane-parallel LOS.
+
+    ``P_ell(k) = (2 ell + 1) < L_ell(mu) |c_k|^2 / V >_k-bin`` with
+    ``mu = k_los / |k|`` — the standard redshift-space expansion
+    (Kaiser: ``P_0 = (1 + 2f/3 + f^2/5) P``, ``P_2 = (4f/3 + 4f^2/7) P``,
+    ``P_4 = (8f^2/35) P`` at linear order).  Only even multipoles are
+    defined (odd ones vanish identically under Hermitian symmetry).
+    Returns ``(k_mean, p_ell, n_modes)`` with ``p_ell`` shaped
+    ``(len(ells), nbins)``; ``window`` deconvolves a mass-assignment
+    window exactly as in :func:`calculate_power`.  Single-device
+    (validation-scale companion of the RSD catalogs in
+    models/zeldovich.py).
+
+    Domain note: bins beyond the axis Nyquist ``pi / spacing`` hold
+    incomplete k-shells (only diagonal-direction modes exist), which
+    biases the mu moments — interpret ell > 0 only below k_Nyquist.
+    """
+    shape = tuple(int(s) for s in delta.shape[-3:])
+    ells = tuple(int(e) for e in ells)
+    for e in ells:
+        if e not in _LEGENDRE_EVEN:
+            raise ValueError(
+                f"ell={e} unsupported: even multipoles 0/2/4 only (odd "
+                "ones vanish under Hermitian symmetry)"
+            )
+    if window not in _WINDOW_ORDERS:
+        raise ValueError(
+            f"unknown window {window!r}: expected None, 'ngp', 'cic' or 'tsc'"
+        )
+    counts, psums, ksum = _binned_multipoles(
+        jnp.asarray(delta), shape, float(spacing), int(nbins), ells,
+        int(los_axis), _WINDOW_ORDERS[window],
+    )
+    counts = np.asarray(counts, np.float64)
+    psums = np.asarray(psums, np.float64)
+    ksum = np.asarray(ksum, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return ksum / counts, psums / counts[None, :], counts
 
 
 @functools.lru_cache(maxsize=16)

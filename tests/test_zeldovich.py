@@ -167,3 +167,83 @@ def test_catalog_power_validation_errors():
     with pytest.raises(ValueError):
         calculate_power(np.zeros((8, 8, 8), np.float32), 1.0,
                         window="bogus")
+
+
+def test_multipoles_isotropic_field():
+    # an isotropic Gaussian field has P_0 == calculate_power and
+    # P_2, P_4 consistent with zero
+    from randomfield_tpu.validate.stats import calculate_power_multipoles
+
+    n, spacing = 32, 8.0
+    table = _scaled_default((n, n, n), spacing, amplitude=1.0)
+    g = Generator(n, n, n, grid_spacing=spacing, power=table)
+    delta = g.generate_delta_field(seed=2, apply_lightcone=False)
+    k0, p0, nm0 = calculate_power(delta, spacing, nbins=10)
+    k, p_ell, nm = calculate_power_multipoles(delta, spacing, nbins=10)
+    assert p_ell.shape == (3, 10)
+    np.testing.assert_allclose(k, k0, rtol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(nm, nm0, rtol=1e-6)
+    # bins past the axis Nyquist hold incomplete k-shells (only
+    # diagonal-ish modes exist), which biases the mu moments — gate the
+    # zero checks below k_Ny (documented estimator domain)
+    ok = np.isfinite(p0) & (nm > 100) & (k < np.pi / spacing)
+    np.testing.assert_allclose(p_ell[0][ok], p0[ok], rtol=2e-4)
+    # quadrupole/hexadecapole: zero within (2l+1)*sqrt(2/N) mode noise
+    for row, ell in ((1, 2), (2, 4)):
+        noise = (2 * ell + 1) * np.sqrt(2.0 / nm[ok]) * p0[ok]
+        assert np.all(np.abs(p_ell[row][ok]) < 5.0 * noise), (
+            ell, p_ell[row][ok] / p0[ok])
+
+
+def test_multipoles_validation_errors():
+    from randomfield_tpu.validate.stats import calculate_power_multipoles
+
+    delta = np.zeros((8, 8, 8), np.float32)
+    with pytest.raises(ValueError):
+        calculate_power_multipoles(delta, 1.0, ells=(0, 1))
+    with pytest.raises(ValueError):
+        calculate_power_multipoles(delta, 1.0, window="spline")
+
+
+def test_kaiser_quadrupole():
+    # redshift-space quadrupole / real-space monopole = 4f/3 + 4f^2/7
+    # at low k; same-seed ratios cancel sample variance at leading order
+    n, spacing, f = 32, 8.0, 0.7
+    table = _scaled_default((n, n, n), spacing, amplitude=1.5e-3)
+    g = Generator(n, n, n, grid_spacing=spacing, power=table)
+    quad_ratio, mono_ratio = [], []
+    for seed in (1, 2, 3, 4):
+        psi = g.generate_displacement(seed=seed)
+        pos_r = zl.zeldovich_positions(psi, spacing)
+        pos_s = zl.zeldovich_positions(psi, spacing, f=f)
+        k, pr, nm = zl.catalog_power(pos_r, spacing, nbins=10, window="cic")
+        _, ps_ell, _ = zl.catalog_power_multipoles(
+            pos_s, spacing, nbins=10, window="cic"
+        )
+        ok = np.isfinite(pr) & (nm > 30) & (k < 0.3 * np.pi / spacing)
+        quad_ratio.append(ps_ell[1][ok] / pr[ok])
+        mono_ratio.append(ps_ell[0][ok] / pr[ok])
+    quad = np.concatenate(quad_ratio).mean()
+    mono = np.concatenate(mono_ratio).mean()
+    kaiser_0 = 1.0 + 2.0 * f / 3.0 + f * f / 5.0
+    kaiser_2 = 4.0 * f / 3.0 + 4.0 * f * f / 7.0
+    assert abs(mono / kaiser_0 - 1.0) < 0.08, (mono, kaiser_0)
+    assert abs(quad / kaiser_2 - 1.0) < 0.15, (quad, kaiser_2)
+
+
+def test_multipoles_los_axis_equivariance():
+    # boosting along x and measuring with los_axis=0 must match the
+    # z-axis measurement statistically; check it EXACTLY by transposing
+    from randomfield_tpu.validate.stats import calculate_power_multipoles
+
+    n, spacing = 16, 8.0
+    rng = np.random.default_rng(0)
+    delta = rng.normal(size=(n, n, n)).astype(np.float32)
+    delta[:, :, :8] *= 2.0  # anisotropic along... make los matter
+    k_z, p_z, nm_z = calculate_power_multipoles(delta, spacing, nbins=6,
+                                                los_axis=2)
+    k_x, p_x, nm_x = calculate_power_multipoles(
+        np.transpose(delta, (2, 1, 0)), spacing, nbins=6, los_axis=0
+    )
+    np.testing.assert_allclose(nm_z, nm_x, rtol=1e-6)
+    np.testing.assert_allclose(p_z, p_x, rtol=2e-3, equal_nan=True)
