@@ -884,16 +884,42 @@ class Generator:
         )
 
     def generate_displacement(self, seed=0, component=None,
-                              smoothing_length=0.0):
-        """Zel'dovich displacement psi [Mpc/h] for a seed (snapshot).
+                              smoothing_length=0.0, order=1):
+        """Lagrangian displacement psi [Mpc/h] for a seed (snapshot).
+
+        ``order=1``: Zel'dovich (``psi_k = i k delta_k / k^2``).
+        ``order=2``: 2LPT — adds the second-order correction
+        ``psi(2)`` built from the SAME realization's tidal tensor
+        (ops/derived.py delta_to_displacement_2lpt; single-device,
+        quadratic source needs the real-space field).
 
         ``component`` 0/1/2 returns one (nx, ny, nz) component (pass it
         at HBM-ceiling sizes: the stacked (3, ...) result needs 3x the
         field memory); None stacks all three.
         """
-        return self._gradient_components(
+        if order not in (1, 2):
+            raise ValueError(f"order must be 1 or 2, got {order!r}")
+        psi = self._gradient_components(
             seed, 1.0, component, smoothing_length
         )
+        if order == 2:
+            if self.mesh is not None:
+                raise ValueError(
+                    "order=2 (2LPT) is single-device: the quadratic "
+                    "source term needs the real-space tidal tensor; "
+                    "render without mesh="
+                )
+            from randomfield_tpu.ops import derived as _derived
+
+            delta = self.generate_delta_field(
+                seed, smoothing_length=smoothing_length,
+                apply_lightcone=False,
+            )
+            psi2 = _derived.delta_to_displacement_2lpt(
+                delta, self.scene.grid_spacing
+            )
+            psi = psi + (psi2 if component is None else psi2[int(component)])
+        return psi
 
     def _gradient_components(self, seed, prefactor, component,
                              smoothing_length):

@@ -26,7 +26,12 @@ import numpy as np
 from randomfield_tpu.ops import grid as _grid
 from randomfield_tpu.ops import transform as _transform
 
-__all__ = ["delta_to_potential", "delta_to_displacement", "delta_to_velocity"]
+__all__ = [
+    "delta_to_potential",
+    "delta_to_displacement",
+    "delta_to_displacement_2lpt",
+    "delta_to_velocity",
+]
 
 D_H_MPC_H = 2997.92458  # Hubble distance in Mpc/h (c / (100 km/s/Mpc))
 
@@ -108,6 +113,70 @@ def delta_to_displacement(delta, spacing):
     shape = tuple(int(s) for s in delta.shape[-3:])
     # continuity: delta = -div(psi)  =>  psi_k = +i k/k^2 delta_k
     return _gradient_inverse_laplacian(delta, shape, float(spacing), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "spacing"))
+def _second_order_displacement(delta, shape, spacing):
+    """psi(2) from the 2LPT source (Scoccimarro 1998 conventions).
+
+    With phi solving grad^2 phi = delta (so psi(1) = -grad phi =
+    :func:`delta_to_displacement`), the second-order source is
+
+        S2 = sum_{i<j} [ phi,ii phi,jj - (phi,ij)^2 ]
+
+    and the net second-order displacement (the D2 = -(3/7) D^2 growth
+    coefficient folded in, Einstein-de-Sitter; the Omega_m^(-1/143)
+    correction is sub-percent for viable cosmologies and omitted)
+    satisfies ``div psi(2) = -(3/7) S2`` — the same sign family as
+    ``div psi(1) = -delta``.  Six tidal-tensor transforms + one forward
+    + three gradient inverses: 11 FFTs total.
+    """
+    a = _transform.rfftn(delta, norm="forward")
+    inv = _inv_ksq(shape, spacing, delta.dtype)
+    kx, ky, kz = _grad_kvectors(shape, spacing, delta.dtype)
+    kvecs = (
+        (kx, (slice(None), None, None)),
+        (ky, (None, slice(None), None)),
+        (kz, (None, None, slice(None))),
+    )
+
+    def tidal(i, j):
+        # phi,ij in k-space: +k_i k_j delta_k / k^2   (phi_k = -delta_k/k^2)
+        ki = kvecs[i][0][kvecs[i][1]]
+        kj = kvecs[j][0][kvecs[j][1]]
+        return _transform.irfftn(a * (ki * kj * inv), shape, norm="forward")
+
+    d00, d11, d22 = tidal(0, 0), tidal(1, 1), tidal(2, 2)
+    d01, d02, d12 = tidal(0, 1), tidal(0, 2), tidal(1, 2)
+    s2 = (
+        d00 * d11 + d00 * d22 + d11 * d22
+        - d01 * d01 - d02 * d02 - d12 * d12
+    )
+    b = _transform.rfftn(s2, norm="forward")
+    # psi2_k = +(3/7) i k S2_k / k^2  =>  div psi2 = -(3/7) S2
+    pref = jnp.asarray(3.0 / 7.0, delta.dtype)
+    comps = [
+        _transform.irfftn(
+            b * (1j * kv[bc] * inv) * pref, shape, norm="forward"
+        )
+        for kv, bc in kvecs
+    ]
+    return jnp.stack(comps)
+
+
+def delta_to_displacement_2lpt(delta, spacing):
+    """Second-order (2LPT) displacement correction psi(2) [Mpc/h].
+
+    Particles move as ``x = q + psi(1) + psi(2)`` where ``psi(1)`` is
+    :func:`delta_to_displacement` of the SAME realization and ``delta``
+    carries its full amplitude (snapshot convention — for initial
+    conditions at growth factor D, psi(1) scales as D and psi(2) as
+    D^2 automatically when delta is the D-scaled field).  Removes the
+    leading transient of Zel'dovich-started simulations and tightens
+    mock-catalog two-point statistics at mildly nonlinear amplitudes.
+    """
+    shape = tuple(int(s) for s in delta.shape[-3:])
+    return _second_order_displacement(delta, shape, float(spacing))
 
 
 def delta_to_velocity(delta, spacing, cosmology, z=0.0):
