@@ -39,6 +39,8 @@ __all__ = [
     "lensing_efficiency",
     "convergence_map",
     "convergence_to_shear",
+    "convergence_power",
+    "predicted_convergence_power",
 ]
 
 
@@ -131,3 +133,98 @@ def convergence_to_shear(kappa, spacing):
     g1 = _transform.irfftn(g1h[:, :, None], (nx, ny, 1), norm="forward")[:, :, 0]
     g2 = _transform.irfftn(g2h[:, :, None], (nx, ny, 1), norm="forward")[:, :, 0]
     return g1, g2
+
+
+def _kperp_setup(shape2d, spacing, nbins):
+    """2-D k geometry + log bins over the FULL (kx, ky) mode plane.
+
+    The map transform routes through the 3-D packed helpers with a
+    trailing singleton axis (kz = 0 only), so both transverse axes carry
+    full complex transforms: every mode appears once with its conjugate
+    partner also present — unit multiplicity, and mode counts match the
+    3-D estimator's full-spectrum convention.
+    """
+    nx, ny = shape2d
+    kx = 2.0 * np.pi * np.fft.fftfreq(nx, d=spacing)
+    ky = 2.0 * np.pi * np.fft.fftfreq(ny, d=spacing)
+    km = np.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
+    kmin = 2.0 * np.pi / (max(nx, ny) * spacing)
+    edges = np.logspace(np.log10(kmin * 0.999), np.log10(km.max() * 1.001),
+                        int(nbins) + 1)
+    return km, edges, np.ones_like(km)
+
+
+def _bin2d(km, w, p, edges, nbins):
+    """Host-side binning of a small 2-D mode grid (validation scale)."""
+    idx = np.searchsorted(edges, km) - 1
+    valid = (idx >= 0) & (idx < nbins) & (km > 0)
+    counts = np.bincount(idx[valid], weights=w[valid], minlength=nbins)
+    psum = np.bincount(idx[valid], weights=(w * p)[valid], minlength=nbins)
+    ksum = np.bincount(idx[valid], weights=(w * km)[valid], minlength=nbins)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return ksum / counts, psum / counts, counts
+
+
+def convergence_power(kappa, spacing, nbins=16):
+    """Transverse power spectrum P_kappa(k_perp) of a convergence map.
+
+    Flat-sky 2-D analog of validate/stats.py ``calculate_power`` in the
+    engine's comoving conventions: ``P = <|c(k_perp)|^2> / A`` with
+    ``c = spacing^2 sum kappa e^{-i k.x}`` and k_perp in h/Mpc (convert
+    to multipoles with ``ell = k_perp * f_K(chi)`` at a chosen
+    distance).  Returns ``(k_mean, p_hat, n_modes)`` numpy arrays; the
+    exact expectation on the same grid and bins is
+    :func:`predicted_convergence_power`.
+    """
+    kappa = jnp.asarray(kappa)
+    nx, ny = kappa.shape
+    spacing = float(spacing)
+    # analysis convention c = a^2 sum kappa e^{-ik.x} (norm='backward'
+    # is the raw sum, matching ops/transform.py field_to_spectrum)
+    c = _transform.rfftn(kappa[:, :, None], norm="backward")[:, :, 0]
+    area = nx * ny * spacing**2
+    p = np.asarray(
+        (c.real**2 + c.imag**2) * (spacing**2) ** 2 / area, np.float64
+    )
+    km, edges, mult = _kperp_setup((nx, ny), spacing, nbins)
+    return _bin2d(km, mult, p, edges, int(nbins))
+
+
+def predicted_convergence_power(power, shape, spacing, weights, nbins=16,
+                                interpolation="log10k"):
+    """Exact expectation of :func:`convergence_power` for a plane sum.
+
+    For ``kappa = sum_i w_i delta(x, y, plane_i)`` over a periodic
+    Gaussian box with 3-D spectrum P, the discrete expectation is
+
+        P_kappa(k_perp) = (1/L_z) sum_kz P(|(k_perp, kz)|) |W(kz)|^2,
+        W(kz) = sum_i w_i e^{-i kz z_i},
+
+    evaluated on THIS grid's modes and binned identically — no Limber
+    approximation, so measured-vs-predicted residuals are pure sample
+    noise.  ``weights`` must include everything multiplying the raw
+    Gaussian planes: for the engine's lightcone renders pass
+    ``lensing_efficiency(...) * generator.growth_function``.
+    """
+    from randomfield_tpu.ops import power as _power
+
+    nx, ny, nz = (int(s) for s in shape)
+    spacing = float(spacing)
+    table = _power.validate_power(power)
+    _power.require_coverage(table, (nx, ny, nz), spacing)
+    w = np.asarray(weights, np.float64)
+    if w.shape != (nz,):
+        raise ValueError(f"weights must have shape ({nz},), got {w.shape}")
+    km2, edges, mult = _kperp_setup((nx, ny), spacing, nbins)
+    kz = 2.0 * np.pi * np.fft.fftfreq(nz, d=spacing)
+    kmag3 = np.sqrt(km2[:, :, None] ** 2 + kz[None, None, :] ** 2)
+    p3 = np.asarray(
+        _power.interpolate_power(
+            table, jnp.asarray(kmag3, jnp.float32), interpolation
+        ),
+        np.float64,
+    )
+    p3[kmag3 == 0] = 0.0
+    win = np.abs(np.fft.fft(w)) ** 2  # |sum_i w_i e^{-i kz z_i}|^2
+    p_kappa = (p3 * win[None, None, :]).sum(axis=-1) / (nz * spacing)
+    return _bin2d(km2, mult, p_kappa, edges, int(nbins))
