@@ -81,6 +81,22 @@ def render(key, sigmas, weights, smoothing_length, shape, spacing):
     return _render_impl(key, sigmas, weights, smoothing_length, shape, spacing)
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "flip"))
+def render_fixed(key, sigmas, weights, smoothing_length, shape, spacing,
+                 flip=False):
+    """Variance-suppressed render: |c_k| = sigma(k) exactly (fixed field).
+
+    One fused program like :func:`render` but through
+    ops/sample.py:sample_fixed_spectrum — per-mode amplitudes pinned to
+    the target, phases Gaussian-uniform; ``flip`` renders the paired
+    (phase-shifted-by-pi) realization.
+    """
+    c = _sample.sample_fixed_spectrum(key, sigmas, shape, flip=flip)
+    c = _power.filter_modes(c, shape, spacing, smoothing_length)
+    delta = _transform.irfftn(c, shape, norm="forward", assume_hermitian=True)
+    return delta * weights[None, None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "spacing", "layout"))
 def _predicted_variance_device(sigmas, smoothing_length, shape, spacing, layout):
     """<delta^2> = sum over packed modes of mult * (sigma * filter)^2.
@@ -605,6 +621,37 @@ class Generator:
             )
         return out
 
+    def generate_fixed_field(self, seed=0, smoothing_length=0.0,
+                             apply_lightcone=True, flip=False):
+        """Variance-suppressed 'fixed' realization (Angulo-Pontzen 2016).
+
+        Per-mode amplitudes are pinned to sigma(k) EXACTLY (only the
+        phases are random), so the realized P(k) carries no sampling
+        scatter and the field variance equals ``predicted_variance()``
+        to rounding — ensemble means converge dramatically faster for
+        P(k)-dominated statistics.  ``flip=True`` renders the paired
+        realization (phases shifted by pi; for the Gaussian field this
+        is the negation, but nonlinear descendants — lognormal mocks,
+        displaced catalogs — differ nontrivially).  Fused single-device
+        path only (the Pallas sampler and staged/mesh pipelines stream
+        the spectrum and never materialize per-mode magnitudes).
+        """
+        if self.mesh is not None or self.sampler == "pallas" \
+                or self.pipeline != "fused":
+            raise ValueError(
+                "fixed fields need the fused single-device Threefry path "
+                "(the Pallas/staged/mesh pipelines stream the spectrum); "
+                "build the Generator with mesh=None, sampler='threefry', "
+                "pipeline='fused'"
+            )
+        t0 = time.perf_counter()
+        out = render_fixed(
+            _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
+            jnp.asarray(smoothing_length, self._dtype),
+            self.scene.shape, self.scene.grid_spacing, bool(flip),
+        )
+        return self._maybe_verbose(out, seed, t0)
+
     def generate_delta_fields(self, seeds, smoothing_length=0.0,
                               apply_lightcone=True):
         """Render a batch of seeds as one vmapped program (ensemble mode).
@@ -683,6 +730,20 @@ class Generator:
 
         return stats.calculate_power(
             delta, self.scene.grid_spacing, nbins, mesh=self.mesh
+        )
+
+    def calculate_bispectrum(self, delta, nbins=8, kmin=None, kmax=None):
+        """Binned bispectrum of a rendered field (third-order gate).
+
+        Zero in expectation for the Gaussian fields this Generator
+        renders; nonzero for the nonlinear model generators (lognormal,
+        Zel'dovich/2LPT) — see validate/bispectrum.py for conventions.
+        Single-device estimator (holds nbins shell fields in memory).
+        """
+        from randomfield_tpu.validate import bispectrum
+
+        return bispectrum.calculate_bispectrum(
+            delta, self.scene.grid_spacing, nbins, kmin=kmin, kmax=kmax
         )
 
     def sample_power(self, seed=0, smoothing_length=0.0, nbins=32):

@@ -212,6 +212,28 @@ class LognormalGenerator:
         w = self.growth_function if apply_lightcone else None
         return gaussian_to_lognormal(g, var, lightcone_weights=w)
 
+    def generate_fixed_field(self, seed=0, smoothing_length=0.0,
+                             apply_lightcone=True, flip=False):
+        """Variance-suppressed lognormal mock ('fixed & paired').
+
+        The underlying Gaussian field has |c_k| pinned to sigma(k)
+        (Generator.generate_fixed_field); pairing ``flip=True`` gives a
+        realization whose nonlinear statistics anti-correlate with the
+        unflipped one — averaging a (fixed, paired) pair cancels the
+        leading-order sample variance of lognormal ensemble statistics.
+        The one-point distribution is lognormal only to the CLT accuracy
+        of the fixed Gaussian field (exact in the many-mode limit).
+        """
+        g = self.gaussian.generate_fixed_field(
+            seed, smoothing_length=smoothing_length,
+            apply_lightcone=apply_lightcone, flip=flip,
+        )
+        var = float(
+            self.gaussian.predicted_variance(smoothing_length=smoothing_length)
+        )
+        w = self.growth_function if apply_lightcone else None
+        return gaussian_to_lognormal(g, var, lightcone_weights=w)
+
     def generate_delta_fields(self, seeds, smoothing_length=0.0,
                               apply_lightcone=True):
         """Batch of lognormal realizations (leading axis = seeds)."""

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from randomfield_tpu.ops import grid as _grid
 from randomfield_tpu.ops import transform as _transform
 
-__all__ = ["sample_unit_hermitian", "sample_spectrum"]
+__all__ = ["sample_unit_hermitian", "sample_spectrum",
+           "sample_fixed_spectrum"]
 
 _INV_SQRT2 = 0.7071067811865476
 
@@ -62,3 +63,26 @@ def sample_spectrum(key, sigmas, shape):
     """
     noise = sample_unit_hermitian(key, shape)
     return noise * sigmas.astype(noise.real.dtype)
+
+
+def sample_fixed_spectrum(key, sigmas, shape, flip=False):
+    """Variance-suppressed 'fixed' spectrum: |c_k| = sigma(k) EXACTLY.
+
+    Angulo & Pontzen (2016) fixed fields: normalize the Hermitian
+    Gaussian draw per mode to unit magnitude, keeping only its (uniform)
+    phase, then scale by sigma — every realization carries exactly the
+    target per-mode power, removing the leading cosmic-variance term
+    from ensemble statistics while leaving phase statistics untouched.
+    Self-conjugate modes (real after symmetrization) reduce to a random
+    sign, the correct degenerate case.  ``flip=True`` returns the PAIRED
+    realization (all phases shifted by pi — for Gaussian fields just the
+    negation, but nonlinear descendants such as lognormal mocks or
+    displaced catalogs differ nontrivially, which is the point of
+    'fixed & paired' ensembles).
+    """
+    noise = sample_unit_hermitian(key, shape)
+    mag = jnp.abs(noise)
+    phase = jnp.where(mag > 0, noise / jnp.where(mag > 0, mag, 1.0), 1.0)
+    if flip:
+        phase = -phase
+    return phase * sigmas.astype(noise.real.dtype)
