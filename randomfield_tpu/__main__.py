@@ -42,6 +42,12 @@ def main(argv=None):
     p.add_argument("--lognormal", action="store_true",
                    help="render lognormal mock fields (Coles-Jones "
                         "Gaussianized spectrum) instead of Gaussian ones")
+    p.add_argument("--fixed", action="store_true",
+                   help="variance-suppressed 'fixed' realizations "
+                        "(|c_k| pinned to sigma(k); Angulo-Pontzen)")
+    p.add_argument("--flip", action="store_true",
+                   help="with --fixed: render the paired (phase-"
+                        "conjugate) realization of each seed")
     p.add_argument("--no-lightcone", action="store_true")
     p.add_argument("--out", default=None,
                    help="output .npz path ({seed} is substituted)")
@@ -122,6 +128,11 @@ def main(argv=None):
             create_cosmology(cosmology), name="custom", **overrides
         )
 
+    if args.fixed and args.sample_power:
+        p.error("--fixed renders fields (its sampled P(k) is exact by "
+                "construction); drop --sample-power")
+    if args.flip and not args.fixed:
+        p.error("--flip only applies to --fixed (paired realizations)")
     ny = args.ny or args.nx
     nz = args.nz or args.nx
     if args.lognormal:
@@ -173,10 +184,16 @@ def main(argv=None):
 
     for seed in args.seed:
         t0 = time.perf_counter()
-        delta = gen.generate_delta_field(
-            seed, smoothing_length=args.smoothing,
-            apply_lightcone=not args.no_lightcone,
-        )
+        if args.fixed:
+            delta = gen.generate_fixed_field(
+                seed, smoothing_length=args.smoothing,
+                apply_lightcone=not args.no_lightcone, flip=args.flip,
+            )
+        else:
+            delta = gen.generate_delta_field(
+                seed, smoothing_length=args.smoothing,
+                apply_lightcone=not args.no_lightcone,
+            )
         delta.block_until_ready()
         if not args.quiet:
             print(f"seed {seed}: rendered in {time.perf_counter() - t0:.3f}s")
@@ -196,7 +213,12 @@ def main(argv=None):
                           f"({nm[i]:8.0f} modes)")
         if args.out:
             path = args.out.replace("{seed}", str(seed))
-            extra = {"model": "lognormal"} if args.lognormal else None
+            extra = {}
+            if args.lognormal:
+                extra["model"] = "lognormal"
+            if args.fixed:
+                extra.update(fixed=True, flip=bool(args.flip))
+            extra = extra or None
             if getattr(delta, "is_fully_addressable", True):
                 save_field(path, delta, generator=gen, seed=seed, extra=extra)
             else:

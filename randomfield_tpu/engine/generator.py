@@ -97,6 +97,18 @@ def render_fixed(key, sigmas, weights, smoothing_length, shape, spacing,
     return delta * weights[None, None, :]
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "flip"))
+def _render_fixed_batch(keys, sigmas, weights, smoothing_length, shape,
+                        spacing, flip):
+    def one(k):
+        c = _sample.sample_fixed_spectrum(k, sigmas, shape, flip=flip)
+        c = _power.filter_modes(c, shape, spacing, smoothing_length)
+        d = _transform.irfftn(c, shape, norm="forward", assume_hermitian=True)
+        return d * weights[None, None, :]
+
+    return jax.vmap(one)(keys)
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "spacing", "layout"))
 def _predicted_variance_device(sigmas, smoothing_length, shape, spacing, layout):
     """<delta^2> = sum over packed modes of mult * (sigma * filter)^2.
@@ -632,25 +644,81 @@ class Generator:
         P(k)-dominated statistics.  ``flip=True`` renders the paired
         realization (phases shifted by pi; for the Gaussian field this
         is the negation, but nonlinear descendants — lognormal mocks,
-        displaced catalogs — differ nontrivially).  Fused single-device
-        path only (the Pallas sampler and staged/mesh pipelines stream
-        the spectrum and never materialize per-mode magnitudes).
+        displaced catalogs — differ nontrivially).  Works on the fused
+        single-device path and on slab/pencil meshes (the magnitude
+        normalization is elementwise on the shard-local draws, so the
+        sharded fixed field equals the single-device one exactly); the
+        Pallas/staged pipelines stream the spectrum and never
+        materialize per-mode magnitudes, so they raise.
         """
-        if self.mesh is not None or self.sampler == "pallas" \
-                or self.pipeline != "fused":
+        if self.sampler == "pallas" or self.pipeline != "fused":
             raise ValueError(
-                "fixed fields need the fused single-device Threefry path "
-                "(the Pallas/staged/mesh pipelines stream the spectrum); "
-                "build the Generator with mesh=None, sampler='threefry', "
+                "fixed fields need the Threefry fused (or mesh) path "
+                "(the Pallas/staged pipelines stream the spectrum); "
+                "build the Generator with sampler='threefry', "
                 "pipeline='fused'"
             )
         t0 = time.perf_counter()
+        if self.mesh is not None:
+            from randomfield_tpu.parallel.render import make_sharded_render
+
+            fn = make_sharded_render(
+                self.mesh, self.scene.shape, self.scene.grid_spacing,
+                from_seed=self._multiprocess,
+                log_values=self._table_host[2], dtype_name=str(self._dtype),
+                fixed=True, flip=bool(flip),
+            )
+            lk, val = self._table_args()
+            out = fn(
+                self._seed_u32(seed) if self._multiprocess else _as_key(seed),
+                lk, val, self._weights(apply_lightcone),
+                self._smoothing(smoothing_length),
+            )
+            return self._maybe_verbose(out, seed, t0)
         out = render_fixed(
             _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
             jnp.asarray(smoothing_length, self._dtype),
             self.scene.shape, self.scene.grid_spacing, bool(flip),
         )
         return self._maybe_verbose(out, seed, t0)
+
+    def generate_fixed_fields(self, seeds, smoothing_length=0.0,
+                              apply_lightcone=True, flip=False):
+        """A vmapped seed batch of fixed fields (leading axis = seed).
+
+        Same realizations as per-seed :meth:`generate_fixed_field`
+        calls; for 'fixed & paired' ensembles render the batch twice
+        (``flip=False`` and ``flip=True``) and average the statistics.
+        """
+        if self.sampler == "pallas" or self.pipeline != "fused":
+            raise ValueError(
+                "fixed fields need the Threefry fused (or mesh) path; "
+                "build the Generator with sampler='threefry', "
+                "pipeline='fused'"
+            )
+        keys = seeds_to_keys(seeds)
+        if self.mesh is not None:
+            from randomfield_tpu.parallel.render import make_sharded_render_batch
+
+            fn = make_sharded_render_batch(
+                self.mesh, self.scene.shape, self.scene.grid_spacing,
+                from_seed=self._multiprocess,
+                log_values=self._table_host[2], dtype_name=str(self._dtype),
+                fixed=True, flip=bool(flip),
+            )
+            first = (
+                np.asarray(seeds, np.uint32) if self._multiprocess else keys
+            )
+            lk, val = self._table_args()
+            return fn(
+                first, lk, val, self._weights(apply_lightcone),
+                self._smoothing(smoothing_length),
+            )
+        return _render_fixed_batch(
+            keys, self.state.sigmas, self._weights(apply_lightcone),
+            jnp.asarray(smoothing_length, self._dtype),
+            self.scene.shape, self.scene.grid_spacing, bool(flip),
+        )
 
     def generate_delta_fields(self, seeds, smoothing_length=0.0,
                               apply_lightcone=True):

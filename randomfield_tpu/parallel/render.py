@@ -82,8 +82,16 @@ def _mesh_specs(mesh, batched):
 
 
 def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
-                      mesh, batched, log_values, dtype):
-    """Sample + symmetrize + inline-sigma scale + filter, sharded."""
+                      mesh, batched, log_values, dtype, fixed=False,
+                      flip=False):
+    """Sample + symmetrize + inline-sigma scale + filter, sharded.
+
+    ``fixed=True`` pins every mode's magnitude to sigma(k) exactly
+    (Angulo-Pontzen variance suppression, ops/sample.py:
+    sample_fixed_spectrum) — elementwise on the shard-local draws, so
+    it costs no communication and matches the single-device fixed
+    render draw-for-draw; ``flip`` negates the phases (the paired
+    realization)."""
     nx, ny, nz = shape
     draws_sharding, spec_sharding, _ = _mesh_specs(mesh, batched)
     if batched:
@@ -98,6 +106,11 @@ def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
     im = draws[..., 1, :, :, :] if batched else draws[1]
     z = jax.lax.complex(re, im) * jnp.asarray(_INV_SQRT2, dtype)
     z = _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
+    if fixed:
+        mag = jnp.abs(z)
+        z = jnp.where(mag > 0, z / jnp.where(mag > 0, mag, 1.0), 1.0)
+        if flip:
+            z = -z
     sig = _power.sigma_inline(
         shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
     )
@@ -121,7 +134,8 @@ def _inverse(c, shape, mesh, batched):
 
 @functools.lru_cache(maxsize=32)
 def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
-                        log_values=False, dtype_name="float32"):
+                        log_values=False, dtype_name="float32",
+                        fixed=False, flip=False):
     """Compile a single-realization spatially-sharded render for a mesh.
 
     The returned fn takes ``(key, lk_tab, val_tab, weights,
@@ -133,7 +147,8 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
     derive the PRNG key *inside* jit — required on multi-host meshes,
     where a key committed to one process's local device cannot enter a
     global program (parallel/multihost.py).  Identical draws either way
-    (the key value is the same).
+    (the key value is the same).  ``fixed``/``flip`` select the
+    variance-suppressed fixed-field sampling (see _sampled_spectrum).
     """
     dtype = jnp.dtype(dtype_name)
     _, _, out = _mesh_specs(mesh, batched=False)
@@ -143,7 +158,7 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
             key = jax.random.key(key)
         c = _sampled_spectrum(
             key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            False, log_values, dtype,
+            False, log_values, dtype, fixed, flip,
         )
         delta = _inverse(c, shape, mesh, False)
         return delta * weights[None, None, :]
@@ -153,7 +168,8 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
 
 @functools.lru_cache(maxsize=32)
 def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
-                              log_values=False, dtype_name="float32"):
+                              log_values=False, dtype_name="float32",
+                              fixed=False, flip=False):
     """Compile a seed-batched render: batch over 'data', spatial sharding."""
     dtype = jnp.dtype(dtype_name)
     _, _, out = _mesh_specs(mesh, batched=True)
@@ -163,7 +179,7 @@ def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
             keys = jax.vmap(jax.random.key)(keys)
         c = _sampled_spectrum(
             keys, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            True, log_values, dtype,
+            True, log_values, dtype, fixed, flip,
         )
         delta = _inverse(c, shape, mesh, True)
         return delta * weights[None, None, :]

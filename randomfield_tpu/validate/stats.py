@@ -36,6 +36,27 @@ def _mode_power(delta, shape, spacing):
     return (c.real**2 + c.imag**2) / volume
 
 
+def _interlaced_mode_power(delta, delta2, shape, spacing):
+    """Per-mode power with interlacing (Hockney & Eastwood; Sefusatti+
+    2016): ``delta2`` is the same catalog painted onto a grid shifted by
+    half a cell in every axis; phase-aligning its spectrum and averaging
+    cancels the odd alias images of the assignment window, pushing the
+    aliasing bias of catalog P(k) from O(1) near Nyquist to percent
+    level.  (The combined spectrum is used in k-space only — the phase
+    factor breaks exact Hermitian packing on the Nyquist planes, so it
+    has no real-space counterpart.)"""
+    c1 = _transform.field_to_spectrum(delta, spacing)
+    c2 = _transform.field_to_spectrum(delta2, spacing)
+    kx, ky, kz = _grid.kvectors(shape, spacing, delta.dtype)
+    ph = (
+        kx[:, None, None] + ky[None, :, None] + kz[None, None, :]
+    ) * jnp.asarray(spacing / 2.0, delta.dtype)
+    c = 0.5 * (c1 + c2 * jax.lax.complex(jnp.cos(ph), jnp.sin(ph)))
+    nx, ny, nz = shape
+    volume = nx * ny * nz * spacing**3
+    return (c.real**2 + c.imag**2) / volume
+
+
 def _bin_setup(shape, spacing, nbins):
     kmin, kmax = _grid.get_k_bounds(shape, spacing)
     edges = np.logspace(np.log10(kmin * 0.999), np.log10(kmax * 1.001), nbins + 1)
@@ -100,8 +121,12 @@ def _masked_bins(km, w, p, edges_j, nbins, per_slab):
 @functools.partial(
     jax.jit, static_argnames=("shape", "spacing", "nbins", "window_order")
 )
-def _binned(delta, shape, spacing, nbins, window_order=0):
-    p = _mode_power(delta, shape, spacing)
+def _binned(delta, shape, spacing, nbins, window_order=0, delta2=None):
+    p = (
+        _mode_power(delta, shape, spacing)
+        if delta2 is None
+        else _interlaced_mode_power(delta, delta2, shape, spacing)
+    )
     if window_order:
         p = p / _assignment_window(shape, spacing, p.dtype) ** (
             2 * window_order
@@ -131,8 +156,12 @@ _LEGENDRE_EVEN = {
                      "window_order"),
 )
 def _binned_multipoles(delta, shape, spacing, nbins, ells, los_axis,
-                       window_order):
-    p = _mode_power(delta, shape, spacing)
+                       window_order, delta2=None):
+    p = (
+        _mode_power(delta, shape, spacing)
+        if delta2 is None
+        else _interlaced_mode_power(delta, delta2, shape, spacing)
+    )
     if window_order:
         p = p / _assignment_window(shape, spacing, p.dtype) ** (
             2 * window_order
@@ -239,7 +268,8 @@ def _staged_field_power(delta, shape, spacing, nbins, chunks):
 _STAGED_POWER_THRESHOLD = 256 * 1024 * 1024
 
 
-def calculate_power(delta, spacing, nbins=32, mesh=None, window=None):
+def calculate_power(delta, spacing, nbins=32, mesh=None, window=None,
+                    interlaced_with=None):
     """Realized isotropic P(k) of a field, binned in log |k|.
 
     Returns ``(k_mean, p_hat, n_modes)`` numpy arrays: per-bin
@@ -250,6 +280,11 @@ def calculate_power(delta, spacing, nbins=32, mesh=None, window=None):
     mass-assignment window before binning — pass the scheme used to
     paint a particle catalog onto the grid (models/zeldovich.py);
     density fields rendered spectrally need none (the default).
+    ``interlaced_with`` is the same catalog painted onto a grid shifted
+    by half a cell in every axis: the two spectra are phase-aligned and
+    averaged before binning, cancelling the leading alias images of the
+    assignment window (see ``_interlaced_mode_power``); single-device,
+    like ``window``.
 
     With ``mesh`` (a ('data','space') mesh whose 'space' axis shards the
     field), the forward FFT runs as the distributed slab transform and
@@ -264,11 +299,17 @@ def calculate_power(delta, spacing, nbins=32, mesh=None, window=None):
         raise ValueError(
             f"unknown window {window!r}: expected None, 'ngp', 'cic' or 'tsc'"
         )
-    if window is not None and mesh is not None:
+    if (window is not None or interlaced_with is not None) and mesh is not None:
         raise ValueError(
-            "window deconvolution is single-device (catalog painting is "
-            "a validation-scale tool); drop mesh= or window="
+            "window deconvolution / interlacing is single-device (catalog "
+            "painting is a validation-scale tool); drop mesh= or window="
         )
+    if interlaced_with is not None:
+        counts, psum, ksum = _binned(
+            delta, shape, float(spacing), int(nbins),
+            _WINDOW_ORDERS[window], jnp.asarray(interlaced_with),
+        )
+        return _bins_to_host(counts, psum, ksum)
     if mesh is not None and is_pencil_mesh(mesh):
         fn = _make_pencil_binned(mesh, shape, float(spacing), int(nbins))
         counts, psum, ksum = fn(delta)
@@ -292,6 +333,10 @@ def calculate_power(delta, spacing, nbins=32, mesh=None, window=None):
             delta, shape, float(spacing), int(nbins),
             _WINDOW_ORDERS[window],
         )
+    return _bins_to_host(counts, psum, ksum)
+
+
+def _bins_to_host(counts, psum, ksum):
     from randomfield_tpu.parallel.multihost import replicated_to_host
 
     counts = replicated_to_host(counts).astype(np.float64)
@@ -302,7 +347,8 @@ def calculate_power(delta, spacing, nbins=32, mesh=None, window=None):
 
 
 def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
-                               los_axis=2, window=None):
+                               los_axis=2, window=None,
+                               interlaced_with=None):
     """Power-spectrum multipoles P_ell(k) along a plane-parallel LOS.
 
     ``P_ell(k) = (2 ell + 1) < L_ell(mu) |c_k|^2 / V >_k-bin`` with
@@ -312,7 +358,8 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
     defined (odd ones vanish identically under Hermitian symmetry).
     Returns ``(k_mean, p_ell, n_modes)`` with ``p_ell`` shaped
     ``(len(ells), nbins)``; ``window`` deconvolves a mass-assignment
-    window exactly as in :func:`calculate_power`.  Single-device
+    window and ``interlaced_with`` alias-cancels with a half-cell-
+    shifted painting, exactly as in :func:`calculate_power`.  Single-device
     (validation-scale companion of the RSD catalogs in
     models/zeldovich.py).
 
@@ -335,6 +382,7 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
     counts, psums, ksum = _binned_multipoles(
         jnp.asarray(delta), shape, float(spacing), int(nbins), ells,
         int(los_axis), _WINDOW_ORDERS[window],
+        None if interlaced_with is None else jnp.asarray(interlaced_with),
     )
     counts = np.asarray(counts, np.float64)
     psums = np.asarray(psums, np.float64)

@@ -74,15 +74,40 @@ def test_paired_field_is_negation():
 
 
 def test_fixed_field_unsupported_paths_raise():
-    from randomfield_tpu.parallel.mesh import make_mesh
-
-    gm = Generator(16, 16, 16, grid_spacing=10.0,
-                   mesh=make_mesh(data=1, space=4))
-    with pytest.raises(ValueError):
-        gm.generate_fixed_field(seed=0)
     gs = Generator(16, 16, 16, grid_spacing=10.0, pipeline="staged")
     with pytest.raises(ValueError):
         gs.generate_fixed_field(seed=0)
+    with pytest.raises(ValueError):
+        gs.generate_fixed_fields([0, 1])
+
+
+def test_fixed_field_mesh_parity():
+    """Magnitude pinning is elementwise on the shard-local draws, so
+    mesh fixed fields equal the single-device ones exactly (slab and
+    pencil), including the paired flip."""
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    g = Generator(16, 16, 16, grid_spacing=10.0)
+    want = np.asarray(g.generate_fixed_field(seed=9, smoothing_length=5.0))
+    want_flip = np.asarray(
+        g.generate_fixed_field(seed=9, smoothing_length=5.0, flip=True)
+    )
+    for mesh in (make_mesh(data=1, space=4),
+                 make_pencil_mesh(data=1, spx=2, spy=2)):
+        gm = Generator(16, 16, 16, grid_spacing=10.0, mesh=mesh)
+        got = np.asarray(
+            gm.generate_fixed_field(seed=9, smoothing_length=5.0)
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5)
+        got_flip = np.asarray(
+            gm.generate_fixed_field(seed=9, smoothing_length=5.0, flip=True)
+        )
+        np.testing.assert_allclose(got_flip, want_flip, atol=2e-5)
+        batch = np.asarray(
+            gm.generate_fixed_fields([9], smoothing_length=5.0)
+        )
+        np.testing.assert_allclose(batch[0], want, atol=2e-5)
 
 
 def test_lognormal_fixed_and_paired():
@@ -100,3 +125,17 @@ def test_lognormal_fixed_and_paired():
     s = np.log1p(d) + np.log1p(dp)
     np.testing.assert_allclose(s, s.mean(), atol=1e-5)
     np.testing.assert_allclose(s.mean(), -ln.sigma_g2, rtol=1e-3)
+
+
+def test_fixed_fields_batch_matches_singles():
+    g = Generator(16, 16, 16, grid_spacing=10.0)
+    batch = np.asarray(g.generate_fixed_fields([3, 4], smoothing_length=5.0))
+    for i, seed in enumerate((3, 4)):
+        single = np.asarray(
+            g.generate_fixed_field(seed=seed, smoothing_length=5.0)
+        )
+        np.testing.assert_allclose(batch[i], single, atol=1e-6)
+    flipped = np.asarray(
+        g.generate_fixed_fields([3, 4], smoothing_length=5.0, flip=True)
+    )
+    np.testing.assert_allclose(flipped, -batch, atol=1e-7)

@@ -221,3 +221,39 @@ def test_cli_lognormal(tmp_path):
     res = subprocess.run(cmd, capture_output=True, text=True, env=env,
                          cwd=repo, timeout=600)
     assert res.returncode != 0
+
+
+def test_cli_fixed(tmp_path):
+    import os
+    import pathlib
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    out = tmp_path / "fx_{seed}.npz"
+    base = [sys.executable, "-m", "randomfield_tpu", "--nx", "16",
+            "--spacing", "16.0", "--seed", "7", "--fixed", "--quiet"]
+    res = subprocess.run(base + ["--out", str(out)], capture_output=True,
+                         text=True, env=env, cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    delta, meta = rio.load_field(tmp_path / "fx_7.npz")
+    assert meta["extra"]["fixed"] is True and meta["extra"]["flip"] is False
+    out2 = tmp_path / "fx2_{seed}.npz"
+    res = subprocess.run(base + ["--flip", "--out", str(out2)],
+                         capture_output=True, text=True, env=env, cwd=repo,
+                         timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    paired, meta2 = rio.load_field(tmp_path / "fx2_7.npz")
+    assert meta2["extra"]["flip"] is True
+    np.testing.assert_allclose(paired, -delta, atol=1e-6)  # Gaussian pair
+
+    # usage errors are loud
+    for bad in (["--flip"], ["--fixed", "--sample-power"]):
+        cmd = [sys.executable, "-m", "randomfield_tpu", "--nx", "8",
+               "--spacing", "16.0"] + bad
+        res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                             cwd=repo, timeout=600)
+        assert res.returncode != 0
