@@ -70,6 +70,42 @@ def _stats(ts):
     }
 
 
+def probe_tpu(attempts=None, timeout_s=None):
+    """Bounded liveness check of the TPU tunnel in a subprocess.
+
+    ``jax.devices()`` hangs INDEFINITELY (not errors) when the axon
+    tunnel is unhealthy — observed live this round — which would turn
+    the whole bench into an rc=124 timeout with no JSON (round 2's
+    failure mode, from a different cause).  The probe runs the device
+    query in a child process with a hard timeout so the parent can
+    degrade to an honest parseable result instead.  Killing the child
+    is safe: a hang at device enumeration is pre-compile, so no chip
+    grant is wedged.
+    """
+    import subprocess
+
+    attempts = attempts or int(os.environ.get("RF_BENCH_PROBE_ATTEMPTS", 3))
+    timeout_s = timeout_s or float(os.environ.get("RF_BENCH_PROBE_TIMEOUT", 240))
+    code = "import jax; print(len(jax.devices()), jax.devices()[0].platform)"
+    for i in range(1, attempts + 1):
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"  tpu probe {i}/{attempts}: no response in {timeout_s:.0f}s")
+            continue
+        if r.returncode == 0 and r.stdout.strip():
+            log(f"  tpu probe {i}/{attempts}: up ({r.stdout.strip()}, "
+                f"{time.perf_counter() - t0:.1f}s)")
+            return True
+        log(f"  tpu probe {i}/{attempts}: rc={r.returncode} "
+            f"{r.stderr.strip()[-200:]}")
+    return False
+
+
 # --------------------------------------------------------------------------
 # TPU phase (runs FIRST: these are the round's evidence)
 # --------------------------------------------------------------------------
@@ -267,6 +303,21 @@ def load_or_measure_cpu_baseline():
 
 def main():
     detail = {}
+
+    log("TPU tunnel probe:")
+    if not probe_tpu():
+        # The chip is unreachable (tunnel wedged): emit the JSON contract
+        # with an explicit error rather than hanging into the driver's
+        # timeout.  No TPU, no honest number — value stays 0.
+        log("  TPU unreachable after bounded retries; degrading")
+        print(json.dumps({
+            "metric": "render_throughput_single_chip",
+            "value": 0.0, "unit": "Gcells/s", "vs_baseline": 0.0,
+            "detail": {"error": "TPU tunnel unreachable: jax.devices() "
+                                "gave no response within the probe budget"},
+        }))
+        return
+
     _enable_compile_cache()
 
     log("TPU renders:")
