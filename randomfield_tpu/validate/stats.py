@@ -657,6 +657,150 @@ def _binned_xi_from_field(delta, shape, spacing, nbins):
     return _binned_xi_from_power_grid(p, shape, spacing, nbins)
 
 
+def _min_image_mu2(shape, spacing, los_axis, dtype):
+    """(r_los / |r|)^2 over the real grid (periodic minimum image).
+
+    Only mu^2 is needed — the even Legendre polynomials are polynomials
+    in mu^2, and the minimum-image |r_los| loses only the (irrelevant)
+    sign of mu.  The zero-lag cell gets mu^2 = 0; it is excluded from
+    every bin anyway (r > 0 mask in _masked_bins).
+    """
+    ax = []
+    for n in shape:
+        idx = np.arange(n)
+        ax.append((np.minimum(idx, n - idx) * spacing).astype(np.float64))
+    r2 = (
+        (ax[0] ** 2)[:, None, None]
+        + (ax[1] ** 2)[None, :, None]
+        + (ax[2] ** 2)[None, None, :]
+    )
+    shp = [1, 1, 1]
+    shp[los_axis] = shape[los_axis]
+    rlos2 = (ax[los_axis] ** 2).reshape(shp)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mu2 = np.where(r2 > 0, rlos2 / r2, 0.0)
+    return jnp.asarray(mu2, dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "spacing", "nbins", "ells", "los_axis"),
+)
+def _binned_xi_multipoles_from_power_grid(p, shape, spacing, nbins, ells,
+                                          los_axis):
+    """Bin xi_ell(s) from a P_hat half-grid: one inverse transform of the
+    per-mode power, then r-shell binning with (2l+1) L_l(mu) weights."""
+    volume = shape[0] * shape[1] * shape[2] * spacing**3
+    xi = _transform.irfftn(
+        (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64), shape
+    )
+    rmag = _min_image_r(shape, spacing, xi.dtype)
+    mu2 = _min_image_mu2(shape, spacing, los_axis, xi.dtype)
+    edges = jnp.asarray(_r_bin_setup(shape, spacing, nbins), xi.dtype)
+    counts = ksum = None
+    psums = []
+    for ell in ells:
+        w_ell = (2.0 * ell + 1.0) * _LEGENDRE_EVEN[ell](mu2)
+        c, ps, ks = _masked_bins(rmag, 1.0, xi * w_ell, edges, nbins,
+                                 per_slab=True)
+        psums.append(ps)
+        if counts is None:
+            counts, ksum = c, ks
+    return counts, jnp.stack(psums), ksum
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "spacing", "nbins", "ells", "los_axis"),
+)
+def _binned_xi_multipoles_from_field(delta, shape, spacing, nbins, ells,
+                                     los_axis):
+    p = _mode_power(delta, shape, spacing)
+    p = p.at[0, 0, 0].set(0.0)  # a residual mean would offset every lag
+    return _binned_xi_multipoles_from_power_grid(
+        p, shape, spacing, nbins, ells, los_axis
+    )
+
+
+def calculate_correlation_multipoles(delta, spacing, nbins=24,
+                                     ells=(0, 2, 4), los_axis=2):
+    """Correlation-function multipoles xi_ell(s) along a plane-parallel LOS.
+
+    ``xi_ell(s) = (2 ell + 1) < L_ell(mu) xi(s, mu) >_s-bin`` with
+    ``mu = s_los / |s|`` under the periodic minimum image — the
+    configuration-space counterpart of
+    :func:`calculate_power_multipoles` (Kaiser at linear order:
+    ``xi_0 = (1 + 2f/3 + f^2/5) xi``, with xi_2/xi_4 fixed by the same
+    ``P_ell -> xi_ell`` spherical-Bessel transforms).  Even multipoles
+    only (odd ones vanish for an autocorrelation, xi(-s) = xi(s)).
+    Returns ``(r_mean, xi_ell, n_cells)`` with ``xi_ell`` shaped
+    ``(len(ells), nbins)``; ``ells=(0,)`` reproduces
+    :func:`calculate_correlation` bin for bin.  The exact estimator
+    expectation for a power table (optionally Kaiser-distorted) is
+    :func:`predicted_correlation_multipoles`.  Single-device
+    validation-scale tool, like the other xi estimators.
+    """
+    shape = tuple(int(s) for s in delta.shape[-3:])
+    ells = tuple(int(e) for e in ells)
+    for e in ells:
+        if e not in _LEGENDRE_EVEN:
+            raise ValueError(
+                f"ell={e} unsupported: even multipoles 0/2/4 only (odd "
+                "ones vanish for an autocorrelation)"
+            )
+    counts, psums, rsum = _binned_xi_multipoles_from_field(
+        jnp.asarray(delta), shape, float(spacing), int(nbins), ells,
+        int(los_axis)
+    )
+    counts = np.asarray(counts, np.float64)
+    psums = np.asarray(psums, np.float64)
+    rsum = np.asarray(rsum, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return rsum / counts, psums / counts[None, :], counts
+
+
+def predicted_correlation_multipoles(power, shape, spacing, f=0.0, nbins=24,
+                                     ells=(0, 2, 4), los_axis=2,
+                                     interpolation="log10k"):
+    """Expectation of :func:`calculate_correlation_multipoles` for a
+    power table, optionally Kaiser-distorted.
+
+    Interpolates P onto this grid's discrete modes, applies the linear
+    Kaiser factor ``(1 + f mu_k^2)^2`` (``f = cosmology.growth_rate``;
+    ``f=0`` is the isotropic expectation), and runs the identical
+    transform + binning — so measured-vs-predicted residuals are pure
+    sample noise, including every discreteness effect (incomplete
+    shells, anisotropic mu coverage at large s).
+    """
+    from randomfield_tpu.ops import power as _power
+
+    shape = tuple(int(s) for s in shape)
+    ells = tuple(int(e) for e in ells)
+    table = _power.validate_power(power)
+    _power.require_coverage(table, shape, float(spacing))
+    kmag = _grid.kmag(shape, float(spacing), jnp.float32)
+    pgrid = _power.interpolate_power(table, kmag, interpolation)
+    if f:
+        kvecs = _grid.kvectors(shape, float(spacing))
+        klos = kvecs[int(los_axis)]
+        kshp = [1, 1, 1]
+        kshp[int(los_axis)] = klos.shape[0]
+        mu2k = jnp.where(
+            kmag > 0, (klos.reshape(kshp) / jnp.where(kmag > 0, kmag, 1.0)) ** 2,
+            0.0,
+        )
+        pgrid = pgrid * (1.0 + float(f) * mu2k) ** 2
+    pgrid = jnp.where(kmag > 0, pgrid, 0.0)
+    counts, psums, rsum = _binned_xi_multipoles_from_power_grid(
+        pgrid, shape, float(spacing), int(nbins), ells, int(los_axis)
+    )
+    counts = np.asarray(counts, np.float64)
+    psums = np.asarray(psums, np.float64)
+    rsum = np.asarray(rsum, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return rsum / counts, psums / counts[None, :], counts
+
+
 def _xi_host(counts, psum, ksum):
     counts = np.asarray(counts, np.float64)
     psum = np.asarray(psum, np.float64)

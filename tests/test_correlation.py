@@ -129,3 +129,89 @@ def test_predicted_correlation_zero_lag_is_variance():
     volume = n**3 * spacing**3
     xi0 = (pgrid * mult[None, None, :]).sum() / volume
     np.testing.assert_allclose(xi0, g.predicted_variance(), rtol=2e-3)
+
+
+def test_correlation_multipole_monopole_matches_isotropic():
+    # ells=(0,): L_0 weight is 1, so the multipole estimator reproduces
+    # calculate_correlation bin for bin (same lags, same bins)
+    n, spacing, nbins = 32, 4.0, 12
+    g = Generator(n, n, n, grid_spacing=spacing)
+    delta = g.generate_delta_field(3, apply_lightcone=False)
+    r0, xi0, c0 = stats.calculate_correlation(delta, spacing, nbins=nbins)
+    r, xil, c = stats.calculate_correlation_multipoles(
+        delta, spacing, nbins=nbins, ells=(0,)
+    )
+    np.testing.assert_allclose(r, r0, rtol=1e-6)
+    np.testing.assert_allclose(c, c0, rtol=1e-6)
+    np.testing.assert_allclose(xil[0], xi0, rtol=1e-5, atol=1e-9)
+
+
+def test_predicted_multipoles_isotropic_limits():
+    # f=0 monopole equals predicted_correlation; the quadrupole /
+    # hexadecapole expectations are pure discreteness residuals, small
+    # relative to the monopole peak
+    n, spacing, nbins = 32, 4.0, 12
+    g = Generator(n, n, n, grid_spacing=spacing)
+    r0, xi0, _ = stats.predicted_correlation(
+        g.power, (n, n, n), spacing, nbins=nbins
+    )
+    r, xil, cnt = stats.predicted_correlation_multipoles(
+        g.power, (n, n, n), spacing, f=0.0, nbins=nbins
+    )
+    np.testing.assert_allclose(r, r0, rtol=1e-6)
+    np.testing.assert_allclose(xil[0], xi0, rtol=1e-5, atol=1e-9)
+    peak = np.nanmax(np.abs(xi0))
+    mask = cnt > 200  # shells with decent mu coverage
+    assert np.nanmax(np.abs(xil[1][mask])) < 0.12 * peak
+    assert np.nanmax(np.abs(xil[2][mask])) < 0.12 * peak
+
+
+def test_measured_multipoles_match_kaiser_prediction():
+    # distort isotropic renders with the linear Kaiser factor
+    # (1 + f mu_k^2) applied to their spectra; the measured xi_ell must
+    # match predicted_correlation_multipoles(f) — same modes, same bins,
+    # so the seed-averaged residual is pure sample noise
+    n, spacing, f, nbins, nseeds = 32, 4.0, 0.8, 10, 6
+    shape = (n, n, n)
+    g = Generator(n, n, n, grid_spacing=spacing)
+    r_pred, xi_pred, cnt = stats.predicted_correlation_multipoles(
+        g.power, shape, spacing, f=f, nbins=nbins
+    )
+    kx = np.fft.fftfreq(n, d=spacing) * 2 * np.pi
+    kz = np.fft.rfftfreq(n, d=spacing) * 2 * np.pi
+    k2 = kx[:, None, None] ** 2 + kx[None, :, None] ** 2 + kz[None, None, :] ** 2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mu2 = np.where(k2 > 0, kz[None, None, :] ** 2 / k2, 0.0)
+    boost = 1.0 + f * mu2
+    acc = []
+    for s in range(nseeds):
+        delta = np.asarray(
+            g.generate_delta_field(s, apply_lightcone=False), np.float64
+        )
+        c = np.fft.rfftn(delta) * boost
+        delta_s = np.fft.irfftn(c, s=shape)
+        r, xil, _ = stats.calculate_correlation_multipoles(
+            jnp.asarray(delta_s, jnp.float32), spacing, nbins=nbins
+        )
+        acc.append(xil)
+        np.testing.assert_allclose(r, r_pred, rtol=1e-5)
+    acc = np.array(acc)
+    xi_mean = acc.mean(axis=0)
+    xi_sd = acc.std(axis=0, ddof=1) / np.sqrt(nseeds)
+    mask = cnt > 0
+    floor = 2e-4 * np.nanmax(np.abs(xi_pred))
+    for l in range(3):
+        resid = np.abs(xi_mean[l] - xi_pred[l])[mask]
+        budget = 5.0 * xi_sd[l][mask] + floor
+        assert (resid < budget).all(), (l, (resid / budget).max())
+
+
+def test_correlation_multipoles_odd_ell_rejected():
+    n = 8
+    delta = np.zeros((n, n, n), np.float32)
+    try:
+        stats.calculate_correlation_multipoles(delta, 1.0, ells=(0, 3))
+    except ValueError as e:
+        assert "ell=3" in str(e)
+    else:
+        raise AssertionError("ell=3 should raise")
