@@ -118,21 +118,26 @@ def transformed_power(power, shape, spacing, nbins=256,
 
 
 @jax.jit
-def _exp_map(g, plane_var):
-    return jnp.expm1(g - 0.5 * plane_var[None, None, :].astype(g.dtype))
+def _exp_map(g, plane_var, bias):
+    b = jnp.asarray(bias, g.dtype)
+    return jnp.expm1(b * g - 0.5 * plane_var[None, None, :].astype(g.dtype))
 
 
-def gaussian_to_lognormal(g, sigma_g2, lightcone_weights=None):
-    """exp-map a Gaussian field: ``exp(g - var/2) - 1`` (jitted, device).
+def gaussian_to_lognormal(g, sigma_g2, lightcone_weights=None, bias=1.0):
+    """exp-map a Gaussian field: ``exp(b g - b^2 var/2) - 1`` (jitted).
 
     ``sigma_g2`` is the Gaussian field's variance; with
     ``lightcone_weights`` (the per-plane D(z)/D(0) already multiplied
     into ``g``) the subtracted variance is per-plane ``D^2 sigma_g2``.
+    ``bias`` scales the Gaussian field before the map (deterministic
+    lognormal bias model): the result stays exactly mean-zero and its
+    two-point function is ``exp(b^2 xi_G) - 1``.
     """
     g = jnp.asarray(g)
     nz = g.shape[-1]
     w = np.ones(nz) if lightcone_weights is None else np.asarray(lightcone_weights, np.float64)
-    return _exp_map(g, jnp.asarray(w**2 * float(sigma_g2)))
+    b = float(bias)
+    return _exp_map(g, jnp.asarray(b * b * w**2 * float(sigma_g2)), b)
 
 
 class LognormalGenerator:
@@ -246,6 +251,72 @@ class LognormalGenerator:
         )
         w = self.growth_function if apply_lightcone else None
         return gaussian_to_lognormal(g, var, lightcone_weights=w)
+
+    def generate_biased_field(self, seed=0, bias=1.0, smoothing_length=0.0,
+                              apply_lightcone=True):
+        """A biased lognormal tracer field from the SAME realization.
+
+        ``delta_b = exp(b g - b^2 sigma_G^2 / 2) - 1`` with the seed's
+        Gaussian field g — the deterministic lognormal bias model
+        (Coles & Jones 1991 sec. 5): two-point function
+        ``xi_b = exp(b^2 xi_G) - 1 ~ b^2 xi`` at linear order, and the
+        cross-correlation with any other bias of the same seed is
+        ``xi_b1,b2 = exp(b1 b2 xi_G) - 1`` (matter is ``bias=1``).
+        ``bias=1.0`` is exactly :meth:`generate_delta_field`.  Exact
+        per-bin spectrum expectations: :meth:`predicted_biased_power` +
+        :func:`randomfield_tpu.validate.stats.calculate_cross_power`.
+        """
+        g = self.gaussian.generate_delta_field(
+            seed, smoothing_length=smoothing_length,
+            apply_lightcone=apply_lightcone,
+        )
+        var = float(
+            self.gaussian.predicted_variance(smoothing_length=smoothing_length)
+        )
+        w = self.growth_function if apply_lightcone else None
+        return gaussian_to_lognormal(g, var, lightcone_weights=w, bias=bias)
+
+    def _xi_gaussian_grid(self, smoothing_length=0.0):
+        """Exact grid correlation of the rendered Gaussian field (f64)."""
+        shape = self.scene.shape
+        spacing = self.scene.grid_spacing
+        volume = shape[0] * shape[1] * shape[2] * spacing**3
+        kmag = np.asarray(_grid.kmag(shape, spacing, jnp.float32), np.float64)
+        pgrid = np.asarray(
+            _power.interpolate_power(self.gaussian_power,
+                                     jnp.asarray(kmag, jnp.float32)),
+            np.float64,
+        )
+        pgrid = np.where(kmag > 0, pgrid, 0.0)
+        if smoothing_length:
+            pgrid = pgrid * np.exp(-(kmag * float(smoothing_length)) ** 2)
+        return np.fft.irfftn(pgrid, s=shape, norm="forward") / volume
+
+    def predicted_biased_power(self, bias=1.0, bias2=None, nbins=32,
+                               smoothing_length=0.0):
+        """Exact per-bin expectation of the biased tracer spectrum.
+
+        Auto-spectrum of :meth:`generate_biased_field(bias=b) <generate_
+        biased_field>` by default; with ``bias2`` the CROSS-spectrum of
+        two tracers of the same seed (``bias2=1.0`` = tracer x matter),
+        as measured by :func:`validate.stats.calculate_cross_power`.
+        Snapshot statistics (``apply_lightcone=False`` fields); computed
+        on this grid's discrete modes and binned with the estimator's
+        own bins, so residuals are pure sample noise.
+        """
+        shape = self.scene.shape
+        spacing = self.scene.grid_spacing
+        volume = shape[0] * shape[1] * shape[2] * spacing**3
+        from randomfield_tpu.validate import stats as _stats
+
+        xi_g = self._xi_gaussian_grid(smoothing_length)
+        b2 = float(bias) if bias2 is None else float(bias2)
+        xi_t = np.expm1(float(bias) * b2 * xi_g)
+        pt = np.fft.rfftn(xi_t, norm="forward").real * volume
+        pt[0, 0, 0] = 0.0  # the estimator masks the DC mode
+        return _stats.bin_power_grid(
+            jnp.asarray(pt, jnp.float32), shape, spacing, nbins=nbins
+        )
 
     def predicted_variance(self, smoothing_length=0.0):
         """Expected variance of the (snapshot) lognormal field."""

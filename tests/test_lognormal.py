@@ -124,3 +124,93 @@ def test_lognormal_on_mesh():
         np.asarray(jax.device_get(d_mesh)), np.asarray(d_ref),
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_biased_field_bias_one_is_delta_field():
+    n, spacing = 24, 8.0
+    gen = LognormalGenerator(n, n, n, grid_spacing=spacing)
+    d = np.asarray(gen.generate_delta_field(3, apply_lightcone=False))
+    b = np.asarray(gen.generate_biased_field(3, bias=1.0,
+                                             apply_lightcone=False))
+    np.testing.assert_allclose(b, d, rtol=1e-6, atol=1e-7)
+
+
+def test_biased_field_statistics_and_power():
+    # auto-spectrum of a b=2 tracer matches its exact per-bin expectation
+    # (exp(b^2 xi_G) - 1 transform on the same modes/bins); at low k the
+    # tracer/matter prediction ratio approaches b^2
+    n, spacing, b, nseeds, nbins = 32, 8.0, 2.0, 8, 10
+    gen = LognormalGenerator(n, n, n, grid_spacing=spacing,
+                             power=_target(0.25))
+    acc, means = [], []
+    for s in range(nseeds):
+        d = gen.generate_biased_field(s, bias=b, apply_lightcone=False)
+        d = np.asarray(d)
+        assert d.min() > -1.0
+        means.append(d.mean())
+        k, p, cnt = stats.calculate_power(d, spacing, nbins=nbins)
+        acc.append(p)
+    k_pred, p_pred, cnt = gen.predicted_biased_power(bias=b, nbins=nbins)
+    p_mean = np.mean(acc, axis=0)
+    p_sd = np.std(acc, axis=0, ddof=1) / np.sqrt(nseeds)
+    mask = cnt > 4
+    np.testing.assert_allclose(k[mask], k_pred[mask], rtol=1e-5)
+    resid = np.abs(p_mean - p_pred)[mask]
+    budget = 5.0 * p_sd[mask] + 0.02 * p_pred[mask]
+    assert (resid < budget).all(), (resid / budget).max()
+    # exactly mean-zero construction: the seed-averaged field mean is
+    # noise-level (dominated by the largest modes, ~sqrt(P_min_k / V))
+    vol = (n * spacing) ** 3
+    assert abs(np.mean(means)) < 6 * np.sqrt(p_pred[mask][0] / vol / nseeds)
+    # low-k ratio of predictions ~ b^2 (linear bias recovered)
+    _, p_m, _ = gen.predicted_biased_power(bias=1.0, nbins=nbins)
+    lowk = mask & (k_pred < 0.06)
+    assert lowk.sum() >= 2
+    ratio = p_pred[lowk] / p_m[lowk]
+    np.testing.assert_allclose(ratio, b * b, rtol=0.25)
+
+
+def test_biased_cross_power_matches_prediction():
+    # tracer x matter cross-spectrum of the SAME seed matches the exact
+    # exp(b xi_G) - 1 expectation; cross of different seeds ~ 0
+    n, spacing, b, nseeds, nbins = 32, 8.0, 1.8, 8, 10
+    gen = LognormalGenerator(n, n, n, grid_spacing=spacing,
+                             power=_target(0.25))
+    acc = []
+    for s in range(nseeds):
+        dm = gen.generate_delta_field(s, apply_lightcone=False)
+        dt = gen.generate_biased_field(s, bias=b, apply_lightcone=False)
+        k, p, cnt = stats.calculate_cross_power(dm, dt, spacing, nbins=nbins)
+        acc.append(p)
+    k_pred, p_pred, cnt = gen.predicted_biased_power(bias=b, bias2=1.0,
+                                                     nbins=nbins)
+    p_mean = np.mean(acc, axis=0)
+    p_sd = np.std(acc, axis=0, ddof=1) / np.sqrt(nseeds)
+    mask = cnt > 4
+    resid = np.abs(p_mean - p_pred)[mask]
+    budget = 5.0 * p_sd[mask] + 0.02 * p_pred[mask]
+    assert (resid < budget).all(), (resid / budget).max()
+    # independent seeds decorrelate: |cross| under 5 sigma of its scatter
+    da = gen.generate_delta_field(101, apply_lightcone=False)
+    db = gen.generate_biased_field(202, bias=b, apply_lightcone=False)
+    _, p0, cnt0 = stats.calculate_cross_power(da, db, spacing, nbins=nbins)
+    m = cnt0 > 8
+    # per-bin scatter of a zero-expectation cross: sqrt(P_a P_b / n_modes)
+    p_auto_m = gen.predicted_biased_power(1.0, nbins=nbins)[1]
+    p_auto_t = gen.predicted_biased_power(b, nbins=nbins)[1]
+    scatter = np.sqrt(p_auto_m[m] * p_auto_t[m] / cnt0[m])
+    assert (np.abs(p0[m]) < 6 * scatter).all()
+
+
+def test_cross_power_self_consistency():
+    n, spacing, nbins = 24, 8.0, 8
+    gen = LognormalGenerator(n, n, n, grid_spacing=spacing)
+    d = gen.generate_delta_field(7, apply_lightcone=False)
+    k1, p1, c1 = stats.calculate_power(d, spacing, nbins=nbins)
+    k2, p2, c2 = stats.calculate_cross_power(d, d, spacing, nbins=nbins)
+    np.testing.assert_allclose(p2, p1, rtol=2e-5, atol=0)
+    np.testing.assert_allclose(c2, c1, rtol=1e-6)
+    with pytest.raises(ValueError, match="share a grid"):
+        stats.calculate_cross_power(
+            np.zeros((8, 8, 8), np.float32),
+            np.zeros((8, 8, 4), np.float32), 1.0)
