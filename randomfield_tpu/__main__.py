@@ -48,6 +48,12 @@ def main(argv=None):
     p.add_argument("--flip", action="store_true",
                    help="with --fixed: render the paired (phase-"
                         "conjugate) realization of each seed")
+    p.add_argument("--bias", type=float, default=None,
+                   help="with --lognormal: render biased tracer fields "
+                        "exp(b g - b^2 sigma_G^2/2) - 1 (linear bias b)")
+    p.add_argument("--xi", action="store_true",
+                   help="with --stats: also print the measured two-point "
+                        "correlation xi(r) per seed")
     p.add_argument("--no-lightcone", action="store_true")
     p.add_argument("--out", default=None,
                    help="output .npz path ({seed} is substituted)")
@@ -133,6 +139,13 @@ def main(argv=None):
                 "construction); drop --sample-power")
     if args.flip and not args.fixed:
         p.error("--flip only applies to --fixed (paired realizations)")
+    if args.bias is not None:
+        if not args.lognormal:
+            p.error("--bias needs --lognormal (the deterministic lognormal "
+                    "bias model)")
+        if args.fixed:
+            p.error("--bias composes with random-phase fields only; drop "
+                    "--fixed")
     ny = args.ny or args.nx
     nz = args.nz or args.nx
     if args.lognormal:
@@ -189,6 +202,11 @@ def main(argv=None):
                 seed, smoothing_length=args.smoothing,
                 apply_lightcone=not args.no_lightcone, flip=args.flip,
             )
+        elif args.bias is not None:
+            delta = gen.generate_biased_field(
+                seed, bias=args.bias, smoothing_length=args.smoothing,
+                apply_lightcone=not args.no_lightcone,
+            )
         else:
             delta = gen.generate_delta_field(
                 seed, smoothing_length=args.smoothing,
@@ -203,19 +221,35 @@ def main(argv=None):
             from randomfield_tpu.validate.stats import field_moments
 
             mean, var = field_moments(delta)
+            pv = (gen.predicted_variance(args.smoothing, bias=args.bias)
+                  if args.bias is not None
+                  else gen.predicted_variance(args.smoothing))
             print(f"  mean = {mean:+.3e}  var = {var:.5f} "
-                  f"(predicted {gen.predicted_variance(args.smoothing):.5f} "
-                  f"before lightcone weighting)")
+                  f"(predicted {pv:.5f} before lightcone weighting)")
             k, ph, nm = gen.calculate_power(delta, nbins=args.nbins)
             for i in range(len(k)):
                 if nm[i] > 0:
                     print(f"  k = {k[i]:9.4f}  P^ = {ph[i]:12.2f}  "
                           f"({nm[i]:8.0f} modes)")
+            if args.xi:
+                from randomfield_tpu.validate.stats import (
+                    calculate_correlation,
+                )
+
+                r, xi, nc = calculate_correlation(
+                    delta, args.spacing, nbins=args.nbins
+                )
+                for i in range(len(r)):
+                    if nc[i] > 0:
+                        print(f"  r = {r[i]:9.3f}  xi = {xi[i]:+.5e}  "
+                              f"({nc[i]:10.0f} cells)")
         if args.out:
             path = args.out.replace("{seed}", str(seed))
             extra = {}
             if args.lognormal:
                 extra["model"] = "lognormal"
+            if args.bias is not None:
+                extra["bias"] = float(args.bias)
             if args.fixed:
                 extra.update(fixed=True, flip=bool(args.flip))
             extra = extra or None

@@ -318,12 +318,13 @@ class LognormalGenerator:
             jnp.asarray(pt, jnp.float32), shape, spacing, nbins=nbins
         )
 
-    def predicted_variance(self, smoothing_length=0.0):
-        """Expected variance of the (snapshot) lognormal field."""
+    def predicted_variance(self, smoothing_length=0.0, bias=1.0):
+        """Expected variance of the (snapshot, possibly biased) field:
+        ``exp(b^2 sigma_G^2) - 1``."""
         var = float(
             self.gaussian.predicted_variance(smoothing_length=smoothing_length)
         )
-        return float(np.expm1(var))
+        return float(np.expm1(float(bias) ** 2 * var))
 
     def calculate_power(self, delta, nbins=32):
         return self.gaussian.calculate_power(delta, nbins=nbins)

@@ -257,3 +257,36 @@ def test_cli_fixed(tmp_path):
         res = subprocess.run(cmd, capture_output=True, text=True, env=env,
                              cwd=repo, timeout=600)
         assert res.returncode != 0
+
+
+def test_cli_biased_tracer_and_xi(tmp_path):
+    import os
+    import pathlib
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    out = tmp_path / "tr_{seed}.npz"
+    cmd = [sys.executable, "-m", "randomfield_tpu", "--nx", "16",
+           "--spacing", "16.0", "--seed", "3", "--lognormal",
+           "--bias", "1.7", "--stats", "--xi", "--out", str(out)]
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "xi =" in res.stdout  # --xi printed correlation bins
+    delta, meta = rio.load_field(tmp_path / "tr_3.npz")
+    assert delta.min() > -1.0
+    assert meta["extra"]["model"] == "lognormal"
+    assert meta["extra"]["bias"] == 1.7
+
+    # usage errors: --bias without --lognormal, or with --fixed
+    for bad in (["--nx", "8", "--spacing", "16.0", "--bias", "2.0"],
+                ["--nx", "8", "--spacing", "16.0", "--lognormal",
+                 "--bias", "2.0", "--fixed"]):
+        res = subprocess.run(
+            [sys.executable, "-m", "randomfield_tpu"] + bad,
+            capture_output=True, text=True, env=env, cwd=repo, timeout=600)
+        assert res.returncode != 0
