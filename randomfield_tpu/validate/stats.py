@@ -926,6 +926,60 @@ def predicted_correlation(power, shape, spacing, nbins=24,
     return _xi_host(counts, psum, ksum)
 
 
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def _binned_values(x, edges, nbins):
+    """Histogram + per-bin value sums via the one-hot MXU contraction
+    (scatter-add serializes on TPU; see _dot_bin)."""
+    idx = jnp.searchsorted(edges, x, method="compare_all") - 1
+    valid = (idx >= 0) & (idx < nbins)
+    idx = jnp.where(valid, idx, nbins)
+    w = jnp.where(valid, 1.0, 0.0).astype(x.dtype)
+    counts, vsum, _ = jax.vmap(
+        lambda ix, wx, px: _dot_bin(ix, wx, px, px, nbins)
+    )(idx.reshape(idx.shape[0], -1), w.reshape(w.shape[0], -1),
+      x.reshape(x.shape[0], -1))
+    return jnp.sum(counts, axis=0), jnp.sum(vsum, axis=0)
+
+
+def field_pdf(delta, nbins=64, vmin=None, vmax=None):
+    """One-point PDF of field values (device-binned histogram density).
+
+    Linear bins over ``[vmin, vmax]`` (defaults: the field's min/max,
+    stretched 1e-3 so the extremes land inside).  Returns ``(centers,
+    density, counts)`` with ``centers`` the per-bin mean VALUE (not the
+    midpoint — matches how the k/r estimators report bin positions;
+    NaN for empty bins) and ``density`` normalized so ``sum(density *
+    bin_width)`` equals the in-range fraction (1 with default bounds).
+    Validation-scale companion of :func:`field_moments`: a rendered
+    Gaussian field's density matches the normal curve with
+    ``predicted_variance``, a lognormal mock's matches the lognormal
+    curve (gated in tests).
+    """
+    d = jnp.asarray(delta)
+    shape = d.shape
+    d3 = d.reshape((-1,) + shape[-2:]) if d.ndim >= 3 else d.reshape(1, -1)
+    if vmin is None or vmax is None:
+        lo = float(d.min())
+        hi = float(d.max())
+        span = (hi - lo) or 1.0
+        vmin = lo - 1e-3 * span if vmin is None else float(vmin)
+        vmax = hi + 1e-3 * span if vmax is None else float(vmax)
+    if not vmax > vmin:
+        raise ValueError(f"need vmax > vmin, got [{vmin}, {vmax}]")
+    edges = np.linspace(float(vmin), float(vmax), int(nbins) + 1)
+    counts, vsum = _binned_values(
+        d3, jnp.asarray(edges, d.dtype), int(nbins)
+    )
+    counts = np.asarray(counts, np.float64)
+    vsum = np.asarray(vsum, np.float64)
+    width = edges[1] - edges[0]
+    ntot = float(np.prod(shape))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        centers = vsum / counts
+    density = counts / (ntot * width)
+    return centers, density, counts
+
+
 def _mean_axiswise(x):
     """Mean via one axis at a time — each reduction sums only O(n) terms.
 

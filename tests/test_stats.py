@@ -88,3 +88,81 @@ def test_staged_field_power_matches_oneshot():
     np.testing.assert_allclose(n1, n0, rtol=1e-6)
     np.testing.assert_allclose(p1[mask], p0[mask], rtol=2e-3)
     np.testing.assert_allclose(k1[mask], k0[mask], rtol=1e-4)
+
+
+def test_field_pdf_matches_numpy_histogram():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    x = rng.normal(size=(8, 16, 16)).astype(np.float32)
+    centers, density, counts = stats.field_pdf(x, nbins=20, vmin=-3.0,
+                                               vmax=3.0)
+    ref, edges = np.histogram(x, bins=20, range=(-3.0, 3.0))
+    np.testing.assert_allclose(counts, ref, rtol=0, atol=0)
+    width = edges[1] - edges[0]
+    np.testing.assert_allclose(density, ref / (x.size * width), rtol=1e-6)
+    m = counts > 0
+    # per-bin mean value lies inside its bin
+    assert (centers[m] >= edges[:-1][m] - 1e-6).all()
+    assert (centers[m] <= edges[1:][m] + 1e-6).all()
+    # default bounds include everything
+    _, dens_all, cnt_all = stats.field_pdf(x, nbins=16)
+    np.testing.assert_allclose(cnt_all.sum(), x.size, rtol=0)
+
+
+def test_field_pdf_gaussian_field_is_normal():
+    import numpy as np
+    from randomfield_tpu import Generator
+
+    n, spacing, nseeds = 32, 8.0, 4
+    g = Generator(n, n, n, grid_spacing=spacing)
+    var = g.predicted_variance()
+    lim = 4.0 * np.sqrt(var)
+    nbins = 24
+    acc = np.zeros(nbins)
+    for s in range(nseeds):
+        d = g.generate_delta_field(s, apply_lightcone=False)
+        centers, density, counts = stats.field_pdf(
+            d, nbins=nbins, vmin=-lim, vmax=lim
+        )
+        acc += counts
+    edges = np.linspace(-lim, lim, nbins + 1)
+    width = edges[1] - edges[0]
+    ncells = nseeds * n**3
+    mids = 0.5 * (edges[:-1] + edges[1:])
+    p_exp = (np.exp(-mids**2 / (2 * var)) / np.sqrt(2 * np.pi * var)
+             * width * ncells)
+    # multinomial noise + a few % for f32 / finite-bin-width systematics;
+    # field values are correlated across cells, inflating the scatter —
+    # gate only well-populated bins at 8 sigma with a 5% floor
+    m = p_exp > 200
+    resid = np.abs(acc - p_exp)[m]
+    budget = 8.0 * np.sqrt(p_exp[m]) + 0.05 * p_exp[m]
+    assert (resid < budget).all(), (resid / budget).max()
+
+
+def test_field_pdf_lognormal_field():
+    import numpy as np
+    from randomfield_tpu.models.lognormal import LognormalGenerator
+
+    n, spacing = 32, 8.0
+    gen = LognormalGenerator(n, n, n, grid_spacing=spacing)
+    sig2 = gen.sigma_g2
+    d = np.asarray(gen.generate_delta_field(5, apply_lightcone=False))
+    # log1p(delta) + sig2/2 should be ~ N(0, sig2): compare the measured
+    # transformed PDF against the normal curve
+    y = np.log1p(d) + 0.5 * sig2
+    lim = 4.0 * np.sqrt(sig2)
+    nbins = 16
+    centers, density, counts = stats.field_pdf(
+        y.astype(np.float32), nbins=nbins, vmin=-lim, vmax=lim
+    )
+    edges = np.linspace(-lim, lim, nbins + 1)
+    width = edges[1] - edges[0]
+    mids = 0.5 * (edges[:-1] + edges[1:])
+    p_exp = (np.exp(-mids**2 / (2 * sig2)) / np.sqrt(2 * np.pi * sig2)
+             * width * d.size)
+    m = p_exp > 200
+    resid = np.abs(counts - p_exp)[m]
+    budget = 8.0 * np.sqrt(p_exp[m]) + 0.06 * p_exp[m]
+    assert (resid < budget).all(), (resid / budget).max()
