@@ -54,7 +54,14 @@ def _render_from_noise_impl(draws, sigmas, weights, smoothing_length, shape, spa
     return delta * weights[None, None, :]
 
 
-def _render_impl(key, sigmas, weights, smoothing_length, shape, spacing):
+def _render_impl(key, sigmas, weights, smoothing_length, shape, spacing,
+                 nested=False):
+    if nested:
+        c = _sample.sample_spectrum_nested(key, sigmas, shape)
+        c = _power.filter_modes(c, shape, spacing, smoothing_length)
+        delta = _transform.irfftn(c, shape, norm="forward",
+                                  assume_hermitian=True)
+        return delta * weights[None, None, :]
     nx, ny, nz = shape
     draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), dtype=sigmas.dtype)
     return _render_from_noise_impl(
@@ -75,15 +82,18 @@ def render_from_noise(draws, sigmas, weights, smoothing_length, shape, spacing):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "spacing"))
-def render(key, sigmas, weights, smoothing_length, shape, spacing):
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "nested"))
+def render(key, sigmas, weights, smoothing_length, shape, spacing,
+           nested=False):
     """One fused seeded render: sample -> filter -> irfftn -> lightcone."""
-    return _render_impl(key, sigmas, weights, smoothing_length, shape, spacing)
+    return _render_impl(key, sigmas, weights, smoothing_length, shape,
+                        spacing, nested)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "spacing", "flip"))
+@functools.partial(jax.jit,
+                   static_argnames=("shape", "spacing", "flip", "nested"))
 def render_fixed(key, sigmas, weights, smoothing_length, shape, spacing,
-                 flip=False):
+                 flip=False, nested=False):
     """Variance-suppressed render: |c_k| = sigma(k) exactly (fixed field).
 
     One fused program like :func:`render` but through
@@ -91,17 +101,20 @@ def render_fixed(key, sigmas, weights, smoothing_length, shape, spacing,
     the target, phases Gaussian-uniform; ``flip`` renders the paired
     (phase-shifted-by-pi) realization.
     """
-    c = _sample.sample_fixed_spectrum(key, sigmas, shape, flip=flip)
+    c = _sample.sample_fixed_spectrum(key, sigmas, shape, flip=flip,
+                                      nested=nested)
     c = _power.filter_modes(c, shape, spacing, smoothing_length)
     delta = _transform.irfftn(c, shape, norm="forward", assume_hermitian=True)
     return delta * weights[None, None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "spacing", "flip"))
+@functools.partial(jax.jit,
+                   static_argnames=("shape", "spacing", "flip", "nested"))
 def _render_fixed_batch(keys, sigmas, weights, smoothing_length, shape,
-                        spacing, flip):
+                        spacing, flip, nested=False):
     def one(k):
-        c = _sample.sample_fixed_spectrum(k, sigmas, shape, flip=flip)
+        c = _sample.sample_fixed_spectrum(k, sigmas, shape, flip=flip,
+                                          nested=nested)
         c = _power.filter_modes(c, shape, spacing, smoothing_length)
         d = _transform.irfftn(c, shape, norm="forward", assume_hermitian=True)
         return d * weights[None, None, :]
@@ -185,8 +198,12 @@ def _predicted_variance_table(lk_tab, val_tab, smoothing_length, shape,
     return jnp.sum(jax.lax.map(one, kx.reshape(chunks, nx // chunks)))
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "spacing"))
-def _sample_spectrum_jit(key, sigmas, smoothing_length, shape, spacing):
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "nested"))
+def _sample_spectrum_jit(key, sigmas, smoothing_length, shape, spacing,
+                         nested=False):
+    if nested:
+        c = _sample.sample_spectrum_nested(key, sigmas, shape)
+        return _power.filter_modes(c, shape, spacing, smoothing_length)
     nx, ny, nz = shape
     draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), dtype=sigmas.dtype)
     return _spectrum_from_noise_impl(draws, sigmas, smoothing_length, shape, spacing)
@@ -231,10 +248,12 @@ def _finish_render(c, weights, shape):
     return delta * weights[None, None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "spacing"))
-def _render_batch(keys, sigmas, weights, smoothing_length, shape, spacing):
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "nested"))
+def _render_batch(keys, sigmas, weights, smoothing_length, shape, spacing,
+                  nested=False):
     def one(k):
-        return _render_impl(k, sigmas, weights, smoothing_length, shape, spacing)
+        return _render_impl(k, sigmas, weights, smoothing_length, shape,
+                            spacing, nested)
 
     return jax.vmap(one)(keys)
 
@@ -271,9 +290,14 @@ class Generator:
         fidelity gate runs against the float64 oracle).
     z0 : redshift of the nearest plane of the lightcone.
     sampler : 'threefry' (counter-based jax.random; layout-independent,
-        oracle-reproducible — the default) or 'pallas' (fused hardware-PRNG
+        oracle-reproducible — the default), 'pallas' (fused hardware-PRNG
         kernel, ops/pallas_sampler.py; its own deterministic stream,
-        validated statistically; TPU only).
+        validated statistically; TPU only), or 'nested'
+        (resolution-nested draws keyed by SIGNED mode indices,
+        ops/sample.py:sample_unit_hermitian_nested: grids of different
+        size over the same box share every common mode — zoom-matched
+        realizations; single-device fused pipeline, dims <= 1024, its
+        own deterministic stream).
     mesh : optional ``jax.sharding.Mesh``.  Either ('data', 'space') from
         :func:`randomfield_tpu.parallel.mesh.make_mesh` — 'space' > 1
         shards the grid spatially (slab decomposition + distributed
@@ -307,7 +331,8 @@ class Generator:
         from randomfield_tpu.engine.staged import pick_pipeline
 
         self.pipeline = pick_pipeline(self.scene.shape, pipeline)
-        if pipeline == "auto" and self.pipeline == "staged" and mesh is None:
+        if (pipeline == "auto" and self.pipeline == "staged"
+                and mesh is None and sampler != "nested"):
             import warnings
 
             # the staged pipeline draws its noise in (x, kz, y) order, so
@@ -332,15 +357,37 @@ class Generator:
                     "pipeline='auto' or 'fused'"
                 )
             self.pipeline = "fused"
-        layout = "xzy" if self.pipeline == "staged" else "xyz"
-        if sampler not in ("threefry", "pallas"):
+        if sampler not in ("threefry", "pallas", "nested"):
             raise ValueError(f"unknown sampler {sampler!r}")
         if sampler == "pallas" and mesh is not None:
             raise ValueError(
                 "sampler='pallas' is single-device; mesh mode samples with "
                 "the partitionable Threefry stream"
             )
+        if sampler == "nested":
+            from randomfield_tpu.ops.sample import NESTED_MAX_DIM
+
+            if mesh is not None:
+                raise ValueError(
+                    "sampler='nested' is single-device (the sharded render "
+                    "samples with the positional Threefry stream)"
+                )
+            if pipeline == "staged":
+                raise ValueError(
+                    "sampler='nested' needs the fused pipeline (the staged "
+                    "pipeline draws in a different, positional order); use "
+                    "pipeline='auto' or 'fused'"
+                )
+            if max(self.scene.shape) > NESTED_MAX_DIM:
+                raise ValueError(
+                    f"sampler='nested' packs signed mode indices into 10 "
+                    f"bits per axis (max dim {NESTED_MAX_DIM}); got "
+                    f"{self.scene.shape}"
+                )
+            self.pipeline = "fused"
+        layout = "xzy" if self.pipeline == "staged" else "xyz"
         self.sampler = sampler
+        self._nested = sampler == "nested"
         self._layout = layout
         self._dtype = jnp.dtype(dtype)
         self.mesh = mesh
@@ -622,6 +669,7 @@ class Generator:
                 _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
                 jnp.asarray(smoothing_length, self._dtype),
                 self.scene.shape, self.scene.grid_spacing,
+                nested=self._nested,
             )
         if self.verbose:
             out.block_until_ready()
@@ -679,6 +727,7 @@ class Generator:
             _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
             jnp.asarray(smoothing_length, self._dtype),
             self.scene.shape, self.scene.grid_spacing, bool(flip),
+            nested=self._nested,
         )
         return self._maybe_verbose(out, seed, t0)
 
@@ -718,6 +767,7 @@ class Generator:
             keys, self.state.sigmas, self._weights(apply_lightcone),
             jnp.asarray(smoothing_length, self._dtype),
             self.scene.shape, self.scene.grid_spacing, bool(flip),
+            nested=self._nested,
         )
 
     def generate_delta_fields(self, seeds, smoothing_length=0.0,
@@ -790,6 +840,7 @@ class Generator:
             keys, self.state.sigmas, self._weights(apply_lightcone),
             jnp.asarray(smoothing_length, self._dtype),
             self.scene.shape, self.scene.grid_spacing,
+            nested=self._nested,
         )
 
     def calculate_power(self, delta, nbins=32):
@@ -945,6 +996,7 @@ class Generator:
         return _sample_spectrum_jit(
             _as_key(seed), self.state.sigmas, sm,
             self.scene.shape, self.scene.grid_spacing,
+            nested=self._nested,
         )
 
     # ---- derived fields (seed-direct: no forward FFT) -----------------------

@@ -29,14 +29,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from randomfield_tpu.ops import grid as _grid
 from randomfield_tpu.ops import transform as _transform
 
 __all__ = ["sample_unit_hermitian", "sample_spectrum",
-           "sample_fixed_spectrum"]
+           "sample_fixed_spectrum", "sample_unit_hermitian_nested",
+           "sample_spectrum_nested", "NESTED_MAX_DIM"]
 
 _INV_SQRT2 = 0.7071067811865476
+
+# Per-axis size bound of the nested sampler: signed lattice indices are
+# packed into 10-bit two's-complement fields of a 30-bit counter word,
+# so each axis must satisfy |index| < 512, i.e. n <= 1024.
+NESTED_MAX_DIM = 1024
 
 
 def sample_unit_hermitian(key, shape, dtype=jnp.complex64):
@@ -65,7 +72,88 @@ def sample_spectrum(key, sigmas, shape):
     return noise * sigmas.astype(noise.real.dtype)
 
 
-def sample_fixed_spectrum(key, sigmas, shape, flip=False):
+def _lattice_codes(shape, dtype=jnp.uint32):
+    """Resolution-independent 30-bit code per packed mode (device iota).
+
+    Each mode's SIGNED integer lattice indices (sx, sy, sz) — the
+    physical wavenumbers in units of each axis' fundamental — are packed
+    as 10-bit two's-complement fields: grids of different size over the
+    same box assign every shared mode the same code.
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    if max(nx, ny, nz) > NESTED_MAX_DIM:
+        raise ValueError(
+            f"nested sampling packs signed indices into 10 bits per "
+            f"axis: max dim is {NESTED_MAX_DIM}, got {shape}"
+        )
+    ix = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nzh), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nzh), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nzh), 2)
+    sx = jnp.where(ix < (nx + 1) // 2, ix, ix - nx) & 1023
+    sy = jnp.where(iy < (ny + 1) // 2, iy, iy - ny) & 1023
+    code = (sx << 20) | (sy << 10) | iz
+    return code.astype(dtype)
+
+
+def sample_unit_hermitian_nested(key, shape, dtype=jnp.complex64):
+    """Resolution-NESTED unit Hermitian noise on the packed half-spectrum.
+
+    Same statistics as :func:`sample_unit_hermitian`, but each mode's
+    draw is a pure function of the seed and the mode's signed integer
+    lattice indices (kx, ky, kz in fundamental units) instead of its
+    position in the packed array.  Grids of different size over the SAME
+    physical box therefore share every common mode's draw exactly —
+    rendering at 2x the resolution refines a realization without
+    changing its large-scale modes (zoom / resolution-matched initial
+    conditions).  Modes at or above a coarse grid's Nyquist are new at
+    the finer size (the coarse Nyquist plane is self-conjugate there and
+    regular at 2x, so it cannot be shared).  Its stream is distinct from
+    the positional Threefry stream by construction.
+
+    Per-mode bits come from one raw ``threefry_2x32`` call whose 2x32
+    counter words are (lattice code, 0) — the first half of the count
+    array carries the codes, the second half zeros, so each block's two
+    32-bit outputs are the mode's two uniforms (threefry_2x32 pairs
+    count[i] with count[i + N/2]; feeding a bare code array would make
+    draws depend on array SIZE, not just the mode).  Box-Muller turns
+    them into the two unit normals; the standard symmetrization then
+    enforces Hermitian pairs.  The canonical-member choice of
+    :func:`randomfield_tpu.ops.grid.hermitian_plane_masks` depends only
+    on index SIGNS for sub-Nyquist modes, so it is itself
+    resolution-independent — shared self-conjugate-plane pairs resolve
+    to the same draw at every size.
+    """
+    from jax.extend.random import threefry_2x32
+
+    real_dtype = jnp.finfo(dtype).dtype
+    nx, ny, nz = shape
+    code = _lattice_codes(shape)
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(2)
+    flat = code.reshape(-1)
+    out = threefry_2x32(
+        kd, jnp.concatenate([flat, jnp.zeros_like(flat)])
+    )
+    bits1 = out[: flat.shape[0]].reshape(code.shape)
+    bits2 = out[flat.shape[0]:].reshape(code.shape)
+    # uniforms in (0, 1): 24 high bits + half-ulp offset
+    scale = jnp.asarray(2.0**-24, real_dtype)
+    half = jnp.asarray(2.0**-25, real_dtype)
+    u1 = (bits1 >> 8).astype(real_dtype) * scale + half
+    u2 = (bits2 >> 8).astype(real_dtype) * scale + half
+    r = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.asarray(_INV_SQRT2, real_dtype)
+    theta = jnp.asarray(2.0 * np.pi, real_dtype) * u2
+    z = jax.lax.complex(r * jnp.cos(theta), r * jnp.sin(theta))
+    return _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
+
+
+def sample_spectrum_nested(key, sigmas, shape):
+    """Nested-noise variant of :func:`sample_spectrum` (zoom-matched)."""
+    noise = sample_unit_hermitian_nested(key, shape)
+    return noise * sigmas.astype(noise.real.dtype)
+
+
+def sample_fixed_spectrum(key, sigmas, shape, flip=False, nested=False):
     """Variance-suppressed 'fixed' spectrum: |c_k| = sigma(k) EXACTLY.
 
     Angulo & Pontzen (2016) fixed fields: normalize the Hermitian
@@ -78,9 +166,11 @@ def sample_fixed_spectrum(key, sigmas, shape, flip=False):
     realization (all phases shifted by pi — for Gaussian fields just the
     negation, but nonlinear descendants such as lognormal mocks or
     displaced catalogs differ nontrivially, which is the point of
-    'fixed & paired' ensembles).
+    'fixed & paired' ensembles).  ``nested=True`` draws the phases from
+    the resolution-nested stream (:func:`sample_unit_hermitian_nested`).
     """
-    noise = sample_unit_hermitian(key, shape)
+    noise = (sample_unit_hermitian_nested if nested
+             else sample_unit_hermitian)(key, shape)
     mag = jnp.abs(noise)
     phase = jnp.where(mag > 0, noise / jnp.where(mag > 0, mag, 1.0), 1.0)
     if flip:
