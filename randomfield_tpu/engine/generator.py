@@ -731,6 +731,73 @@ class Generator:
         )
         return self._maybe_verbose(out, seed, t0)
 
+    def generate_noise(self, seed=0):
+        """A seed's raw unit normal draws, shape (2, nx, ny, nz//2+1).
+
+        The full pre-Hermitian sampling state (before symmetrization,
+        sigma scaling and filtering) — export it for IC interchange
+        with other codes, or perturb it for sensitivity studies;
+        :meth:`generate_from_noise` consumes the same contract, and
+        ``generate_from_noise(generate_noise(s)) ==
+        generate_delta_field(s)`` exactly on the fused pipeline (both
+        Threefry and nested streams; the Pallas hardware-PRNG stream
+        has no exportable pre-kernel state).
+        """
+        if self.sampler == "pallas":
+            raise ValueError(
+                "sampler='pallas' draws inside the fused kernel; there is "
+                "no exportable pre-kernel noise state"
+            )
+        if self.pipeline != "fused":
+            raise ValueError(
+                "noise export matches the fused pipeline's draw order; "
+                "build the Generator with pipeline='fused'"
+            )
+        nx, ny, nz = self.scene.shape
+        if self._nested:
+            from randomfield_tpu.ops.sample import nested_unit_draws
+
+            return nested_unit_draws(
+                _as_key(seed), self.scene.shape, self._dtype
+            )
+        return jax.random.normal(
+            _as_key(seed), (2, nx, ny, nz // 2 + 1), dtype=self._dtype
+        )
+
+    def generate_from_noise(self, draws, smoothing_length=0.0,
+                            apply_lightcone=True):
+        """Render from externally supplied unit normal draws.
+
+        ``draws``: (2, nx, ny, nz//2+1) — real/imaginary unit normals
+        per packed mode (:meth:`generate_noise`'s contract, or any
+        other code's white noise mapped onto the packed half-spectrum).
+        Runs the oracle-pinned algebra path: symmetrize -> sigma(k)
+        scale -> filter -> irfftn -> lightcone
+        (engine/generator.py:render_from_noise).  Single-device fused
+        scenes (the mesh pipeline samples shard-locally and never
+        consumes a materialized noise grid).
+        """
+        if (self.mesh is not None or self.state.sigmas is None
+                or self._layout != "xyz"):
+            raise ValueError(
+                "generate_from_noise needs a single-device fused scene "
+                "with a materialized sigma grid (sampler='threefry' or "
+                "'nested', pipeline='fused', mesh=None)"
+            )
+        nx, ny, nz = self.scene.shape
+        want = (2, nx, ny, nz // 2 + 1)
+        draws = jnp.asarray(draws, self._dtype)
+        if draws.shape != want:
+            raise ValueError(
+                f"draws must have shape {want} (2 = re/im unit normals "
+                f"over the packed half-spectrum), got {draws.shape}"
+            )
+        return render_from_noise(
+            draws, self.state.sigmas, self._weights(apply_lightcone),
+            jnp.asarray(smoothing_length, self._dtype),
+            self.scene.shape, self.scene.grid_spacing,
+        )
+
     def generate_fixed_fields(self, seeds, smoothing_length=0.0,
                               apply_lightcone=True, flip=False):
         """A vmapped seed batch of fixed fields (leading axis = seed).

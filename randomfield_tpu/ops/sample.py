@@ -36,7 +36,7 @@ from randomfield_tpu.ops import transform as _transform
 
 __all__ = ["sample_unit_hermitian", "sample_spectrum",
            "sample_fixed_spectrum", "sample_unit_hermitian_nested",
-           "sample_spectrum_nested", "NESTED_MAX_DIM"]
+           "sample_spectrum_nested", "nested_unit_draws", "NESTED_MAX_DIM"]
 
 _INV_SQRT2 = 0.7071067811865476
 
@@ -124,10 +124,25 @@ def sample_unit_hermitian_nested(key, shape, dtype=jnp.complex64):
     resolution-independent — shared self-conjugate-plane pairs resolve
     to the same draw at every size.
     """
+    real_dtype = jnp.finfo(dtype).dtype
+    nz = shape[2]
+    draws = nested_unit_draws(key, shape, real_dtype)
+    z = jax.lax.complex(draws[0], draws[1]) * jnp.asarray(
+        _INV_SQRT2, real_dtype
+    )
+    return _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
+
+
+def nested_unit_draws(key, shape, dtype=jnp.float32):
+    """The nested stream's raw unit normals, shape (2, nx, ny, nzh).
+
+    Pre-symmetrization/pre-1/sqrt(2) — the same contract as the
+    positional ``jax.random.normal(key, (2, ...))`` draws the fused
+    engine consumes, so ``render_from_noise`` reproduces the nested
+    render exactly (noise export / IC interchange).
+    """
     from jax.extend.random import threefry_2x32
 
-    real_dtype = jnp.finfo(dtype).dtype
-    nx, ny, nz = shape
     code = _lattice_codes(shape)
     kd = jax.random.key_data(key).astype(jnp.uint32).reshape(2)
     flat = code.reshape(-1)
@@ -137,14 +152,13 @@ def sample_unit_hermitian_nested(key, shape, dtype=jnp.complex64):
     bits1 = out[: flat.shape[0]].reshape(code.shape)
     bits2 = out[flat.shape[0]:].reshape(code.shape)
     # uniforms in (0, 1): 24 high bits + half-ulp offset
-    scale = jnp.asarray(2.0**-24, real_dtype)
-    half = jnp.asarray(2.0**-25, real_dtype)
-    u1 = (bits1 >> 8).astype(real_dtype) * scale + half
-    u2 = (bits2 >> 8).astype(real_dtype) * scale + half
-    r = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.asarray(_INV_SQRT2, real_dtype)
-    theta = jnp.asarray(2.0 * np.pi, real_dtype) * u2
-    z = jax.lax.complex(r * jnp.cos(theta), r * jnp.sin(theta))
-    return _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
+    scale = jnp.asarray(2.0**-24, dtype)
+    half = jnp.asarray(2.0**-25, dtype)
+    u1 = (bits1 >> 8).astype(dtype) * scale + half
+    u2 = (bits2 >> 8).astype(dtype) * scale + half
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = jnp.asarray(2.0 * np.pi, dtype) * u2
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)])
 
 
 def sample_spectrum_nested(key, sigmas, shape):

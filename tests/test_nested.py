@@ -147,3 +147,38 @@ def test_nested_rejects_unsupported_configs():
         rf_sample.sample_unit_hermitian_nested(
             jax.random.key(0), (2048, 8, 8)
         )
+
+
+def test_noise_export_roundtrip():
+    # generate_from_noise(generate_noise(s)) == generate_delta_field(s)
+    # on both the threefry and nested streams; external numpy noise also
+    # renders with the right statistics
+    n, spacing = 16, 8.0
+    for sampler in ("threefry", "nested"):
+        g = Generator(n, n, n, grid_spacing=spacing, sampler=sampler)
+        draws = g.generate_noise(4)
+        assert draws.shape == (2, n, n, n // 2 + 1)
+        d_round = np.asarray(
+            g.generate_from_noise(draws, apply_lightcone=False)
+        )
+        d_direct = np.asarray(
+            g.generate_delta_field(4, apply_lightcone=False)
+        )
+        np.testing.assert_allclose(d_round, d_direct, atol=2e-6)
+    # external white noise: deterministic and statistically sane
+    rng = np.random.RandomState(0)
+    ext = rng.normal(size=(2, n, n, n // 2 + 1)).astype(np.float32)
+    d1 = np.asarray(g.generate_from_noise(ext, apply_lightcone=False))
+    d2 = np.asarray(g.generate_from_noise(ext, apply_lightcone=False))
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(d1.var(), g.predicted_variance(), rtol=0.35)
+    with pytest.raises(ValueError, match="shape"):
+        g.generate_from_noise(np.zeros((2, n, n, n), np.float32))
+
+
+def test_noise_export_rejects_pallas_and_staged():
+    g = Generator(16, 16, 16, grid_spacing=8.0, pipeline="staged")
+    with pytest.raises(ValueError, match="fused"):
+        g.generate_noise(0)
+    with pytest.raises(ValueError, match="fused"):
+        g.generate_from_noise(np.zeros((2, 16, 16, 9), np.float32))
