@@ -879,7 +879,65 @@ def _xi_host(counts, psum, ksum):
         return ksum / counts, psum / counts, counts
 
 
-def calculate_correlation(delta, spacing, nbins=24):
+@functools.lru_cache(maxsize=16)
+def _make_sharded_xi(mesh, shape, spacing, nbins):
+    """Distributed xi(r) on a ('data','space') slab mesh: sharded forward
+    transform -> per-mode power -> sharded inverse transform of P_hat ->
+    shard-local minimum-image r binning + psum.  The full xi grid is
+    sharded along x throughout; nothing is gathered."""
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+
+    nx, ny, nz = shape
+    n_space = mesh.shape[SPACE_AXIS]
+    nx_loc = nx // n_space
+    volume = nx * ny * nz * spacing**3
+    edges = _r_bin_setup(shape, spacing, nbins)
+    ax = []
+    for n in shape:
+        idx = np.arange(n)
+        ax.append((np.minimum(idx, n - idx) * spacing).astype(np.float64))
+
+    def _local_bins(xil):
+        j = jax.lax.axis_index(SPACE_AXIS)
+        ax_l = jax.lax.dynamic_slice(
+            jnp.asarray(ax[0], xil.dtype), (j * nx_loc,), (nx_loc,)
+        )
+        rmag = jnp.sqrt(
+            (ax_l * ax_l)[:, None, None]
+            + jnp.asarray(ax[1] ** 2, xil.dtype)[None, :, None]
+            + jnp.asarray(ax[2] ** 2, xil.dtype)[None, None, :]
+        )
+        counts, psum_, rsum = _masked_bins(
+            rmag, 1.0, xil, jnp.asarray(edges, xil.dtype), nbins,
+            per_slab=True,
+        )
+        return jax.lax.psum(jnp.stack([counts, psum_, rsum]), SPACE_AXIS)
+
+    @jax.jit
+    def fn(delta):
+        c = dfft.rfftn_slab(delta, shape, mesh)  # sharded along ky
+        scale = jnp.asarray((spacing**3) ** 2 / volume, jnp.float32)
+        p = (c.real**2 + c.imag**2) * scale
+        p = p.at[0, 0, 0].set(0.0)  # DC: a residual mean offsets all lags
+        xi = dfft.irfftn_slab(
+            (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64),
+            shape, mesh,
+        )  # sharded along x
+        bins = jax.shard_map(
+            _local_bins, mesh=mesh,
+            in_specs=P(SPACE_AXIS, None, None),
+            out_specs=P(),
+            check_vma=False,
+        )(xi)
+        return bins[0], bins[1], bins[2]
+
+    return fn
+
+
+def calculate_correlation(delta, spacing, nbins=24, mesh=None):
     """Measured isotropic two-point correlation xi(r) of a field.
 
     Returns ``(r_mean, xi_hat, n_cells)`` numpy arrays: per-bin
@@ -889,13 +947,38 @@ def calculate_correlation(delta, spacing, nbins=24):
     the shortest box side; the zero-lag cell (the variance) is excluded.
     Empty bins yield NaN.
 
-    Validation-scale tool (single device; the full xi grid plus the
-    minimum-image radius grid are materialized — fine through 512^3).
+    Single-device by default (the full xi grid plus the minimum-image
+    radius grid are materialized — fine through 512^3).  With ``mesh``
+    (a ('data','space') slab mesh whose 'space' axis shards the field
+    along x) both transforms run distributed and the r binning is
+    shard-local with a psum — xi scales to the same grids as the
+    sharded renders (pencil meshes: reshard to a slab mesh first).
     The companion theory curve on the SAME discrete modes and bins is
     :func:`predicted_correlation`; the continuum-integral counterpart is
     :func:`randomfield_tpu.ops.power.power_to_correlation`.
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
+    if mesh is not None:
+        from randomfield_tpu.parallel.mesh import SPACE_AXIS
+        from randomfield_tpu.parallel.pencil import is_pencil_mesh
+
+        if is_pencil_mesh(mesh):
+            raise ValueError(
+                "xi(r) on a pencil mesh is unsupported: reshard the field "
+                "to a ('data','space') slab mesh first"
+            )
+        if mesh.shape.get(SPACE_AXIS, 1) > 1 or not getattr(
+            delta, "is_fully_addressable", True
+        ):
+            fn = _make_sharded_xi(mesh, shape, float(spacing), int(nbins))
+            counts, psum, rsum = fn(delta)
+            from randomfield_tpu.parallel.multihost import replicated_to_host
+
+            counts = replicated_to_host(counts).astype(np.float64)
+            psum = replicated_to_host(psum).astype(np.float64)
+            rsum = replicated_to_host(rsum).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return rsum / counts, psum / counts, counts
     counts, psum, ksum = _binned_xi_from_field(
         jnp.asarray(delta), shape, float(spacing), int(nbins)
     )

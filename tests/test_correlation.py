@@ -215,3 +215,31 @@ def test_correlation_multipoles_odd_ell_rejected():
         assert "ell=3" in str(e)
     else:
         raise AssertionError("ell=3 should raise")
+
+
+def test_mesh_correlation_matches_single_device():
+    import jax
+    from randomfield_tpu.parallel.mesh import make_mesh
+
+    n, spacing, nbins = 16, 8.0, 8
+    g_ref = Generator(n, n, n, grid_spacing=spacing)
+    d_ref = g_ref.generate_delta_field(9, apply_lightcone=False)
+    r0, xi0, c0 = stats.calculate_correlation(d_ref, spacing, nbins=nbins)
+    for data, space in ((1, 4), (2, 2)):
+        mesh = make_mesh(data=data, space=space)
+        g = Generator(n, n, n, grid_spacing=spacing, mesh=mesh)
+        d = g.generate_delta_field(9, apply_lightcone=False)
+        r, xi, c = stats.calculate_correlation(d, spacing, nbins=nbins,
+                                               mesh=mesh)
+        np.testing.assert_allclose(c, c0, rtol=1e-6)
+        np.testing.assert_allclose(r, r0, rtol=1e-5)
+        m = c0 > 0
+        np.testing.assert_allclose(xi[m], xi0[m], rtol=5e-3, atol=5e-6)
+    # pencil meshes are rejected loudly
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+    import pytest as _pytest
+
+    pm = make_pencil_mesh(data=1, spx=2, spy=2)
+    with _pytest.raises(ValueError, match="pencil"):
+        stats.calculate_correlation(np.zeros((8, 8, 8), np.float32), 1.0,
+                                    mesh=pm)
