@@ -98,6 +98,14 @@ def probe_tpu(attempts=None, timeout_s=None):
             log(f"  tpu probe {i}/{attempts}: no response in {timeout_s:.0f}s")
             continue
         if r.returncode == 0 and r.stdout.strip():
+            platform = r.stdout.split()[-1].lower()
+            if platform == "cpu":
+                # JAX fell back to CPU (plugin absent / env unset): a
+                # "healthy" probe here would mislabel CPU timings as
+                # single-chip TPU throughput
+                log(f"  tpu probe {i}/{attempts}: CPU fallback only "
+                    f"({r.stdout.strip()}) — not a TPU")
+                return False
             log(f"  tpu probe {i}/{attempts}: up ({r.stdout.strip()}, "
                 f"{time.perf_counter() - t0:.1f}s)")
             return True

@@ -146,6 +146,12 @@ def main(argv=None):
         if args.fixed:
             p.error("--bias composes with random-phase fields only; drop "
                     "--fixed")
+    if args.xi:
+        if not args.stats:
+            p.error("--xi prints alongside --stats; add --stats")
+        if args.pencil:
+            p.error("--xi is unsupported on a pencil mesh (xi(r) runs "
+                    "distributed on slab meshes only); use --mesh")
     ny = args.ny or args.nx
     nz = args.nz or args.nx
     if args.lognormal:
@@ -237,7 +243,7 @@ def main(argv=None):
                 )
 
                 r, xi, nc = calculate_correlation(
-                    delta, args.spacing, nbins=args.nbins
+                    delta, args.spacing, nbins=args.nbins, mesh=mesh
                 )
                 for i in range(len(r)):
                     if nc[i] > 0:

@@ -164,9 +164,10 @@ class LognormalGenerator:
         cosmology = create_cosmology(cosmology)
         self.power = _power.validate_power(resolve_power(power, cosmology))
         shape = (int(nx), int(ny), int(nz))
+        self.interpolation = kwargs.get("interpolation", "log10k")
         self.gaussian_power, self.transform_info = transformed_power(
             self.power, shape, float(grid_spacing), nbins=table_bins,
-            interpolation=kwargs.get("interpolation", "log10k"),
+            interpolation=self.interpolation,
         )
         self.gaussian = Generator(
             nx, ny, nz, grid_spacing, cosmology=cosmology,
@@ -284,7 +285,8 @@ class LognormalGenerator:
         kmag = np.asarray(_grid.kmag(shape, spacing, jnp.float32), np.float64)
         pgrid = np.asarray(
             _power.interpolate_power(self.gaussian_power,
-                                     jnp.asarray(kmag, jnp.float32)),
+                                     jnp.asarray(kmag, jnp.float32),
+                                     self.interpolation),
             np.float64,
         )
         pgrid = np.where(kmag > 0, pgrid, 0.0)

@@ -619,13 +619,7 @@ def calculate_cross_power(delta1, delta2, spacing, nbins=32):
     counts, psum, ksum = _binned_cross(
         d1, d2, shape, float(spacing), int(nbins)
     )
-    counts = np.asarray(counts, np.float64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        return (
-            np.asarray(ksum, np.float64) / counts,
-            np.asarray(psum, np.float64) / counts,
-            counts,
-        )
+    return _xi_host(counts, psum, ksum)
 
 
 def bin_power_grid(pgrid, shape, spacing, nbins=32):
@@ -645,13 +639,7 @@ def bin_power_grid(pgrid, shape, spacing, nbins=32):
         kmag, jnp.asarray(mult)[None, None, :], p,
         jnp.asarray(edges, p.dtype), int(nbins), per_slab=True,
     )
-    counts = np.asarray(counts, np.float64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        return (
-            np.asarray(ksum, np.float64) / counts,
-            np.asarray(psum, np.float64) / counts,
-            counts,
-        )
+    return _xi_host(counts, psum, ksum)
 
 
 def spectrum_power(c, shape, spacing, nbins=32, layout="xyz"):
@@ -690,17 +678,28 @@ def _r_bin_setup(shape, spacing, nbins):
     return np.linspace(0.0, rmax, nbins + 1)
 
 
-def _min_image_r(shape, spacing, dtype):
-    """Periodic minimum-image separation |r| over the full real grid."""
-    ax = []
-    for n in shape:
-        idx = np.arange(n)
-        ax.append((np.minimum(idx, n - idx) * spacing).astype(np.float64))
-    r2 = (
+def _min_image_axes(shape, spacing):
+    """Per-axis periodic minimum-image distances (float64 host arrays)."""
+    return [
+        (np.minimum(np.arange(n), n - np.arange(n)) * spacing).astype(
+            np.float64
+        )
+        for n in shape
+    ]
+
+
+def _min_image_r2(shape, spacing):
+    ax = _min_image_axes(shape, spacing)
+    return ax, (
         (ax[0] ** 2)[:, None, None]
         + (ax[1] ** 2)[None, :, None]
         + (ax[2] ** 2)[None, None, :]
     )
+
+
+def _min_image_r(shape, spacing, dtype):
+    """Periodic minimum-image separation |r| over the full real grid."""
+    _, r2 = _min_image_r2(shape, spacing)
     return jnp.asarray(np.sqrt(r2), dtype)
 
 
@@ -727,29 +726,21 @@ def _binned_xi_from_field(delta, shape, spacing, nbins):
     return _binned_xi_from_power_grid(p, shape, spacing, nbins)
 
 
-def _min_image_mu2(shape, spacing, los_axis, dtype):
-    """(r_los / |r|)^2 over the real grid (periodic minimum image).
+def _min_image_r_mu2(shape, spacing, los_axis, dtype):
+    """(|r|, (r_los/|r|)^2) over the real grid, one shared r^2 pass.
 
     Only mu^2 is needed — the even Legendre polynomials are polynomials
     in mu^2, and the minimum-image |r_los| loses only the (irrelevant)
     sign of mu.  The zero-lag cell gets mu^2 = 0; it is excluded from
     every bin anyway (r > 0 mask in _masked_bins).
     """
-    ax = []
-    for n in shape:
-        idx = np.arange(n)
-        ax.append((np.minimum(idx, n - idx) * spacing).astype(np.float64))
-    r2 = (
-        (ax[0] ** 2)[:, None, None]
-        + (ax[1] ** 2)[None, :, None]
-        + (ax[2] ** 2)[None, None, :]
-    )
+    ax, r2 = _min_image_r2(shape, spacing)
     shp = [1, 1, 1]
     shp[los_axis] = shape[los_axis]
     rlos2 = (ax[los_axis] ** 2).reshape(shp)
     with np.errstate(invalid="ignore", divide="ignore"):
         mu2 = np.where(r2 > 0, rlos2 / r2, 0.0)
-    return jnp.asarray(mu2, dtype)
+    return jnp.asarray(np.sqrt(r2), dtype), jnp.asarray(mu2, dtype)
 
 
 @functools.partial(
@@ -764,8 +755,7 @@ def _binned_xi_multipoles_from_power_grid(p, shape, spacing, nbins, ells,
     xi = _transform.irfftn(
         (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64), shape
     )
-    rmag = _min_image_r(shape, spacing, xi.dtype)
-    mu2 = _min_image_mu2(shape, spacing, los_axis, xi.dtype)
+    rmag, mu2 = _min_image_r_mu2(shape, spacing, los_axis, xi.dtype)
     edges = jnp.asarray(_r_bin_setup(shape, spacing, nbins), xi.dtype)
     counts = ksum = None
     psums = []
@@ -822,11 +812,7 @@ def calculate_correlation_multipoles(delta, spacing, nbins=24,
         jnp.asarray(delta), shape, float(spacing), int(nbins), ells,
         int(los_axis)
     )
-    counts = np.asarray(counts, np.float64)
-    psums = np.asarray(psums, np.float64)
-    rsum = np.asarray(rsum, np.float64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        return rsum / counts, psums / counts[None, :], counts
+    return _xi_host(counts, psums, rsum)
 
 
 def predicted_correlation_multipoles(power, shape, spacing, f=0.0, nbins=24,
@@ -864,11 +850,7 @@ def predicted_correlation_multipoles(power, shape, spacing, f=0.0, nbins=24,
     counts, psums, rsum = _binned_xi_multipoles_from_power_grid(
         pgrid, shape, float(spacing), int(nbins), ells, int(los_axis)
     )
-    counts = np.asarray(counts, np.float64)
-    psums = np.asarray(psums, np.float64)
-    rsum = np.asarray(rsum, np.float64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        return rsum / counts, psums / counts[None, :], counts
+    return _xi_host(counts, psums, rsum)
 
 
 def _xi_host(counts, psum, ksum):
@@ -895,10 +877,7 @@ def _make_sharded_xi(mesh, shape, spacing, nbins):
     nx_loc = nx // n_space
     volume = nx * ny * nz * spacing**3
     edges = _r_bin_setup(shape, spacing, nbins)
-    ax = []
-    for n in shape:
-        idx = np.arange(n)
-        ax.append((np.minimum(idx, n - idx) * spacing).astype(np.float64))
+    ax = _min_image_axes(shape, spacing)
 
     def _local_bins(xil):
         j = jax.lax.axis_index(SPACE_AXIS)
@@ -974,11 +953,10 @@ def calculate_correlation(delta, spacing, nbins=24, mesh=None):
             counts, psum, rsum = fn(delta)
             from randomfield_tpu.parallel.multihost import replicated_to_host
 
-            counts = replicated_to_host(counts).astype(np.float64)
-            psum = replicated_to_host(psum).astype(np.float64)
-            rsum = replicated_to_host(rsum).astype(np.float64)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                return rsum / counts, psum / counts, counts
+            return _xi_host(
+                replicated_to_host(counts), replicated_to_host(psum),
+                replicated_to_host(rsum),
+            )
     counts, psum, ksum = _binned_xi_from_field(
         jnp.asarray(delta), shape, float(spacing), int(nbins)
     )
@@ -1013,7 +991,10 @@ def predicted_correlation(power, shape, spacing, nbins=24,
 def _binned_values(x, edges, nbins):
     """Histogram + per-bin value sums via the one-hot MXU contraction
     (scatter-add serializes on TPU; see _dot_bin)."""
-    idx = jnp.searchsorted(edges, x, method="compare_all") - 1
+    # np.histogram semantics: bins are left-inclusive, the last bin also
+    # includes the right edge (side='right' keeps x == vmin in bin 0)
+    idx = jnp.searchsorted(edges, x, side="right", method="compare_all") - 1
+    idx = jnp.where(x == edges[-1], nbins - 1, idx)
     valid = (idx >= 0) & (idx < nbins)
     idx = jnp.where(valid, idx, nbins)
     w = jnp.where(valid, 1.0, 0.0).astype(x.dtype)

@@ -108,6 +108,12 @@ def test_field_pdf_matches_numpy_histogram():
     # default bounds include everything
     _, dens_all, cnt_all = stats.field_pdf(x, nbins=16)
     np.testing.assert_allclose(cnt_all.sum(), x.size, rtol=0)
+    # exact-edge semantics match np.histogram: x == vmin lands in bin 0,
+    # interior-edge values in their RIGHT bin, x == vmax in the last bin
+    xe = np.array([0.0, 0.5, 1.0, 2.0, 4.0], np.float32)
+    _, _, ce = stats.field_pdf(xe, nbins=4, vmin=0.0, vmax=4.0)
+    ref_e, _ = np.histogram(xe, bins=4, range=(0.0, 4.0))
+    np.testing.assert_array_equal(ce, ref_e)
 
 
 def test_field_pdf_gaussian_field_is_normal():
