@@ -348,7 +348,7 @@ def _bins_to_host(counts, psum, ksum):
 
 def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
                                los_axis=2, window=None,
-                               interlaced_with=None):
+                               interlaced_with=None, mesh=None):
     """Power-spectrum multipoles P_ell(k) along a plane-parallel LOS.
 
     ``P_ell(k) = (2 ell + 1) < L_ell(mu) |c_k|^2 / V >_k-bin`` with
@@ -359,9 +359,12 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
     Returns ``(k_mean, p_ell, n_modes)`` with ``p_ell`` shaped
     ``(len(ells), nbins)``; ``window`` deconvolves a mass-assignment
     window and ``interlaced_with`` alias-cancels with a half-cell-
-    shifted painting, exactly as in :func:`calculate_power`.  Single-device
-    (validation-scale companion of the RSD catalogs in
-    models/zeldovich.py).
+    shifted painting, exactly as in :func:`calculate_power`.
+    Single-device by default; with ``mesh`` (a ('data','space') slab
+    mesh) the transform runs distributed and the mu^2-weighted binning
+    is shard-local with one psum (window/interlacing stay single-device
+    — catalog painting is a validation-scale tool; pencil meshes:
+    reshard to a slab mesh first).
 
     Domain note: bins beyond the axis Nyquist ``pi / spacing`` hold
     incomplete k-shells (only diagonal-direction modes exist), which
@@ -379,16 +382,106 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
         raise ValueError(
             f"unknown window {window!r}: expected None, 'ngp', 'cic' or 'tsc'"
         )
+    if mesh is not None:
+        from randomfield_tpu.parallel.mesh import SPACE_AXIS
+        from randomfield_tpu.parallel.pencil import is_pencil_mesh
+
+        if window is not None or interlaced_with is not None:
+            raise ValueError(
+                "window deconvolution / interlacing is single-device; "
+                "drop mesh= or window="
+            )
+        if is_pencil_mesh(mesh):
+            raise ValueError(
+                "multipoles on a pencil mesh are unsupported: reshard the "
+                "field to a ('data','space') slab mesh first"
+            )
+        if mesh.shape.get(SPACE_AXIS, 1) > 1 or not getattr(
+            delta, "is_fully_addressable", True
+        ):
+            fn = _make_sharded_multipoles(
+                mesh, shape, float(spacing), int(nbins), ells, int(los_axis)
+            )
+            counts, psums, ksum = fn(delta)
+            from randomfield_tpu.parallel.multihost import replicated_to_host
+
+            return _xi_host(
+                replicated_to_host(counts), replicated_to_host(psums),
+                replicated_to_host(ksum),
+            )
     counts, psums, ksum = _binned_multipoles(
         jnp.asarray(delta), shape, float(spacing), int(nbins), ells,
         int(los_axis), _WINDOW_ORDERS[window],
         None if interlaced_with is None else jnp.asarray(interlaced_with),
     )
-    counts = np.asarray(counts, np.float64)
-    psums = np.asarray(psums, np.float64)
-    ksum = np.asarray(ksum, np.float64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        return ksum / counts, psums / counts[None, :], counts
+    return _xi_host(counts, psums, ksum)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_sharded_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
+    """Distributed P_ell(k) on a ('data','space') slab mesh: sharded
+    forward transform, shard-local mu^2 + Legendre-weighted binning, one
+    psum.  Mirrors _make_sharded_binned with the multipole weights of
+    _binned_multipoles."""
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+    from randomfield_tpu.ops import grid as _grid
+
+    nx, ny, nz = shape
+    volume = nx * ny * nz * spacing**3
+    n_space = mesh.shape[SPACE_AXIS]
+    ny_loc = ny // n_space
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+
+    def _local_bins(cl):
+        j = jax.lax.axis_index(SPACE_AXIS)
+        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (j * ny_loc,), (ny_loc,))
+        kv = (jnp.asarray(kx), ky_l, jnp.asarray(kz))
+        km2 = (
+            (kv[0] * kv[0])[:, None, None]
+            + (kv[1] * kv[1])[None, :, None]
+            + (kv[2] * kv[2])[None, None, :]
+        )
+        km = jnp.sqrt(km2).astype(cl.real.dtype)
+        k_los = kv[los_axis]
+        bcast = [None, None, None]
+        bcast[los_axis] = slice(None)
+        k_los = k_los.astype(km.dtype)[tuple(bcast)]
+        mu2 = jnp.where(km > 0, (k_los / jnp.where(km > 0, km, 1.0)) ** 2,
+                        0.0)
+        p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        kmb = jnp.broadcast_to(km, p.shape)
+        multb = jnp.asarray(mult)[None, None, :]
+        edges_j = jnp.asarray(edges, p.dtype)
+        psums = []
+        counts = ksum = None
+        for ell in ells:
+            w_ell = (2.0 * ell + 1.0) * _LEGENDRE_EVEN[ell](mu2)
+            counts, psum_, ksum = _masked_bins(
+                kmb, multb, p * w_ell, edges_j, nbins, per_slab=True
+            )
+            psums.append(psum_)
+        return jax.lax.psum(
+            jnp.concatenate([counts[None], jnp.stack(psums), ksum[None]]),
+            SPACE_AXIS,
+        )
+
+    @jax.jit
+    def fn(delta):
+        c = dfft.rfftn_slab(delta, shape, mesh)  # sharded along ky
+        bins = jax.shard_map(
+            _local_bins,
+            mesh=mesh,
+            in_specs=P(None, SPACE_AXIS, None),
+            out_specs=P(),
+            check_vma=False,
+        )(c)
+        return bins[0], bins[1:-1], bins[-1]
+
+    return fn
 
 
 @functools.lru_cache(maxsize=16)

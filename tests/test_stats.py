@@ -172,3 +172,39 @@ def test_field_pdf_lognormal_field():
     resid = np.abs(counts - p_exp)[m]
     budget = 8.0 * np.sqrt(p_exp[m]) + 0.06 * p_exp[m]
     assert (resid < budget).all(), (resid / budget).max()
+
+
+def test_mesh_power_multipoles_match_single_device():
+    import numpy as np
+    from randomfield_tpu import Generator
+    from randomfield_tpu.parallel.mesh import make_mesh
+
+    n, spacing, nbins = 16, 8.0, 8
+    g_ref = Generator(n, n, n, grid_spacing=spacing)
+    d_ref = g_ref.generate_delta_field(6, apply_lightcone=False)
+    k0, p0, c0 = stats.calculate_power_multipoles(d_ref, spacing,
+                                                  nbins=nbins)
+    for data, space in ((1, 4), (2, 2)):
+        mesh = make_mesh(data=data, space=space)
+        g = Generator(n, n, n, grid_spacing=spacing, mesh=mesh)
+        d = g.generate_delta_field(6, apply_lightcone=False)
+        k, p, c = stats.calculate_power_multipoles(d, spacing, nbins=nbins,
+                                                   mesh=mesh)
+        np.testing.assert_allclose(c, c0, rtol=1e-6)
+        m = c0 > 0
+        np.testing.assert_allclose(k[m], k0[m], rtol=1e-5)
+        scale = np.nanmax(np.abs(p0))
+        np.testing.assert_allclose(p[:, m], p0[:, m], rtol=5e-3,
+                                   atol=2e-5 * scale)
+    # guards: pencil mesh and window+mesh reject
+    import pytest as _pytest
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    with _pytest.raises(ValueError, match="pencil"):
+        stats.calculate_power_multipoles(
+            np.zeros((8, 8, 8), np.float32), 1.0,
+            mesh=make_pencil_mesh(data=1, spx=2, spy=2))
+    with _pytest.raises(ValueError, match="single-device"):
+        stats.calculate_power_multipoles(
+            np.zeros((8, 8, 8), np.float32), 1.0, window="cic",
+            mesh=make_mesh(data=1, space=4))
