@@ -94,6 +94,25 @@ for s in dp.addressable_shards:
 kp, pp, mp = gp.calculate_power(dp)
 np.testing.assert_allclose(pp, p0, rtol=1e-3)
 
+# 4b2. distributed xi(r) and P_ell(k) on the process-spanning field
+from randomfield_tpu.validate import stats as _stats
+
+rx1, xi1, nc1 = _stats.calculate_correlation(d, spacing, nbins=6, mesh=mesh)
+rx0, xi0, nc0 = _stats.calculate_correlation(jnp.asarray(d0), spacing,
+                                             nbins=6)
+np.testing.assert_allclose(nc1, nc0, rtol=1e-6)
+mc = nc0 > 0
+np.testing.assert_allclose(xi1[mc], xi0[mc], rtol=5e-3,
+                           atol=1e-5 * np.abs(xi0[mc]).max())
+kl1, pl1, cl1 = _stats.calculate_power_multipoles(d, spacing, nbins=6,
+                                                  mesh=mesh)
+kl0, pl0, cl0 = _stats.calculate_power_multipoles(jnp.asarray(d0), spacing,
+                                                  nbins=6)
+np.testing.assert_allclose(cl1, cl0, rtol=1e-6)
+mlm = cl0 > 0
+np.testing.assert_allclose(pl1[:, mlm], pl0[:, mlm], rtol=5e-3,
+                           atol=2e-5 * np.nanmax(np.abs(pl0)))
+
 # 4c. distributed FFT-free sample_power across processes (the
 # from_seed=True sharded sampling + shard-local binning program)
 ks1, ps1, ns1 = g.sample_power(3, nbins=8)
