@@ -214,3 +214,18 @@ def test_cross_power_self_consistency():
         stats.calculate_cross_power(
             np.zeros((8, 8, 8), np.float32),
             np.zeros((8, 8, 4), np.float32), 1.0)
+
+
+def test_biased_field_on_mesh():
+    import jax
+    from randomfield_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=2, space=4)
+    n, spacing, b = 16, 8.0, 1.6
+    gm = LognormalGenerator(n, n, n, grid_spacing=spacing, mesh=mesh)
+    gs = LognormalGenerator(n, n, n, grid_spacing=spacing)
+    bm = np.asarray(jax.device_get(
+        gm.generate_biased_field(3, bias=b, apply_lightcone=False)))
+    bs = np.asarray(gs.generate_biased_field(3, bias=b,
+                                             apply_lightcone=False))
+    np.testing.assert_allclose(bm, bs, atol=3e-4, rtol=2e-4)
