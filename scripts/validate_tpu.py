@@ -100,9 +100,45 @@ def staged_gate(n=1024, sp=2.0, seed=3, sampler="threefry"):
         raise SystemExit(f"staged 1024^3 ({sampler}) gate FAILED")
 
 
+def nested_gate(n=256, box=2048.0, seed=5):
+    """Nested-sampler hardware gate: statistics + zoom matching on chip.
+
+    Checks the resolution-nested stream renders with the predicted
+    variance AND that a half-resolution render of the same box shares
+    its low-k spectrum (the zoom contract), both on the real device.
+    """
+    import randomfield_tpu as rf
+    from randomfield_tpu.validate.stats import field_moments
+
+    g_hi = rf.Generator(n, n, n, grid_spacing=box / n, sampler="nested")
+    d_hi = g_hi.generate_delta_field(seed, apply_lightcone=False)
+    _, var = field_moments(d_hi)
+    ratio = var / g_hi.predicted_variance()
+    m = n // 2
+    g_lo = rf.Generator(m, m, m, grid_spacing=box / m, sampler="nested")
+    d_lo = g_lo.generate_delta_field(seed, apply_lightcone=False)
+    c_lo = np.fft.rfftn(np.asarray(d_lo, np.float64), norm="forward")
+    c_hi = np.fft.rfftn(np.asarray(d_hi, np.float64), norm="forward")
+    q = min(8, m // 2 - 1)
+    sl = np.r_[0:q, -q:0]  # low |k| rows shared by both grids
+    dev = np.abs(c_lo[np.ix_(sl, sl, np.arange(q))]
+                 - c_hi[np.ix_(sl, sl, np.arange(q))])
+    scale = np.abs(c_lo[np.ix_(sl, sl, np.arange(q))]).max()
+    max_dev = float(dev.max() / scale)
+    ok = abs(ratio - 1) < 0.05 and max_dev < 1e-3
+    print(
+        f"{'OK ' if ok else 'FAIL'} nested {n}^3: var/pred={ratio:.4f} "
+        f"zoom max|dc|/scale={max_dev:.2e}"
+    )
+    if not ok:
+        raise SystemExit("nested sampler gate FAILED")
+
+
 if __name__ == "__main__":
     main()
     if "--staged" in sys.argv:
         staged_gate()
     if "--pallas" in sys.argv:
         staged_gate(sampler="pallas")
+    if "--nested" in sys.argv:
+        nested_gate()
