@@ -1200,3 +1200,54 @@ class Generator:
             seed, pref, component, smoothing_length
         )
 
+    def predicted_derived_power(self, kind="delta", component=2, z=0.0,
+                                nbins=32, smoothing_length=0.0):
+        """Exact per-bin expectation of a derived field's auto-spectrum.
+
+        ``kind``: 'delta' (the input P(k) itself on this grid's modes),
+        'potential' (``pref^2 / k^4 P``, the Poisson prefactor of
+        :meth:`generate_potential`), 'displacement' (``k_i^2/k^4 P`` for
+        ``component`` i, order 1), or 'velocity' (the displacement
+        expectation times ``(a H f / h)^2``).  Uses the SAME
+        Nyquist-zeroed gradient vectors, interpolation, smoothing and
+        estimator bins as the render + :meth:`calculate_power` pair, so
+        measured-vs-predicted residuals are pure sample noise.  Returns
+        ``(k_mean, p, n_modes)``.
+        """
+        from randomfield_tpu.ops import derived as _derived
+        from randomfield_tpu.validate import stats as _stats
+
+        kinds = ("delta", "potential", "displacement", "velocity")
+        if kind not in kinds:
+            raise ValueError(f"kind must be one of {kinds}, got {kind!r}")
+        shape, sp = self.scene.shape, self.scene.grid_spacing
+        kmag = _grid.kmag(shape, sp, jnp.float32)
+        pgrid = _power.interpolate_power(
+            self.power, kmag, self.scene.interpolation
+        )
+        pgrid = jnp.where(kmag > 0, pgrid, 0.0)
+        if smoothing_length:
+            pgrid = pgrid * jnp.exp(-(kmag * float(smoothing_length)) ** 2)
+        if kind != "delta":
+            k2 = kmag * kmag
+            inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+            if kind == "potential":
+                pref = (-1.5 * self.cosmology.Om0 * (1.0 + float(z))
+                        / _derived.D_H_MPC_H**2)
+                pgrid = pgrid * (pref * inv) ** 2
+            else:
+                gx, gy, gz = _derived._layout_k(
+                    shape, sp, jnp.float32, "xyz", grad=True
+                )
+                kvec = (gx, gy, gz)[int(component)]
+                bcast = [None, None, None]
+                bcast[int(component)] = slice(None)
+                pref = 1.0
+                if kind == "velocity":
+                    a = 1.0 / (1.0 + float(z))
+                    H = self.cosmology.H0 * float(self.cosmology.efunc(float(z)))
+                    pref = a * H * float(self.cosmology.growth_rate(float(z))) \
+                        / self.cosmology.h
+                pgrid = pgrid * (pref * kvec[tuple(bcast)] * inv) ** 2
+        return _stats.bin_power_grid(pgrid, shape, sp, nbins=nbins)
+

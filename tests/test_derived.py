@@ -155,3 +155,46 @@ def test_mesh_derived_smoothing_matches():
     a = np.asarray(g0.generate_potential(2, smoothing_length=12.0))
     b = np.asarray(g1.generate_potential(2, smoothing_length=12.0))
     np.testing.assert_allclose(b, a, atol=1e-5 * np.abs(a).max(), rtol=2e-4)
+
+
+def test_predicted_derived_power_matches_measured():
+    # measured auto-spectra of potential / displacement / velocity renders
+    # match their exact per-bin expectations (same modes, kernels, bins)
+    import numpy as np
+    from randomfield_tpu import Generator
+    from randomfield_tpu.validate import stats
+
+    n, spacing, nseeds, nbins = 32, 8.0, 6, 8
+    g = Generator(n, n, n, grid_spacing=spacing)
+    cases = [
+        ("potential", lambda s: g.generate_potential(seed=s)),
+        ("displacement", lambda s: g.generate_displacement(
+            seed=s, component=2)),
+        ("velocity", lambda s: g.generate_velocity(seed=s, z=0.5,
+                                                   component=2)),
+    ]
+    for kind, make in cases:
+        k_pred, p_pred, cnt = g.predicted_derived_power(
+            kind, component=2, z=0.5 if kind == "velocity" else 0.0,
+            nbins=nbins)
+        acc = []
+        for s in range(nseeds):
+            k, p, c = stats.calculate_power(make(s), spacing, nbins=nbins)
+            acc.append(p)
+        p_mean = np.mean(acc, axis=0)
+        p_sd = np.std(acc, axis=0, ddof=1) / np.sqrt(nseeds)
+        m = cnt > 4
+        resid = np.abs(p_mean - p_pred)[m]
+        budget = 5.0 * p_sd[m] + 5e-3 * np.abs(p_pred[m])
+        assert (resid < budget).all(), (kind, (resid / budget).max())
+    # delta kind reproduces the engine's own spectrum expectation
+    k_pred, p_pred, cnt = g.predicted_derived_power("delta", nbins=nbins)
+    ks, ps, ns = g.sample_power(0, nbins=nbins)
+    m = (cnt > 4) & (ns > 0)
+    # sample_power is one draw; its seed-scatter is ~sqrt(2/n) per bin
+    resid = np.abs(ps[m] / p_pred[m] - 1.0)
+    assert (resid < 6.0 * np.sqrt(2.0 / ns[m])).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kind"):
+        g.predicted_derived_power("curl")
