@@ -1137,6 +1137,82 @@ def field_pdf(delta, nbins=64, vmin=None, vmax=None):
     return centers, density, counts
 
 
+def cell_variance(delta, m):
+    """(mean, variance) of m^3-cell block averages of a field.
+
+    Counts-in-cells workhorse: block-average the grid into cubes of
+    ``m`` cells per side (every axis must divide) and return host
+    floats.  ``m=1`` is :func:`field_moments`.  The exact expectation
+    of the variance for a power table is
+    :func:`predicted_cell_variance`.
+    """
+    d = jnp.asarray(delta)
+    nx, ny, nz = (int(s) for s in d.shape[-3:])
+    m = int(m)
+    if m < 1 or nx % m or ny % m or nz % m:
+        raise ValueError(
+            f"block size {m} must divide every grid axis {(nx, ny, nz)}"
+        )
+    blocks = d.reshape(nx // m, m, ny // m, m, nz // m, m)
+    blocks = blocks.mean(axis=(1, 3, 5))
+    return field_moments(blocks)
+
+
+def predicted_cell_variance(power, shape, spacing, m,
+                            interpolation="log10k"):
+    """Exact expectation of :func:`cell_variance`'s variance.
+
+    Block-averaging is a linear filter: in Fourier space the m-cell
+    boxcar multiplies each mode by the Dirichlet kernel product
+    ``W(k) = prod_a sin(m k_a dx/2) / (m sin(k_a dx/2))``, so the
+    block-averaged field's variance is ``sum_k P(k) |W(k)|^2 / V`` over
+    this grid's discrete modes — subsampling to one value per block
+    changes no one-point statistics.  ``m=1`` reduces to the engine's
+    ``predicted_variance`` (W = 1).
+    """
+    from randomfield_tpu.ops import power as _power
+
+    shape = tuple(int(s) for s in shape)
+    spacing = float(spacing)
+    m = int(m)
+    if m < 1 or any(s % m for s in shape):
+        raise ValueError(f"block size {m} must divide every axis {shape}")
+    table = _power.validate_power(power)
+    _power.require_coverage(table, shape, spacing)
+    kmag = np.asarray(_grid.kmag(shape, spacing, jnp.float32), np.float64)
+    pgrid = np.asarray(
+        _power.interpolate_power(table, jnp.asarray(kmag, jnp.float32),
+                                 interpolation),
+        np.float64,
+    )
+    pgrid = np.where(kmag > 0, pgrid, 0.0)
+    kv = [np.asarray(v, np.float64) for v in _grid.kvectors(shape, spacing)]
+
+    def dirichlet(k):
+        x = k * spacing / 2.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w = np.where(
+                np.abs(np.sin(x)) > 0,
+                np.sin(m * x) / (m * np.where(np.abs(np.sin(x)) > 0,
+                                              np.sin(x), 1.0)),
+                1.0,
+            )
+        return w
+
+    w2 = (
+        (dirichlet(kv[0]) ** 2)[:, None, None]
+        * (dirichlet(kv[1]) ** 2)[None, :, None]
+        * (dirichlet(kv[2]) ** 2)[None, None, :]
+    )
+    nz = shape[2]
+    mult = np.full(nz // 2 + 1, 2.0)
+    mult[0] = 1.0
+    if nz % 2 == 0:
+        mult[-1] = 1.0
+    volume = shape[0] * shape[1] * shape[2] * spacing**3
+    return float((pgrid * w2 * mult[None, None, :]).sum() / volume)
+
+
 def _mean_axiswise(x):
     """Mean via one axis at a time — each reduction sums only O(n) terms.
 

@@ -208,3 +208,66 @@ def test_mesh_power_multipoles_match_single_device():
         stats.calculate_power_multipoles(
             np.zeros((8, 8, 8), np.float32), 1.0, window="cic",
             mesh=make_mesh(data=1, space=4))
+
+
+def test_cell_variance_counts_in_cells():
+    import numpy as np
+    from randomfield_tpu import Generator
+    from randomfield_tpu.validate import stats
+
+    n, spacing, nseeds = 32, 8.0, 6
+    g = Generator(n, n, n, grid_spacing=spacing)
+    # m=1: expectation reduces to the engine's predicted variance
+    v1 = stats.predicted_cell_variance(g.power, (n, n, n), spacing, 1)
+    np.testing.assert_allclose(v1, g.predicted_variance(), rtol=2e-3)
+    # block averaging damps variance monotonically
+    preds = [stats.predicted_cell_variance(g.power, (n, n, n), spacing, m)
+             for m in (1, 2, 4, 8)]
+    assert all(a > b for a, b in zip(preds, preds[1:]))
+    # measured block variance matches the Dirichlet-kernel expectation
+    for m, pred in zip((2, 4), preds[1:3]):
+        vs = []
+        for s in range(nseeds):
+            d = g.generate_delta_field(s, apply_lightcone=False)
+            mean, var = stats.cell_variance(d, m)
+            assert abs(mean) < 0.1
+            vs.append(var)
+        vm = np.mean(vs)
+        sd = np.std(vs, ddof=1) / np.sqrt(nseeds)
+        assert abs(vm - pred) < 5 * sd + 0.02 * pred, (m, vm, pred)
+    # cell_variance(d, 1) == field_moments
+    d = g.generate_delta_field(0, apply_lightcone=False)
+    np.testing.assert_allclose(stats.cell_variance(d, 1)[1],
+                               stats.field_moments(d)[1], rtol=1e-6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        stats.cell_variance(np.zeros((8, 8, 8), np.float32), 3)
+
+
+def test_cell_counts_shot_plus_clustering():
+    import numpy as np
+    from randomfield_tpu.models.lognormal import LognormalGenerator
+    from randomfield_tpu.models import zeldovich as zl
+    from randomfield_tpu.validate import stats
+
+    # Poisson tracers on a lognormal field: the variance of block-summed
+    # counts is shot noise + clustering, Var = Nbar + Nbar^2 sigma_cell^2
+    n, spacing, nbar, m, nseeds = 32, 8.0, 4e-3, 4, 5
+    gen = LognormalGenerator(n, n, n, grid_spacing=spacing)
+    vcell = (m * spacing) ** 3
+    nbar_block = nbar * vcell
+    sig2 = stats.predicted_cell_variance(gen.power, (n, n, n), spacing, m)
+    expected = nbar_block + nbar_block**2 * sig2
+    vs = []
+    for s in range(nseeds):
+        d = gen.generate_delta_field(s, apply_lightcone=False)
+        counts = np.asarray(zl.poisson_sample(d, nbar, spacing, seed=s))
+        blocks = counts.reshape(n // m, m, n // m, m, n // m, m).sum(
+            axis=(1, 3, 5))
+        vs.append(blocks.var())
+    vm = np.mean(vs)
+    sd = np.std(vs, ddof=1) / np.sqrt(nseeds)
+    # lognormal xi is exp(xi_G)-1 ~ xi at this amplitude; allow a few %
+    # systematic on top of seed scatter (few hundred blocks per seed)
+    assert abs(vm - expected) < 5 * sd + 0.10 * expected, (vm, expected)
