@@ -243,3 +243,66 @@ def test_mesh_correlation_matches_single_device():
     with _pytest.raises(ValueError, match="pencil"):
         stats.calculate_correlation(np.zeros((8, 8, 8), np.float32), 1.0,
                                     mesh=pm)
+
+
+def test_spherical_bessels_against_legendre_integral():
+    # j_ell(x) = (-1)^(ell/2)/2 * integral_{-1}^{1} P_ell(mu) cos(x mu) dmu
+    # for even ell — an independent quadrature check of the closed forms
+    mu = np.linspace(-1.0, 1.0, 20001)
+    p2 = 0.5 * (3 * mu**2 - 1)
+    p4 = 0.125 * (35 * mu**4 - 30 * mu**2 + 3)
+    for x in (0.05, 0.3, 1.0, 4.0, 15.0):
+        ref2 = -0.5 * np.trapezoid(p2 * np.cos(x * mu), mu)
+        ref4 = 0.5 * np.trapezoid(p4 * np.cos(x * mu), mu)
+        np.testing.assert_allclose(rf_power._j2(np.asarray(x)), ref2,
+                                   rtol=0, atol=2e-8)
+        np.testing.assert_allclose(rf_power._j4(np.asarray(x)), ref4,
+                                   rtol=0, atol=2e-8)
+
+
+def test_theory_multipoles_consistency():
+    # f=0: monopole reduces to power_to_correlation, ell>0 vanish
+    table = _gaussian_table()
+    r = np.array([5.0, 15.0, 30.0])
+    xi = rf_power.power_to_correlation_multipoles(table, r, f=0.0)
+    xi0 = rf_power.power_to_correlation(table, r)
+    np.testing.assert_allclose(xi[0], xi0, rtol=1e-10)
+    assert np.abs(xi[1:]).max() == 0.0
+    # Kaiser: each multipole is its coefficient times the isotropic
+    # transform of P with the matching bessel (linear in P by design)
+    f = 0.7
+    xif = rf_power.power_to_correlation_multipoles(table, r, f=f)
+    np.testing.assert_allclose(xif[0], (1 + 2 * f / 3 + f**2 / 5) * xi0,
+                               rtol=1e-10)
+
+
+def test_theory_multipoles_match_grid_expectation():
+    # continuum Hankel transform vs the grid-exact FFT expectation, with
+    # matched band limit: agree to a few % at intermediate r
+    from randomfield_tpu.ops.power import load_default_power
+    from randomfield_tpu.ops.grid import get_k_bounds
+
+    n, spacing, f = 64, 4.0, 0.6
+    shape = (n, n, n)
+    table = load_default_power()
+    r_pred, xi_grid, cnt = stats.predicted_correlation_multipoles(
+        table, shape, spacing, f=f, nbins=24
+    )
+    kmax = get_k_bounds(shape, spacing)[1]
+    m = (cnt > 500) & (r_pred > 3 * spacing) & (r_pred < n * spacing / 4)
+    assert m.sum() >= 3
+    xi_th = rf_power.power_to_correlation_multipoles(
+        table, r_pred[m], f=f, kmax=kmax
+    )
+    scale = np.abs(xi_grid[0][m]).max()
+    # the grid keeps (anisotropic) corner modes past the axis Nyquist and
+    # bins over discrete mu shells, so agreement is at the tens-of-percent
+    # level for the monopole/quadrupole and looser for the small
+    # hexadecapole — this is a cross-validation of two independent code
+    # paths (continuum Hankel vs discrete FFT), not an exactness gate
+    np.testing.assert_allclose(xi_th[0], xi_grid[0][m],
+                               atol=0.03 * scale, rtol=0.3)
+    np.testing.assert_allclose(xi_th[1], xi_grid[1][m],
+                               atol=0.03 * scale, rtol=0.3)
+    np.testing.assert_allclose(xi_th[2], xi_grid[2][m],
+                               atol=0.08 * scale, rtol=0.0)
