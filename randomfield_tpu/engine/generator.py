@@ -1200,6 +1200,166 @@ class Generator:
             seed, pref, component, smoothing_length
         )
 
+    # ---- constrained realizations / data-conditioned sampling ---------------
+    def _require_constrainable(self, what):
+        if (self.mesh is not None or self.state.sigmas is None
+                or self._layout != "xyz" or self.sampler == "pallas"):
+            raise ValueError(
+                f"{what} needs a single-device fused scene with a "
+                "materialized sigma grid (sampler='threefry' or 'nested', "
+                "pipeline='fused', mesh=None)"
+            )
+
+    def _packed_constraints(self, constraints):
+        from randomfield_tpu.models import constrained as _con
+
+        return _con.pack_constraints(
+            constraints, self.scene.shape, self.scene.grid_spacing,
+            self._dtype,
+        )
+
+    def constraint_matrix(self, constraints, smoothing_length=0.0):
+        """The M x M covariance matrix of the constraint functionals.
+
+        xi_ij = <Gamma_i Gamma_j> under this scene's P(k) (and optional
+        render smoothing) — host float64.  Inspect its conditioning
+        before trusting a large constraint set (models/constrained.py).
+        """
+        from randomfield_tpu.models import constrained as _con
+
+        self._require_constrainable("constraint_matrix")
+        pos, scales, _ = self._packed_constraints(constraints)
+        gram = _con.constraint_gram(
+            self.state.sigmas, pos, scales, smoothing_length,
+            self.scene.shape, self.scene.grid_spacing,
+        )
+        return np.asarray(gram, np.float64)
+
+    def generate_constrained_field(self, seed, constraints,
+                                   smoothing_length=0.0,
+                                   apply_lightcone=False):
+        """Hoffman-Ribak constrained realization of this scene (snapshot).
+
+        Each constraint pins the Gaussian-smoothed field value at a
+        comoving position EXACTLY (per realization, not just on average)
+        while the field everywhere else keeps the correct conditional
+        ensemble statistics: ``constraints`` is an iterable of
+        ``(position, value, scale)`` tuples or dicts — see
+        models/constrained.py:pack_constraints.  Constraints are defined
+        on the unweighted snapshot; ``apply_lightcone=True`` scales the
+        planes AFTER constraining (the pinned values then hold on the
+        pre-weighting field).  One fused program: sample -> measure ->
+        M x M solve -> spectral correction -> inverse transform.
+        """
+        from randomfield_tpu.models import constrained as _con
+
+        self._require_constrainable("generate_constrained_field")
+        pos, scales, values = self._packed_constraints(constraints)
+        gram = self._constraint_gram_cached(
+            pos, scales, float(smoothing_length)
+        )
+        return _con.constrained_render(
+            _as_key(seed), self.state.sigmas,
+            self._weights(apply_lightcone), gram, pos, scales, values,
+            smoothing_length, self.scene.shape, self.scene.grid_spacing,
+            nested=self._nested,
+        )
+
+    def constrained_mean_field(self, constraints, smoothing_length=0.0,
+                               apply_lightcone=False):
+        """The conditional MEAN field given the constraints (no seed).
+
+        The ensemble average of :meth:`generate_constrained_field` over
+        seeds; satisfies every constraint exactly itself.
+        """
+        from randomfield_tpu.models import constrained as _con
+
+        self._require_constrainable("constrained_mean_field")
+        pos, scales, values = self._packed_constraints(constraints)
+        gram = self._constraint_gram_cached(
+            pos, scales, float(smoothing_length)
+        )
+        return _con.constrained_mean(
+            self.state.sigmas, self._weights(apply_lightcone), gram, pos,
+            scales, values, smoothing_length, self.scene.shape,
+            self.scene.grid_spacing,
+        )
+
+    def _constraint_gram_cached(self, pos, scales, smoothing_length):
+        """Gram matrices are seed-independent: cache per constraint set."""
+        from randomfield_tpu.models import constrained as _con
+
+        key = (
+            np.asarray(pos, np.float64).tobytes(),
+            np.asarray(scales, np.float64).tobytes(),
+            float(smoothing_length),
+        )
+        cache = getattr(self, "_gram_cache", None)
+        if cache is None:
+            cache = self._gram_cache = {}
+        if key not in cache:
+            cache[key] = _con.constraint_gram(
+                self.state.sigmas, pos, scales, smoothing_length,
+                self.scene.shape, self.scene.grid_spacing,
+            )
+        return cache[key]
+
+    def measure_constraints(self, delta, constraints):
+        """Evaluate constraint functionals on a rendered field (host f64).
+
+        Validation path independent of the constrained render's internal
+        measurement (forward transform + packed-mode sum).
+        """
+        from randomfield_tpu.models import constrained as _con
+
+        self._require_constrainable("measure_constraints")
+        pos, scales, _ = self._packed_constraints(constraints)
+        out = _con.measure_constraints(
+            jnp.asarray(delta, self._dtype), pos, scales,
+            self.scene.shape, self.scene.grid_spacing,
+        )
+        return np.asarray(out, np.float64)
+
+    def wiener_filter(self, data, noise_power):
+        """Minimum-variance reconstruction of a noisy observation of one
+        realization: per-mode filter sigma^2 / (sigma^2 + P_n/V).
+
+        ``noise_power``: physical noise power ((Mpc/h)^3) — scalar white
+        noise (per-voxel std s <=> s^2 spacing^3) or a (k, P_n) table.
+        """
+        from randomfield_tpu.models import constrained as _con
+
+        self._require_constrainable("wiener_filter")
+        return _con.wiener_filter(
+            data, self.state.sigmas, noise_power, self.scene.shape,
+            self.scene.grid_spacing,
+        )
+
+    def generate_posterior_field(self, seed, data, noise_power):
+        """One exact sample of P(field | data) for full-grid noisy data.
+
+        ``delta_r + WF(data - delta_r - n_r)`` — the mean over seeds is
+        :meth:`wiener_filter`'s reconstruction and the scatter is the
+        exact posterior covariance (models/constrained.py).
+        """
+        from randomfield_tpu.models import constrained as _con
+
+        self._require_constrainable("generate_posterior_field")
+        return _con.posterior_render(
+            _as_key(seed), data, self.state.sigmas, noise_power,
+            self.scene.shape, self.scene.grid_spacing,
+        )
+
+    def predicted_posterior_mse(self, noise_power):
+        """Exact expected mean-square error of :meth:`wiener_filter`."""
+        from randomfield_tpu.models import constrained as _con
+
+        self._require_constrainable("predicted_posterior_mse")
+        return _con.predicted_posterior_mse(
+            self.state.sigmas, noise_power, self.scene.shape,
+            self.scene.grid_spacing,
+        )
+
     def predicted_derived_power(self, kind="delta", component=2, z=0.0,
                                 nbins=32, smoothing_length=0.0):
         """Exact per-bin expectation of a derived field's auto-spectrum.
