@@ -198,12 +198,17 @@ def time_sample_power(n=1024, batch=8, iters=3):
 
 def pallas_gate():
     """Standing per-round hardware check of the Pallas sampler stream."""
+    import contextlib
+
     sys.path.insert(0, str(_REPO / "scripts"))
     try:
         from validate_pallas_sampler import run_checks
 
-        run_checks(n_seeds=100, shape=(16, 16, 16), layout="xyz")
-        run_checks(n_seeds=50, shape=(16, 16, 16), layout="xzy")
+        # the gate prints its verdict lines; keep stdout pure (the JSON
+        # contract is "ONE line on stdout") by routing them to stderr
+        with contextlib.redirect_stdout(sys.stderr):
+            run_checks(n_seeds=100, shape=(16, 16, 16), layout="xyz")
+            run_checks(n_seeds=50, shape=(16, 16, 16), layout="xzy")
         return {"ok": True}
     except Exception as e:  # never fail the bench contract on the gate
         log(f"  pallas gate FAILED: {type(e).__name__}: {str(e)[:200]}")
