@@ -1188,6 +1188,46 @@ class Generator:
         ]
         return out[0] if component is not None else jnp.stack(out)
 
+    def generate_tidal_field(self, seed=0, component=None,
+                             smoothing_length=0.0):
+        """Tidal (T-web) tensor T_ij = d_i d_j phi, grad^2 phi = delta.
+
+        Seed-direct like the other derived fields (no forward FFT;
+        works at the HBM ceiling and on slab/pencil meshes).
+        ``component`` indexes ops/derived.py:TIDAL_PAIRS (xx, yy, zz,
+        xy, xz, yz); None stacks all six as (6, nx, ny, nz) — pass a
+        single component at large sizes.  The diagonal sums to the
+        seed's density field exactly; classify the stacked result with
+        randomfield_tpu.models.web.classify_web.
+        """
+        comps = range(6) if component is None else [int(component)]
+        c0 = None
+        if self.pipeline != "staged" and self.mesh is None and len(comps) > 1:
+            sm = jnp.asarray(smoothing_length, self._dtype)
+            c0 = self._sampled_spectrum(seed, sm)
+        out = [
+            self._derived_from_kernel(
+                seed, "tidal", i, 1.0, smoothing_length,
+                c=None if c0 is None else jnp.copy(c0),
+            )
+            for i in comps
+        ]
+        return out[0] if component is not None else jnp.stack(out)
+
+    def classify_web(self, seed=0, smoothing_length=0.0, threshold=0.0):
+        """Per-voxel T-web class of a realization: 0..3 = void / sheet /
+        filament / knot (count of tidal eigenvalues above ``threshold``).
+
+        Renders the six tidal components seed-direct and classifies on
+        device (models/web.py); ``smoothing_length`` sets the scale the
+        web is defined at (classification on unsmoothed fields is
+        Nyquist-noise dominated).
+        """
+        from randomfield_tpu.models import web as _web
+
+        t = self.generate_tidal_field(seed, smoothing_length=smoothing_length)
+        return _web.classify_web(t, threshold)
+
     def generate_velocity(self, seed=0, z=0.0, component=None,
                           smoothing_length=0.0):
         """Linear peculiar velocity [km/s] for a seed (snapshot):

@@ -31,7 +31,12 @@ __all__ = [
     "delta_to_displacement",
     "delta_to_displacement_2lpt",
     "delta_to_velocity",
+    "delta_to_tidal",
+    "TIDAL_PAIRS",
 ]
+
+# component order of the packed symmetric tidal tensor: xx, yy, zz, xy, xz, yz
+TIDAL_PAIRS = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
 
 D_H_MPC_H = 2997.92458  # Hubble distance in Mpc/h (c / (100 km/s/Mpc))
 
@@ -179,6 +184,34 @@ def delta_to_displacement_2lpt(delta, spacing):
     return _second_order_displacement(delta, shape, float(spacing))
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "spacing", "component"))
+def _tidal_from_field(delta, shape, spacing, component):
+    a = _transform.rfftn(delta, norm="forward")
+    comps = [component] if component is not None else range(6)
+    out = [
+        _transform.irfftn(
+            apply_kernel_inline(a, shape, spacing, "xyz", "tidal", c),
+            shape, norm="forward",
+        )
+        for c in comps
+    ]
+    return out[0] if component is not None else jnp.stack(out)
+
+
+def delta_to_tidal(delta, spacing, component=None):
+    """Tidal (T-web) tensor T_ij = d_i d_j phi with grad^2 phi = delta.
+
+    ``component`` indexes :data:`TIDAL_PAIRS` (xx, yy, zz, xy, xz, yz);
+    None stacks all six as (6, nx, ny, nz).  The diagonal sums to delta
+    exactly (the spectral kernels k_i k_j / k^2 sum to 1 per mode).
+    Cosmic-web classification of the result lives in
+    randomfield_tpu.models.web.
+    """
+    shape = tuple(int(s) for s in delta.shape[-3:])
+    comp = None if component is None else int(component)
+    return _tidal_from_field(delta, shape, float(spacing), comp)
+
+
 def delta_to_velocity(delta, spacing, cosmology, z=0.0):
     """Linear peculiar velocity field [km/s], shape (3, nx, ny, nz).
 
@@ -243,6 +276,15 @@ def apply_kernel_inline(c, shape, spacing, layout, kind, component=0,
     kind='grad':    c_k -> i * prefactor * k_i / k^2 * c_k  (Nyquist-
         zeroed k_i: every self-conjugate mode maps to zero, so the
         output stays exactly Hermitian and the half-pack c2r applies).
+    kind='tidal':   c_k -> prefactor * k_i k_j / k^2 * c_k, component
+        indexing TIDAL_PAIRS — the T-web tensor T_ij = d_i d_j phi with
+        grad^2 phi = delta.  Diagonal components use FULL k vectors (the
+        kernel k_i^2 is even per axis, so Hermitianity is preserved and
+        the diagonals sum to 1 on every non-DC mode: trace(T) = delta
+        EXACTLY per voxel — the test gate).  Off-diagonal kernels are
+        odd in EACH factor axis, so their Nyquist entries have no
+        Hermitian-consistent packed representation — they use the
+        Nyquist-zeroed gradient vectors, like kind='grad'.
     """
     dtype = c.real.dtype
     kx, kmid, klast = _layout_k(shape, spacing, dtype, layout)
@@ -255,8 +297,23 @@ def apply_kernel_inline(c, shape, spacing, layout, kind, component=0,
     pref = jnp.asarray(prefactor, dtype)
     if kind == "scalar":
         return c * (pref * inv)
-    gx, gmid, glast = _layout_k(shape, spacing, dtype, layout, grad=True)
     axes = {"xyz": {0: 0, 1: 1, 2: 2}, "xzy": {0: 0, 1: 2, 2: 1}}[layout]
+    if kind == "tidal":
+        i, j = TIDAL_PAIRS[int(component)]
+        if i == j:
+            kvecs = (kx, kmid, klast)
+        else:
+            kvecs = _layout_k(shape, spacing, dtype, layout, grad=True)
+
+        def axis_vec(phys_axis):
+            pos = axes[phys_axis]
+            bcast = [None, None, None]
+            bcast[pos] = slice(None)
+            return kvecs[pos][tuple(bcast)]
+
+        g = pref * axis_vec(i) * axis_vec(j) * inv
+        return c * g
+    gx, gmid, glast = _layout_k(shape, spacing, dtype, layout, grad=True)
     pos = axes[int(component)]
     kvec = (gx, gmid, glast)[pos]
     bcast = [None, None, None]
