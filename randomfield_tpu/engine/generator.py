@@ -1241,9 +1241,17 @@ class Generator:
         )
 
     # ---- constrained realizations / data-conditioned sampling ---------------
-    def _require_constrainable(self, what):
-        if (self.mesh is not None or self.state.sigmas is None
-                or self._layout != "xyz" or self.sampler == "pallas"):
+    def _require_constrainable(self, what, allow_mesh=False):
+        if self.mesh is not None:
+            if allow_mesh:
+                return
+            raise ValueError(
+                f"{what} needs a single-device fused scene with a "
+                "materialized sigma grid (sampler='threefry' or 'nested', "
+                "pipeline='fused', mesh=None)"
+            )
+        if (self.state.sigmas is None or self._layout != "xyz"
+                or self.sampler == "pallas"):
             raise ValueError(
                 f"{what} needs a single-device fused scene with a "
                 "materialized sigma grid (sampler='threefry' or 'nested', "
@@ -1267,13 +1275,14 @@ class Generator:
         """
         from randomfield_tpu.models import constrained as _con
 
-        self._require_constrainable("constraint_matrix")
+        self._require_constrainable("constraint_matrix", allow_mesh=True)
         pos, scales, _ = self._packed_constraints(constraints)
-        gram = _con.constraint_gram(
-            self.state.sigmas, pos, scales, smoothing_length,
-            self.scene.shape, self.scene.grid_spacing,
+        gram = self._constraint_gram_cached(
+            pos, scales, float(smoothing_length)
         )
-        return np.asarray(gram, np.float64)
+        from randomfield_tpu.parallel.multihost import replicated_to_host
+
+        return np.asarray(replicated_to_host(gram), np.float64)
 
     def generate_constrained_field(self, seed, constraints,
                                    smoothing_length=0.0,
@@ -1293,11 +1302,17 @@ class Generator:
         """
         from randomfield_tpu.models import constrained as _con
 
-        self._require_constrainable("generate_constrained_field")
+        self._require_constrainable("generate_constrained_field",
+                                    allow_mesh=True)
         pos, scales, values = self._packed_constraints(constraints)
         gram = self._constraint_gram_cached(
             pos, scales, float(smoothing_length)
         )
+        if self.mesh is not None:
+            return self._constrained_mesh(
+                seed, gram, pos, scales, values, smoothing_length,
+                apply_lightcone, mean_only=False,
+            )
         return _con.constrained_render(
             _as_key(seed), self.state.sigmas,
             self._weights(apply_lightcone), gram, pos, scales, values,
@@ -1314,15 +1329,44 @@ class Generator:
         """
         from randomfield_tpu.models import constrained as _con
 
-        self._require_constrainable("constrained_mean_field")
+        self._require_constrainable("constrained_mean_field",
+                                    allow_mesh=True)
         pos, scales, values = self._packed_constraints(constraints)
         gram = self._constraint_gram_cached(
             pos, scales, float(smoothing_length)
         )
+        if self.mesh is not None:
+            return self._constrained_mesh(
+                0, gram, pos, scales, values, smoothing_length,
+                apply_lightcone, mean_only=True,
+            )
         return _con.constrained_mean(
             self.state.sigmas, self._weights(apply_lightcone), gram, pos,
             scales, values, smoothing_length, self.scene.shape,
             self.scene.grid_spacing,
+        )
+
+    def _constrained_mesh(self, seed, gram, pos, scales, values,
+                          smoothing_length, apply_lightcone, mean_only):
+        """Dispatch the compiled mesh-native constrained program."""
+        from randomfield_tpu.models import constrained as _con
+
+        fn = _con.make_sharded_constrained(
+            self.mesh, self.scene.shape, self.scene.grid_spacing,
+            int(pos.shape[0]), from_seed=self._multiprocess,
+            log_values=self._table_host[2], dtype_name=str(self._dtype),
+            mean_only=bool(mean_only),
+        )
+        lk, val = self._table_args()
+        if self._multiprocess:
+            pos = np.asarray(pos, np.float32)
+            scales = np.asarray(scales, np.float32)
+            values = np.asarray(values, np.float32)
+        return fn(
+            self._seed_u32(seed) if self._multiprocess else _as_key(seed),
+            lk, val, gram, pos, scales, values,
+            self._weights(apply_lightcone),
+            self._smoothing(smoothing_length),
         )
 
     def _constraint_gram_cached(self, pos, scales, smoothing_length):
@@ -1338,10 +1382,24 @@ class Generator:
         if cache is None:
             cache = self._gram_cache = {}
         if key not in cache:
-            cache[key] = _con.constraint_gram(
-                self.state.sigmas, pos, scales, smoothing_length,
-                self.scene.shape, self.scene.grid_spacing,
-            )
+            if self.mesh is not None:
+                fn = _con.make_sharded_constraint_gram(
+                    self.mesh, self.scene.shape, self.scene.grid_spacing,
+                    int(pos.shape[0]), log_values=self._table_host[2],
+                    dtype_name=str(self._dtype),
+                )
+                lk, val = self._table_args()
+                if self._multiprocess:
+                    pos = np.asarray(pos, np.float32)
+                    scales = np.asarray(scales, np.float32)
+                cache[key] = fn(
+                    lk, val, pos, scales, self._smoothing(smoothing_length)
+                )
+            else:
+                cache[key] = _con.constraint_gram(
+                    self.state.sigmas, pos, scales, smoothing_length,
+                    self.scene.shape, self.scene.grid_spacing,
+                )
         return cache[key]
 
     def measure_constraints(self, delta, constraints):
@@ -1352,8 +1410,20 @@ class Generator:
         """
         from randomfield_tpu.models import constrained as _con
 
-        self._require_constrainable("measure_constraints")
+        self._require_constrainable("measure_constraints", allow_mesh=True)
         pos, scales, _ = self._packed_constraints(constraints)
+        if self.mesh is not None:
+            from randomfield_tpu.parallel.multihost import replicated_to_host
+
+            fn = _con.make_sharded_measure(
+                self.mesh, self.scene.shape, self.scene.grid_spacing,
+                int(pos.shape[0]), dtype_name=str(self._dtype),
+            )
+            if self._multiprocess:
+                pos = np.asarray(pos, np.float32)
+                scales = np.asarray(scales, np.float32)
+            out = fn(delta, pos, scales)
+            return np.asarray(replicated_to_host(out), np.float64)
         out = _con.measure_constraints(
             jnp.asarray(delta, self._dtype), pos, scales,
             self.scene.shape, self.scene.grid_spacing,

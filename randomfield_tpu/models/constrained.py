@@ -63,6 +63,9 @@ __all__ = [
     "wiener_filter",
     "posterior_render",
     "predicted_posterior_mse",
+    "make_sharded_constrained",
+    "make_sharded_constraint_gram",
+    "make_sharded_measure",
 ]
 
 
@@ -347,6 +350,160 @@ def measure_constraints(delta, pos, scales, shape, spacing):
     """
     chunks = _pick_chunks(shape, int(pos.shape[0]))
     return _measure_field_jit(delta, pos, scales, shape, spacing, chunks)
+
+
+# --------------------------------------------------------------------------
+# mesh-native constrained programs
+#
+# Sharding strategy (parallel/render.py module docstring): kernels,
+# sigma and the correction are GLOBAL jit-level expressions built from
+# broadcast 1-D axis vectors, so each device materializes only its shard
+# and the Gamma / Gram reductions lower to XLA psums over the spatial
+# mesh axes — no shard_map outside the FFT.  The M x M solve is tiny and
+# replicated.  Identical Threefry draws make the sharded constrained
+# field equal the single-device one.
+# --------------------------------------------------------------------------
+
+def _kernel_m(m, pos, scales, axis_geom):
+    """(Kr, Ki) of constraint ``m`` as one global broadcast expression."""
+    kx, ky, kz, sx, sy, sz, _ = axis_geom
+    k2 = (
+        (kx * kx)[:, None, None]
+        + (ky * ky)[None, :, None]
+        + (kz * kz)[None, None, :]
+    )
+    phase = (
+        kx[:, None, None] * pos[m, 0]
+        + ky[None, :, None] * pos[m, 1]
+        + kz[None, None, :] * pos[m, 2]
+    )
+    win = jnp.exp(-0.5 * k2 * scales[m] * scales[m])
+    self_conj = sx[:, None, None] & sy[None, :, None] & sz[None, None, :]
+    return win * jnp.cos(phase), jnp.where(self_conj, 0.0, win * jnp.sin(phase))
+
+
+def _sigma_eff2_global(shape, spacing, lk_tab, val_tab, log_values, dtype,
+                       sm):
+    sig = _power.sigma_inline(
+        shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
+    )
+    k2 = _grid.ksq(shape, spacing, dtype)
+    se = sig * jnp.exp(-0.5 * k2 * sm * sm)
+    return se * se
+
+
+def _gamma_global(c, pos, scales, axis_geom, n_constraints):
+    """Gamma_i = sum m_kz Re(c K_i): M global reductions (XLA psums)."""
+    mult = axis_geom[-1][None, None, :]
+    rows = []
+    for m in range(n_constraints):
+        kr, ki = _kernel_m(m, pos, scales, axis_geom)
+        rows.append(jnp.sum(mult * (c.real * kr - c.imag * ki)))
+    return jnp.stack(rows)
+
+
+def _correction_global(se2, alpha, pos, scales, axis_geom, n_constraints):
+    """sigma_eff^2 * sum_m alpha_m K_m* as one fused expression."""
+    acc_r = acc_i = None
+    for m in range(n_constraints):
+        kr, ki = _kernel_m(m, pos, scales, axis_geom)
+        tr, ti = alpha[m] * kr, -alpha[m] * ki
+        acc_r = tr if acc_r is None else acc_r + tr
+        acc_i = ti if acc_i is None else acc_i + ti
+    return jax.lax.complex(se2 * acc_r, se2 * acc_i)
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_constrained(mesh, shape, spacing, n_constraints,
+                             from_seed=False, log_values=False,
+                             dtype_name="float32", mean_only=False):
+    """Compile a mesh-native constrained render (or conditional mean).
+
+    fn(key, lk_tab, val_tab, gram, pos, scales, values, weights, sm) ->
+    the constrained field, sharded like the plain mesh render.  With
+    ``mean_only`` the random draw is skipped (key ignored) and the
+    correction alone is returned — the conditional mean field.
+    """
+    from randomfield_tpu.parallel.render import (
+        _inverse, _mesh_specs, _sampled_spectrum,
+    )
+
+    dtype = jnp.dtype(dtype_name)
+    _, spec_sharding, out = _mesh_specs(mesh, batched=False)
+
+    def fn(key, lk_tab, val_tab, gram, pos, scales, values, weights, sm):
+        if from_seed:
+            key = jax.random.key(key)
+        axis_geom = _axis_geometry(shape, spacing, dtype)
+        se2 = _sigma_eff2_global(
+            shape, spacing, lk_tab, val_tab, log_values, dtype, sm
+        )
+        if mean_only:
+            alpha = jnp.linalg.solve(gram, values)
+            c = _correction_global(
+                se2, alpha, pos, scales, axis_geom, n_constraints
+            )
+        else:
+            c = _sampled_spectrum(
+                key, lk_tab, val_tab, sm, shape, spacing, mesh, False,
+                log_values, dtype,
+            )
+            gamma = _gamma_global(c, pos, scales, axis_geom, n_constraints)
+            alpha = jnp.linalg.solve(gram, values - gamma)
+            c = c + _correction_global(
+                se2, alpha, pos, scales, axis_geom, n_constraints
+            )
+        c = jax.lax.with_sharding_constraint(c, spec_sharding)
+        delta = _inverse(c, shape, mesh, False)
+        return delta * weights[None, None, :]
+
+    return jax.jit(fn, out_shardings=out)
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_constraint_gram(mesh, shape, spacing, n_constraints,
+                                 log_values=False, dtype_name="float32"):
+    """Compile the mesh-native Gram matrix: M(M+1)/2 sharded reductions."""
+    dtype = jnp.dtype(dtype_name)
+
+    def fn(lk_tab, val_tab, pos, scales, sm):
+        axis_geom = _axis_geometry(shape, spacing, dtype)
+        mult = axis_geom[-1][None, None, :]
+        w = mult * _sigma_eff2_global(
+            shape, spacing, lk_tab, val_tab, log_values, dtype, sm
+        )
+        rows = [[None] * n_constraints for _ in range(n_constraints)]
+        for i in range(n_constraints):
+            kri, kii = _kernel_m(i, pos, scales, axis_geom)
+            for j in range(i, n_constraints):
+                krj, kij = _kernel_m(j, pos, scales, axis_geom)
+                v = jnp.sum(w * (kri * krj + kii * kij))
+                rows[i][j] = rows[j][i] = v
+        return jnp.stack([jnp.stack(r) for r in rows])
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_measure(mesh, shape, spacing, n_constraints,
+                         dtype_name="float32"):
+    """Compile Gamma[field] on a mesh: distributed forward + reductions."""
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel import pencil as _pencil
+
+    dtype = jnp.dtype(dtype_name)
+    n_cells = shape[0] * shape[1] * shape[2]
+
+    def fn(delta, pos, scales):
+        if _pencil.is_pencil_mesh(mesh):
+            c = _pencil.rfftn_pencil(delta, shape, mesh)
+        else:
+            c = dfft.rfftn_slab(delta, shape, mesh)
+        c = c / jnp.asarray(n_cells, dtype)  # engine (norm='forward') units
+        axis_geom = _axis_geometry(shape, spacing, dtype)
+        return _gamma_global(c, pos, scales, axis_geom, n_constraints)
+
+    return jax.jit(fn)
 
 
 # --------------------------------------------------------------------------

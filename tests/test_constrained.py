@@ -254,15 +254,47 @@ def test_nested_sampler_supported():
     )
 
 
+def test_mesh_native_constrained_matches_single_device():
+    """Slab AND pencil constrained renders equal the single-device one
+    (identical Threefry draws; the HR correction is deterministic), and
+    the mesh Gram / measurement paths agree with the single-device ones."""
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    cons = [((64.0, 64.0, 64.0), 2.0, 20.0), ((100.0, 30.0, 90.0), -0.7, 12.0)]
+    g0 = rf.Generator(16, 16, 16, grid_spacing=16.0)
+    ref = np.asarray(g0.generate_constrained_field(9, cons))
+    xi0 = g0.constraint_matrix(cons)
+    mean0 = np.asarray(g0.constrained_mean_field(cons))
+
+    for mesh in (make_mesh(data=2, space=4),
+                 make_pencil_mesh(data=2, spx=2, spy=2)):
+        gm = rf.Generator(16, 16, 16, grid_spacing=16.0, mesh=mesh)
+        xim = gm.constraint_matrix(cons)
+        np.testing.assert_allclose(xim, xi0, rtol=2e-4)
+        # the draws are identical; the residual is f32 reduction-order
+        # noise in Gamma amplified through the xi^{-1} solve (the mesh
+        # path reduces via global psum, the single-device path via
+        # chunked matmuls), so the parity tolerance is looser than the
+        # draw-exact render parity elsewhere
+        d = np.asarray(gm.generate_constrained_field(9, cons))
+        np.testing.assert_allclose(d, ref, atol=4e-3 * ref.std(), rtol=2e-3)
+        got = gm.measure_constraints(d, cons)
+        np.testing.assert_allclose(got, [2.0, -0.7], atol=2e-3)
+        m = np.asarray(gm.constrained_mean_field(cons))
+        np.testing.assert_allclose(m, mean0, atol=1e-3 * np.abs(mean0).max())
+
+
 def test_unsupported_configurations_raise():
     from randomfield_tpu.parallel.mesh import make_mesh
 
     g = rf.Generator(16, 16, 16, grid_spacing=8.0,
                      mesh=make_mesh(data=2, space=4))
     with pytest.raises(ValueError, match="single-device fused"):
-        g.generate_constrained_field(0, CONSTRAINTS)
-    with pytest.raises(ValueError, match="single-device fused"):
         g.wiener_filter(np.zeros(g.shape, np.float32), 1.0)
+    gp = rf.Generator(16, 16, 16, grid_spacing=8.0, pipeline="staged")
+    with pytest.raises(ValueError, match="single-device fused"):
+        gp.generate_constrained_field(0, CONSTRAINTS)
 
 
 def test_lightcone_weights_applied_after_constraining():
