@@ -1430,16 +1430,49 @@ class Generator:
         )
         return np.asarray(out, np.float64)
 
+    def _noise_args(self, noise_power):
+        """(tabulated, noise_a, noise_b) program inputs for mesh programs.
+
+        Scalar white noise is pre-normalized to P_n/V on the host so the
+        traced program never recompiles on a value change; tables pass
+        their (log10 k, P_n) arrays like the signal spectrum.
+        """
+        if np.isscalar(noise_power) or getattr(noise_power, "ndim", 1) == 0:
+            nx, ny, nz = self.scene.shape
+            volume = nx * ny * nz * float(self.scene.grid_spacing) ** 3
+            nvar = float(noise_power) / volume
+            dt = np.dtype(str(self._dtype))
+            return False, np.asarray(nvar, dt), np.zeros((), dt)
+        table = _power.validate_power(noise_power)
+        dt = np.dtype(str(self._dtype))
+        return (
+            True,
+            np.log10(table.k).astype(dt),
+            np.asarray(table.Pk, dt),
+        )
+
     def wiener_filter(self, data, noise_power):
         """Minimum-variance reconstruction of a noisy observation of one
         realization: per-mode filter sigma^2 / (sigma^2 + P_n/V).
 
         ``noise_power``: physical noise power ((Mpc/h)^3) — scalar white
         noise (per-voxel std s <=> s^2 spacing^3) or a (k, P_n) table.
+        On mesh scenes the whole reconstruction (forward transform,
+        filter, inverse) is distributed; ``data`` may be a sharded
+        global array (e.g. a mesh render) or host numpy.
         """
         from randomfield_tpu.models import constrained as _con
 
-        self._require_constrainable("wiener_filter")
+        self._require_constrainable("wiener_filter", allow_mesh=True)
+        if self.mesh is not None:
+            tabulated, na, nb = self._noise_args(noise_power)
+            fn = _con.make_sharded_wiener(
+                self.mesh, self.scene.shape, self.scene.grid_spacing,
+                noise_tabulated=tabulated, log_values=self._table_host[2],
+                dtype_name=str(self._dtype),
+            )
+            lk, val = self._table_args()
+            return fn(data, lk, val, na, nb)
         return _con.wiener_filter(
             data, self.state.sigmas, noise_power, self.scene.shape,
             self.scene.grid_spacing,
@@ -1450,11 +1483,27 @@ class Generator:
 
         ``delta_r + WF(data - delta_r - n_r)`` — the mean over seeds is
         :meth:`wiener_filter`'s reconstruction and the scatter is the
-        exact posterior covariance (models/constrained.py).
+        exact posterior covariance (models/constrained.py).  Mesh
+        scenes run the fully distributed program; identical Threefry
+        draws make the sharded sample equal the single-device one.
         """
         from randomfield_tpu.models import constrained as _con
 
-        self._require_constrainable("generate_posterior_field")
+        self._require_constrainable("generate_posterior_field",
+                                    allow_mesh=True)
+        if self.mesh is not None:
+            tabulated, na, nb = self._noise_args(noise_power)
+            fn = _con.make_sharded_posterior(
+                self.mesh, self.scene.shape, self.scene.grid_spacing,
+                from_seed=self._multiprocess, noise_tabulated=tabulated,
+                log_values=self._table_host[2],
+                dtype_name=str(self._dtype),
+            )
+            lk, val = self._table_args()
+            return fn(
+                self._seed_u32(seed) if self._multiprocess else _as_key(seed),
+                data, lk, val, na, nb,
+            )
         return _con.posterior_render(
             _as_key(seed), data, self.state.sigmas, noise_power,
             self.scene.shape, self.scene.grid_spacing,
@@ -1464,7 +1513,19 @@ class Generator:
         """Exact expected mean-square error of :meth:`wiener_filter`."""
         from randomfield_tpu.models import constrained as _con
 
-        self._require_constrainable("predicted_posterior_mse")
+        self._require_constrainable("predicted_posterior_mse",
+                                    allow_mesh=True)
+        if self.mesh is not None:
+            from randomfield_tpu.parallel.multihost import replicated_to_host
+
+            tabulated, na, nb = self._noise_args(noise_power)
+            fn = _con.make_sharded_posterior_mse(
+                self.mesh, self.scene.shape, self.scene.grid_spacing,
+                noise_tabulated=tabulated, log_values=self._table_host[2],
+                dtype_name=str(self._dtype),
+            )
+            lk, val = self._table_args()
+            return float(replicated_to_host(fn(lk, val, na, nb)))
         return _con.predicted_posterior_mse(
             self.state.sigmas, noise_power, self.scene.shape,
             self.scene.grid_spacing,

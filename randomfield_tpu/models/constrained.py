@@ -66,6 +66,9 @@ __all__ = [
     "make_sharded_constrained",
     "make_sharded_constraint_gram",
     "make_sharded_measure",
+    "make_sharded_wiener",
+    "make_sharded_posterior",
+    "make_sharded_posterior_mse",
 ]
 
 
@@ -484,24 +487,165 @@ def make_sharded_constraint_gram(mesh, shape, spacing, n_constraints,
     return jax.jit(fn)
 
 
+def _forward_mesh(delta, shape, mesh, dtype):
+    """Distributed forward transform in engine (norm='forward') units."""
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel import pencil as _pencil
+
+    if _pencil.is_pencil_mesh(mesh):
+        c = _pencil.rfftn_pencil(delta, shape, mesh)
+    else:
+        c = dfft.rfftn_slab(delta, shape, mesh)
+    n_cells = shape[0] * shape[1] * shape[2]
+    return c / jnp.asarray(n_cells, dtype)
+
+
 @functools.lru_cache(maxsize=32)
 def make_sharded_measure(mesh, shape, spacing, n_constraints,
                          dtype_name="float32"):
     """Compile Gamma[field] on a mesh: distributed forward + reductions."""
-    from randomfield_tpu.parallel import dfft
-    from randomfield_tpu.parallel import pencil as _pencil
-
     dtype = jnp.dtype(dtype_name)
-    n_cells = shape[0] * shape[1] * shape[2]
 
     def fn(delta, pos, scales):
-        if _pencil.is_pencil_mesh(mesh):
-            c = _pencil.rfftn_pencil(delta, shape, mesh)
-        else:
-            c = dfft.rfftn_slab(delta, shape, mesh)
-        c = c / jnp.asarray(n_cells, dtype)  # engine (norm='forward') units
+        c = _forward_mesh(delta, shape, mesh, dtype)
         axis_geom = _axis_geometry(shape, spacing, dtype)
         return _gamma_global(c, pos, scales, axis_geom, n_constraints)
+
+    return jax.jit(fn)
+
+
+def _noise_nvar_global(noise_a, noise_b, tabulated, shape, spacing, dtype):
+    """Per-packed-mode noise variance P_n(|k|)/V as a global expression.
+
+    Scalar white noise: ``noise_a`` is the already-volume-normalized
+    variance P_n/V (``noise_b`` ignored).  Tabulated: ``(noise_a,
+    noise_b) = (log10 k, P_n)`` interpolated in log10(k) exactly like
+    :func:`_noise_var_grid`'s single-device path — built from broadcast
+    1-D vectors so each device materializes only its shard.
+    """
+    if not tabulated:
+        return jnp.asarray(noise_a, dtype)
+    nx, ny, nz = shape
+    volume = nx * ny * nz * float(spacing) ** 3
+    kmag = jnp.sqrt(_grid.ksq(shape, spacing, dtype))
+    pn = _power._interp_traced(kmag, noise_a, noise_b, False)
+    return pn / jnp.asarray(volume, dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_wiener(mesh, shape, spacing, noise_tabulated=False,
+                        log_values=False, dtype_name="float32"):
+    """Compile a mesh-native Wiener reconstruction.
+
+    fn(data, lk_tab, val_tab, noise_a, noise_b) -> WF(data), sharded
+    like the plain mesh render: distributed forward transform, the
+    elementwise sigma^2/(sigma^2 + P_n/V) filter evaluated inline from
+    the power table (no sigma grid anywhere), distributed inverse.
+    """
+    from randomfield_tpu.parallel.render import _inverse, _mesh_specs
+
+    dtype = jnp.dtype(dtype_name)
+    _, spec_sharding, out = _mesh_specs(mesh, batched=False)
+
+    def fn(data, lk_tab, val_tab, noise_a, noise_b):
+        c = _forward_mesh(data, shape, mesh, dtype)
+        sig = _power.sigma_inline(
+            shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
+        )
+        nvar = _noise_nvar_global(
+            noise_a, noise_b, noise_tabulated, shape, spacing, dtype
+        )
+        c = (c * _wiener_weight(sig, nvar)).astype(c.dtype)
+        c = jax.lax.with_sharding_constraint(c, spec_sharding)
+        return _inverse(c, shape, mesh, False)
+
+    return jax.jit(fn, out_shardings=out)
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_posterior(mesh, shape, spacing, from_seed=False,
+                           noise_tabulated=False, log_values=False,
+                           dtype_name="float32"):
+    """Compile a mesh-native posterior sample of P(field | data).
+
+    Same construction as :func:`_posterior_jit` — ``delta_r +
+    WF(data - delta_r - n_r)`` — with the prior draw shared with the
+    sharded render (identical Threefry values per logical index, so the
+    mesh posterior equals the single-device one for the same seed), the
+    noise draw symmetrized the same way, and both transforms
+    distributed.
+    """
+    from randomfield_tpu.parallel.render import (
+        _inverse, _mesh_specs, _sampled_spectrum,
+    )
+
+    dtype = jnp.dtype(dtype_name)
+    nx, ny, nz = shape
+    draws_sharding, spec_sharding, out = _mesh_specs(mesh, batched=False)
+
+    def fn(key, data, lk_tab, val_tab, noise_a, noise_b):
+        if from_seed:
+            key = jax.random.key(key)
+        k_s, k_n = jax.random.split(key)
+        c_r = _sampled_spectrum(
+            k_s, lk_tab, val_tab, jnp.zeros((), dtype), shape, spacing,
+            mesh, False, log_values, dtype,
+        )
+        draws = jax.random.normal(k_n, (2, nx, ny, nz // 2 + 1), dtype)
+        draws = jax.lax.with_sharding_constraint(draws, draws_sharding)
+        z = jax.lax.complex(draws[0], draws[1]) * jnp.asarray(
+            0.7071067811865476, dtype
+        )
+        z = _transform.symmetrize_with_shape(
+            z, nz=nz, scale_self_conjugate=True
+        )
+        nvar = _noise_nvar_global(
+            noise_a, noise_b, noise_tabulated, shape, spacing, dtype
+        )
+        c_n = z * jnp.sqrt(nvar).astype(dtype)
+        c_d = _forward_mesh(data, shape, mesh, dtype)
+        sig = _power.sigma_inline(
+            shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
+        )
+        w = _wiener_weight(sig, nvar).astype(c_d.dtype)
+        c = c_r + w * (c_d - c_r - c_n)
+        c = jax.lax.with_sharding_constraint(c, spec_sharding)
+        return _inverse(c, shape, mesh, False)
+
+    return jax.jit(fn, out_shardings=out)
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_posterior_mse(mesh, shape, spacing, noise_tabulated=False,
+                               log_values=False, dtype_name="float32"):
+    """Compile the exact Wiener-MSE prediction as a sharded reduction.
+
+    Same per-mode conditional-variance sum as
+    :func:`predicted_posterior_mse`, evaluated inline from the table
+    (no sigma grid) with Hermitian kz multiplicity; the global sum
+    lowers to an XLA psum over the spatial mesh axes.
+    """
+    dtype = jnp.dtype(dtype_name)
+    nzh = shape[2] // 2 + 1
+    mult = np.full(nzh, 2.0)
+    mult[0] = 1.0
+    if shape[2] % 2 == 0:
+        mult[-1] = 1.0
+
+    def fn(lk_tab, val_tab, noise_a, noise_b):
+        sig = _power.sigma_inline(
+            shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
+        )
+        s2 = sig * sig
+        nvar = jnp.broadcast_to(
+            _noise_nvar_global(
+                noise_a, noise_b, noise_tabulated, shape, spacing, dtype
+            ),
+            s2.shape,
+        )
+        denom = s2 + nvar
+        cond = s2 * nvar / jnp.where(denom > 0, denom, 1.0)
+        return jnp.sum(jnp.asarray(mult, dtype)[None, None, :] * cond)
 
     return jax.jit(fn)
 

@@ -285,16 +285,49 @@ def test_mesh_native_constrained_matches_single_device():
         np.testing.assert_allclose(m, mean0, atol=1e-3 * np.abs(mean0).max())
 
 
-def test_unsupported_configurations_raise():
+def test_mesh_native_wiener_posterior_matches_single_device():
+    """Mesh Wiener / posterior / MSE equal the single-device results
+    (same forward+filter+inverse math, identical Threefry draws) for
+    both scalar and tabulated noise, on slab AND pencil meshes."""
     from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
 
-    g = rf.Generator(16, 16, 16, grid_spacing=8.0,
-                     mesh=make_mesh(data=2, space=4))
-    with pytest.raises(ValueError, match="single-device fused"):
-        g.wiener_filter(np.zeros(g.shape, np.float32), 1.0)
+    g0 = rf.Generator(16, 16, 16, grid_spacing=16.0)
+    truth = np.asarray(g0.generate_delta_field(4, apply_lightcone=False))
+    rng = np.random.RandomState(0)
+    noise_std = 0.5 * truth.std()
+    data = (truth + rng.normal(scale=noise_std, size=truth.shape)).astype(
+        np.float32
+    )
+    npow = float(noise_std**2 * g0.grid_spacing**3)
+    ktab = np.geomspace(g0.k_min / 2.0, g0.k_max * 2.0, 24)
+    npow_tab = np.column_stack([ktab, np.full_like(ktab, npow)])
+
+    for noise in (npow, npow_tab):
+        rec0 = np.asarray(g0.wiener_filter(data, noise))
+        post0 = np.asarray(g0.generate_posterior_field(9, data, noise))
+        mse0 = g0.predicted_posterior_mse(noise)
+        for mesh in (make_mesh(data=2, space=4),
+                     make_pencil_mesh(data=2, spx=2, spy=2)):
+            gm = rf.Generator(16, 16, 16, grid_spacing=16.0, mesh=mesh)
+            rec = np.asarray(gm.wiener_filter(data, noise))
+            np.testing.assert_allclose(
+                rec, rec0, atol=2e-4 * rec0.std(), rtol=1e-3
+            )
+            post = np.asarray(gm.generate_posterior_field(9, data, noise))
+            np.testing.assert_allclose(
+                post, post0, atol=1e-3 * post0.std(), rtol=1e-3
+            )
+            mse = gm.predicted_posterior_mse(noise)
+            np.testing.assert_allclose(mse, mse0, rtol=1e-4)
+
+
+def test_unsupported_configurations_raise():
     gp = rf.Generator(16, 16, 16, grid_spacing=8.0, pipeline="staged")
     with pytest.raises(ValueError, match="single-device fused"):
         gp.generate_constrained_field(0, CONSTRAINTS)
+    with pytest.raises(ValueError, match="single-device fused"):
+        gp.wiener_filter(np.zeros(gp.shape, np.float32), 1.0)
 
 
 def test_lightcone_weights_applied_after_constraining():
