@@ -1138,8 +1138,10 @@ class Generator:
         ``order=1``: Zel'dovich (``psi_k = i k delta_k / k^2``).
         ``order=2``: 2LPT — adds the second-order correction
         ``psi(2)`` built from the SAME realization's tidal tensor
-        (ops/derived.py delta_to_displacement_2lpt; single-device,
-        quadratic source needs the real-space field).
+        (ops/derived.py delta_to_displacement_2lpt single-device; on
+        meshes the fully distributed program parallel/render.py:
+        make_sharded_displacement_2lpt — the quadratic source is a
+        shard-local pointwise product of sharded tidal renders).
 
         ``component`` 0/1/2 returns one (nx, ny, nz) component (pass it
         at HBM-ceiling sizes: the stacked (3, ...) result needs 3x the
@@ -1152,10 +1154,25 @@ class Generator:
         )
         if order == 2:
             if self.mesh is not None:
-                raise ValueError(
-                    "order=2 (2LPT) is single-device: the quadratic "
-                    "source term needs the real-space tidal tensor; "
-                    "render without mesh="
+                from randomfield_tpu.parallel.render import (
+                    make_sharded_displacement_2lpt,
+                )
+
+                fn = make_sharded_displacement_2lpt(
+                    self.mesh, self.scene.shape, self.scene.grid_spacing,
+                    from_seed=self._multiprocess,
+                    log_values=self._table_host[2],
+                    dtype_name=str(self._dtype),
+                    component=None if component is None else int(component),
+                )
+                lk, val = self._table_args()
+                psi2 = fn(
+                    self._seed_u32(seed) if self._multiprocess
+                    else _as_key(seed),
+                    lk, val, self._smoothing(smoothing_length),
+                )
+                return psi + (
+                    jnp.stack(psi2) if component is None else psi2[0]
                 )
             from randomfield_tpu.ops import derived as _derived
 

@@ -48,6 +48,7 @@ __all__ = [
     "make_sharded_render_batch",
     "make_sharded_derived",
     "make_sharded_spectrum_bins",
+    "make_sharded_displacement_2lpt",
 ]
 
 _INV_SQRT2 = 0.7071067811865476
@@ -294,3 +295,70 @@ def make_sharded_spectrum_bins(mesh: Mesh, shape, spacing, nbins,
         return bins[0], bins[1], bins[2]
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_displacement_2lpt(mesh: Mesh, shape, spacing,
+                                   from_seed=False, log_values=False,
+                                   dtype_name="float32", component=None):
+    """Compile the mesh-native 2LPT correction psi(2) for one seed.
+
+    Same math as ops/derived.py:_second_order_displacement, fully
+    distributed: the six tidal fields phi,ij render from the SAME
+    sharded sampled spectrum (elementwise k_i k_j / k^2 kernels with
+    Nyquist-zeroed gradient vectors, distributed inverse each), the
+    quadratic source S2 = sum_{i<j} [phi,ii phi,jj - phi,ij^2] is a
+    shard-local pointwise expression (all six fields share the output
+    sharding, so no communication), and one distributed forward + up to
+    three gradient inverses finish ``psi2_k = (3/7) i k S2_k / k^2``.
+    Returns a tuple of per-component fields, each sharded like the
+    plain mesh render; ``component`` selects one (None -> all three).
+    """
+    from randomfield_tpu.models.constrained import _forward_mesh
+    from randomfield_tpu.ops import derived as _derived
+    from randomfield_tpu.ops import grid as _grid
+
+    dtype = jnp.dtype(dtype_name)
+    _, spec_sharding, out = _mesh_specs(mesh, batched=False)
+    comps = (0, 1, 2) if component is None else (int(component),)
+
+    def fn(key, lk_tab, val_tab, smoothing_length):
+        if from_seed:
+            key = jax.random.key(key)
+        c = _sampled_spectrum(
+            key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
+            False, log_values, dtype,
+        )
+        k2 = _grid.ksq(shape, spacing, dtype)
+        inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+        gk = _derived._grad_kvectors(shape, spacing, dtype)
+        bcasts = ((slice(None), None, None), (None, slice(None), None),
+                  (None, None, slice(None)))
+
+        def kv(i):
+            return gk[i][bcasts[i]]
+
+        def tid(i, j):
+            ck = jax.lax.with_sharding_constraint(
+                c * (kv(i) * kv(j) * inv), spec_sharding
+            )
+            return _inverse(ck, shape, mesh, False)
+
+        d00, d11, d22 = tid(0, 0), tid(1, 1), tid(2, 2)
+        d01, d02, d12 = tid(0, 1), tid(0, 2), tid(1, 2)
+        s2 = (
+            d00 * d11 + d00 * d22 + d11 * d22
+            - d01 * d01 - d02 * d02 - d12 * d12
+        )
+        b = _forward_mesh(s2, shape, mesh, dtype)
+        pref = jnp.asarray(3.0 / 7.0, dtype)
+        psi = []
+        for i in comps:
+            g = pref * kv(i) * inv
+            bk = jax.lax.with_sharding_constraint(
+                jax.lax.complex(-b.imag * g, b.real * g), spec_sharding
+            )
+            psi.append(_inverse(bk, shape, mesh, False))
+        return tuple(psi)
+
+    return jax.jit(fn, out_shardings=tuple(out for _ in comps))

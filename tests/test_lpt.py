@@ -83,12 +83,29 @@ def test_generator_order2_composition_and_errors():
     np.testing.assert_allclose(c1, psi_2lpt[1], atol=1e-6)
     with pytest.raises(ValueError):
         g.generate_displacement(seed=3, order=3)
-    from randomfield_tpu.parallel.mesh import make_mesh
 
-    gm = Generator(16, 16, 16, grid_spacing=8.0, mesh=make_mesh(data=1,
-                                                                space=4))
-    with pytest.raises(ValueError):
-        gm.generate_displacement(seed=3, order=2)
+
+def test_mesh_native_2lpt_matches_single_device():
+    """Mesh 2LPT equals the single-device composition: identical draws,
+    the only residual is the single-device path's extra forward-FFT
+    roundtrip (it re-transforms the rendered field, the mesh program
+    uses the sampled spectrum directly)."""
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    n, spacing = 16, 8.0
+    g0 = Generator(n, n, n, grid_spacing=spacing)
+    ref = np.asarray(g0.generate_displacement(seed=3, order=2))
+    scale = np.abs(ref).max()
+    for mesh in (make_mesh(data=1, space=4),
+                 make_pencil_mesh(data=2, spx=2, spy=2)):
+        gm = Generator(n, n, n, grid_spacing=spacing, mesh=mesh)
+        got = np.asarray(gm.generate_displacement(seed=3, order=2))
+        np.testing.assert_allclose(got, ref, atol=2e-5 * scale)
+        c1 = np.asarray(
+            gm.generate_displacement(seed=3, order=2, component=1)
+        )
+        np.testing.assert_allclose(c1, got[1], atol=1e-6 * scale)
 
 
 def test_2lpt_raises_skewness_above_zeldovich():
