@@ -925,14 +925,15 @@ class Generator:
         Morphological validation beyond two-point statistics: spectral
         derivatives + threshold binning (validate/minkowski.py); gate
         against :meth:`predicted_minkowski`.  Pass ``sigma0`` (e.g. the
-        predicted one) so the threshold units are noise-free.
-        Single-device estimator.  Returns ``(nu, v0, v1, v2, v3)``.
+        predicted one) so the threshold units are noise-free.  Mesh
+        scenes run the fully distributed program (slab AND pencil).
+        Returns ``(nu, v0, v1, v2, v3)``.
         """
         from randomfield_tpu.validate import minkowski as _mk
 
         return _mk.minkowski_functionals(
             delta, self.scene.grid_spacing, nbins=nbins, nu_max=nu_max,
-            sigma0=sigma0,
+            sigma0=sigma0, mesh=self.mesh,
         )
 
     def predicted_minkowski(self, nu, smoothing_length=0.0):

@@ -52,6 +52,7 @@ __all__ = [
     "minkowski_functionals",
     "gaussian_minkowski",
     "spectral_moments",
+    "make_sharded_minkowski",
 ]
 
 
@@ -150,8 +151,91 @@ def _threshold_bins(u, w1, w2, w3, edges, nbins):
     return jnp.sum(outs, axis=0), jnp.sum(tails)
 
 
+@functools.lru_cache(maxsize=16)
+def make_sharded_minkowski(mesh, shape, spacing, nbins,
+                           dtype_name="float32"):
+    """Compile the mesh-native Minkowski measurement (slab or pencil).
+
+    One distributed forward transform + nine elementwise-kernel
+    distributed inverses build (grad u, Hess u) sharded like the render;
+    the curvature invariants are shard-local pointwise; the threshold
+    binning runs as ``nbins`` fused masked global reductions (XLA psums
+    over the spatial axes — mesh-family agnostic, unlike a shard_map
+    with a hard-coded field spec).  fn(delta, sigma0, edges) ->
+    ((4, nbins) sums, above-last-edge tail count).
+    """
+    from randomfield_tpu.models.constrained import _forward_mesh
+    from randomfield_tpu.parallel.render import _inverse, _mesh_specs
+
+    dtype = jnp.dtype(dtype_name)
+    _, spec_sharding, _ = _mesh_specs(mesh, batched=False)
+
+    def fn(delta, sigma0, edges):
+        u = jnp.asarray(delta, dtype) / sigma0
+        a = _forward_mesh(u, shape, mesh, dtype)
+        kv = _grad_bcast(shape, spacing, dtype)
+
+        def inv(ck):
+            ck = jax.lax.with_sharding_constraint(ck, spec_sharding)
+            return _inverse(ck, shape, mesh, False)
+
+        g = [
+            inv(jax.lax.complex(-a.imag * kv[i], a.real * kv[i]))
+            for i in range(3)
+        ]
+        A = {}
+        for i in range(3):
+            for j in range(i, 3):
+                A[(i, j)] = inv(-(kv[i] * kv[j]) * a)
+        g2 = g[0] * g[0] + g[1] * g[1] + g[2] * g[2]
+        trA = A[(0, 0)] + A[(1, 1)] + A[(2, 2)]
+        gAg = (
+            g[0] * g[0] * A[(0, 0)]
+            + g[1] * g[1] * A[(1, 1)]
+            + g[2] * g[2] * A[(2, 2)]
+            + 2.0 * (
+                g[0] * g[1] * A[(0, 1)]
+                + g[0] * g[2] * A[(0, 2)]
+                + g[1] * g[2] * A[(1, 2)]
+            )
+        )
+        gcofg = (
+            g[0] * g[0] * (A[(1, 1)] * A[(2, 2)] - A[(1, 2)] ** 2)
+            + g[1] * g[1] * (A[(0, 0)] * A[(2, 2)] - A[(0, 2)] ** 2)
+            + g[2] * g[2] * (A[(0, 0)] * A[(1, 1)] - A[(0, 1)] ** 2)
+            + 2.0 * g[0] * g[1]
+            * (A[(0, 2)] * A[(1, 2)] - A[(0, 1)] * A[(2, 2)])
+            + 2.0 * g[0] * g[2]
+            * (A[(0, 1)] * A[(1, 2)] - A[(0, 2)] * A[(1, 1)])
+            + 2.0 * g[1] * g[2]
+            * (A[(0, 1)] * A[(0, 2)] - A[(1, 2)] * A[(0, 0)])
+        )
+        safe = jnp.where(g2 > 0, g2, 1.0)
+        w1 = jnp.sqrt(g2)
+        w2 = jnp.where(g2 > 0, (gAg - g2 * trA) / safe, 0.0)
+        w3 = jnp.where(g2 > 0, gcofg / (safe * jnp.sqrt(safe)), 0.0)
+
+        idx = jnp.searchsorted(
+            edges, u, side="right", method="compare_all"
+        ) - 1
+        above = idx >= nbins
+
+        def one(b):
+            m = jnp.where(idx == b, jnp.ones((), dtype),
+                          jnp.zeros((), dtype))
+            return jnp.stack([
+                jnp.sum(m), jnp.sum(m * w1), jnp.sum(m * w2),
+                jnp.sum(m * w3),
+            ])
+
+        sums = jax.lax.map(one, jnp.arange(nbins))
+        return sums.T, jnp.sum(above.astype(dtype))
+
+    return jax.jit(fn)
+
+
 def minkowski_functionals(delta, spacing, nbins=24, nu_max=3.0,
-                          sigma0=None):
+                          sigma0=None, mesh=None):
     """Measured Minkowski functional densities of a 3-D field.
 
     Thresholds are ``nbins`` uniform values nu in [-nu_max, nu_max] (in
@@ -163,24 +247,40 @@ def minkowski_functionals(delta, spacing, nbins=24, nu_max=3.0,
     * ``v1..v3`` estimate <w delta(u - nu)> by binning voxels into
       threshold cells of width dnu centered on each nu (bias O(dnu^2));
     * curvature units: lengths in the field's comoving units via
-      ``spacing`` (derivatives are spectral).
+      ``spacing`` (derivatives are spectral);
+    * with ``mesh`` (slab or pencil) the whole measurement runs
+      distributed — sharded transforms, shard-local invariants, psum
+      threshold reductions; parity with single-device is asserted in
+      tests.
     """
-    d = jnp.asarray(delta)
-    shape = tuple(int(s) for s in d.shape)
+    shape = tuple(int(s) for s in delta.shape[-3:])
     if sigma0 is None:
         from randomfield_tpu.validate.stats import field_moments
 
-        _, var = field_moments(d)
+        _, var = field_moments(delta)
         sigma0 = float(np.sqrt(var))
-    u = d / jnp.asarray(sigma0, d.dtype)
     nu = np.linspace(-float(nu_max), float(nu_max), int(nbins))
     dnu = nu[1] - nu[0]
     edges = np.concatenate([nu - 0.5 * dnu, [nu[-1] + 0.5 * dnu]])
-    w1, w2, w3 = _field_invariants(u, shape, float(spacing))
-    out, tail = _threshold_bins(
-        u, w1, w2, w3, jnp.asarray(edges, d.dtype), int(nbins)
-    )
-    out = np.asarray(out, np.float64)
+    if mesh is not None:
+        from randomfield_tpu.parallel.multihost import replicated_to_host
+
+        fn = make_sharded_minkowski(
+            mesh, shape, float(spacing), int(nbins),
+        )
+        out, tail = fn(
+            delta, np.float32(sigma0), np.asarray(edges, np.float32)
+        )
+        out = np.asarray(replicated_to_host(out), np.float64)
+        tail = float(replicated_to_host(tail))
+    else:
+        d = jnp.asarray(delta)
+        u = d / jnp.asarray(sigma0, d.dtype)
+        w1, w2, w3 = _field_invariants(u, shape, float(spacing))
+        out, tail = _threshold_bins(
+            u, w1, w2, w3, jnp.asarray(edges, d.dtype), int(nbins)
+        )
+        out = np.asarray(out, np.float64)
     n = float(np.prod(shape))
     counts = out[0]
     # exact v0 at each nu: voxels above the bin center = voxels above

@@ -72,6 +72,33 @@ def test_minkowski_qualitative_structure():
     assert v3[mid] < 0 and v3[0] > 0 and v3[-1] > 0
 
 
+def test_mesh_native_minkowski_matches_single_device():
+    """The distributed measurement equals the single-device one (same
+    spectral kernels, identical field, reductions differ only by f32
+    ordering) on slab AND pencil meshes."""
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    n, sp, sm = 16, 8.0, 16.0
+    g0 = rf.Generator(n, n, n, grid_spacing=sp)
+    d = np.asarray(
+        g0.generate_delta_field(5, smoothing_length=sm,
+                                apply_lightcone=False)
+    )
+    nu0, *ref = g0.calculate_minkowski(d, nbins=9, nu_max=2.0, sigma0=0.3)
+    for mesh in (make_mesh(data=2, space=4),
+                 make_pencil_mesh(data=2, spx=2, spy=2)):
+        gm = rf.Generator(n, n, n, grid_spacing=sp, mesh=mesh)
+        nu, *got = gm.calculate_minkowski(d, nbins=9, nu_max=2.0,
+                                          sigma0=0.3)
+        np.testing.assert_allclose(nu, nu0)
+        for k in range(4):
+            scale = np.abs(ref[k]).max() or 1.0
+            np.testing.assert_allclose(
+                got[k], ref[k], atol=1e-4 * scale, rtol=1e-3
+            )
+
+
 def test_minkowski_default_sigma0_and_units():
     """Default sigma0 (the field's own std) keeps v0(0) ~ 1/2, and the
     functional amplitudes scale with sigma1/sigma0 as the units demand:
