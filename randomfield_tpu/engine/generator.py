@@ -954,6 +954,51 @@ class Generator:
         )
         return _mk.gaussian_minkowski(nu, s0sq, s1sq)
 
+    def calculate_peaks(self, delta, nbins=14, nu_min=-2.0, nu_max=5.0,
+                        sigma0=None):
+        """Lattice peak counts of a rendered field, binned by height.
+
+        BBKS validation axis: local maxima of the 27-cube, heights in
+        units of ``sigma0`` (pass the predicted one when gating against
+        :meth:`predicted_peaks`).  Mesh scenes run fully distributed
+        (rolled-max halo exchanges over the spatial axes; slab AND
+        pencil).  Render with ``smoothing_length`` of ~3+ cells so
+        lattice maxima track continuum maxima (validate/peaks.py).
+        Returns ``(nu_centers, counts, total)``.
+        """
+        from randomfield_tpu.validate import peaks as _pk
+
+        return _pk.peak_statistics(
+            delta, self.scene.grid_spacing, nbins=nbins, nu_min=nu_min,
+            nu_max=nu_max, sigma0=sigma0, mesh=self.mesh,
+        )
+
+    def predicted_peaks(self, nbins=14, nu_min=-2.0, nu_max=5.0,
+                        smoothing_length=0.0):
+        """BBKS expectations of :meth:`calculate_peaks`.
+
+        Exact differential peak density (BBKS 1986 eqs. 4.3-4.5, A15)
+        with spectral moments sigma0/sigma1/sigma2 from this scene's
+        discrete modes (full |k|^{2j} weights — matched to neighbor
+        comparison, see validate/peaks.py).  Returns ``(nu_centers,
+        expected_counts, expected_total)``; the total integrates the
+        closed form over ALL heights, not just the binned range.
+        """
+        from randomfield_tpu.validate import peaks as _pk
+
+        moments = _pk.bbks_moments(
+            self._aux["power"], self.scene.shape, self.scene.grid_spacing,
+            smoothing_length=smoothing_length,
+            interpolation=self.scene.interpolation,
+        )
+        edges = np.linspace(float(nu_min), float(nu_max), int(nbins) + 1)
+        volume = (
+            float(np.prod(self.scene.shape))
+            * float(self.scene.grid_spacing) ** 3
+        )
+        counts, total = _pk.bbks_expected_counts(edges, volume, *moments)
+        return 0.5 * (edges[:-1] + edges[1:]), counts, total
+
     def calculate_bispectrum(self, delta, nbins=8, kmin=None, kmax=None):
         """Binned bispectrum of a rendered field (third-order gate).
 
