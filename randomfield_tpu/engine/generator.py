@@ -999,6 +999,60 @@ class Generator:
         counts, total = _pk.bbks_expected_counts(edges, volume, *moments)
         return 0.5 * (edges[:-1] + edges[1:]), counts, total
 
+    def calculate_stacked_profile(self, delta, weight, nbins=24):
+        """Mean field value in radial shells around weighted positions.
+
+        One FFT cross-correlation + the xi(r) minimum-image binning
+        (validate/profiles.py).  ``weight`` is any non-negative
+        selection field on the grid (height-band mask, peak indicator,
+        tracer counts).  Returns ``(r_mean, profile, n_cells)``.
+        """
+        from randomfield_tpu.validate import profiles as _pf
+
+        return _pf.stacked_profile(
+            delta, weight, self.scene.grid_spacing, nbins=nbins
+        )
+
+    def calculate_peak_profile(self, delta, nu_min=1.0, nu_max=None,
+                               nbins=24, smoothing_length=0.0):
+        """Stacked profile around lattice peaks in a height band.
+
+        ``smoothing_length`` must match the render so the normalizing
+        spectral moments are the field's own.  Returns ``(r_mean,
+        profile, n_peaks, nu_bar, x_bar)``; feed the measured
+        ``nu_bar``/``x_bar`` to :meth:`predicted_peak_profile`.
+        """
+        from randomfield_tpu.validate import peaks as _pk
+        from randomfield_tpu.validate import profiles as _pf
+
+        moments = _pk.bbks_moments(
+            self._aux["power"], self.scene.shape, self.scene.grid_spacing,
+            smoothing_length=smoothing_length,
+            interpolation=self.scene.interpolation,
+        )
+        return _pf.peak_profile(
+            delta, self.scene.grid_spacing, moments, nu_min=nu_min,
+            nu_max=nu_max, nbins=nbins,
+        )
+
+    def predicted_peak_profile(self, nu_bar, x_bar=None, nbins=24,
+                               smoothing_length=0.0):
+        """Exact Gaussian expectation of a stacked profile.
+
+        ``x_bar=None``: the value-selected conditional mean
+        ``nu_bar sigma0 psi(r)`` (exact for any height-band mask).
+        With ``x_bar``: the BBKS angle-averaged peak profile with the
+        curvature term.  Binned identically to the estimator.  Returns
+        ``(r_mean, profile)``.
+        """
+        from randomfield_tpu.validate import profiles as _pf
+
+        return _pf.predicted_peak_profile(
+            self._aux["power"], self.scene.shape, self.scene.grid_spacing,
+            nu_bar, x_bar=x_bar, smoothing_length=smoothing_length,
+            nbins=nbins, interpolation=self.scene.interpolation,
+        )
+
     def calculate_bispectrum(self, delta, nbins=8, kmin=None, kmax=None):
         """Binned bispectrum of a rendered field (third-order gate).
 
