@@ -54,6 +54,14 @@ def main(argv=None):
     p.add_argument("--xi", action="store_true",
                    help="with --stats: also print the measured two-point "
                         "correlation xi(r) per seed")
+    p.add_argument("--minkowski", action="store_true",
+                   help="print Minkowski functionals v0..v3 per seed "
+                        "(with exact Gaussian predictions for plain "
+                        "Gaussian renders; requires --no-lightcone)")
+    p.add_argument("--peaks", action="store_true",
+                   help="print lattice peak counts by height per seed "
+                        "(with BBKS predictions for plain Gaussian "
+                        "renders; requires --no-lightcone)")
     p.add_argument("--no-lightcone", action="store_true")
     p.add_argument("--out", default=None,
                    help="output .npz path ({seed} is substituted)")
@@ -146,6 +154,12 @@ def main(argv=None):
         if args.fixed:
             p.error("--bias composes with random-phase fields only; drop "
                     "--fixed")
+    if (args.minkowski or args.peaks) and not args.no_lightcone:
+        p.error("--minkowski/--peaks measure homogeneous-field "
+                "morphology; render with --no-lightcone")
+    if (args.minkowski or args.peaks) and args.sample_power:
+        p.error("--minkowski/--peaks need rendered fields; drop "
+                "--sample-power")
     if args.xi:
         if not args.stats:
             p.error("--xi prints alongside --stats; add --stats")
@@ -249,6 +263,46 @@ def main(argv=None):
                     if nc[i] > 0:
                         print(f"  r = {r[i]:9.3f}  xi = {xi[i]:+.5e}  "
                               f"({nc[i]:10.0f} cells)")
+        if args.minkowski or args.peaks:
+            # exact Gaussian predictions only apply to the plain render
+            gaussian = not (args.lognormal or args.bias is not None
+                            or args.fixed)
+            sig0 = (np.sqrt(gen.predicted_variance(args.smoothing))
+                    if gaussian else None)
+        if args.minkowski:
+            from randomfield_tpu.validate.minkowski import (
+                minkowski_functionals,
+            )
+
+            nu, v0, v1, v2, v3 = minkowski_functionals(
+                delta, args.spacing, nbins=args.nbins, sigma0=sig0,
+                mesh=mesh,
+            )
+            preds = (gen.predicted_minkowski(nu, args.smoothing)
+                     if gaussian else None)
+            for i in range(len(nu)):
+                line = (f"  nu = {nu[i]:+6.2f}  v0 = {v0[i]:.4f}  "
+                        f"v1 = {v1[i]:.3e}  v2 = {v2[i]:+.3e}  "
+                        f"v3 = {v3[i]:+.3e}")
+                if preds is not None:
+                    line += (f"   [exp v3 = {preds[3][i]:+.3e}]")
+                print(line)
+        if args.peaks:
+            from randomfield_tpu.validate.peaks import peak_statistics
+
+            nu_c, counts, total = peak_statistics(
+                delta, args.spacing, sigma0=sig0, mesh=mesh,
+            )
+            exp = (gen.predicted_peaks(smoothing_length=args.smoothing)
+                   if gaussian else None)
+            print(f"  peaks: {total} lattice maxima"
+                  + (f" (BBKS expects {exp[2]:.1f})" if exp else ""))
+            for i in range(len(nu_c)):
+                if counts[i] or (exp is not None and exp[1][i] >= 0.5):
+                    line = f"  nu = {nu_c[i]:+6.2f}  n = {counts[i]:6d}"
+                    if exp is not None:
+                        line += f"  (exp {exp[1][i]:8.1f})"
+                    print(line)
         if args.out:
             path = args.out.replace("{seed}", str(seed))
             extra = {}

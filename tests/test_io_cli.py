@@ -290,3 +290,40 @@ def test_cli_biased_tracer_and_xi(tmp_path):
             [sys.executable, "-m", "randomfield_tpu"] + bad,
             capture_output=True, text=True, env=env, cwd=repo, timeout=600)
         assert res.returncode != 0
+
+
+def test_cli_morphology_flags(tmp_path):
+    """--minkowski / --peaks print measured + predicted morphology for
+    plain Gaussian renders, and refuse lightcone-weighted fields."""
+    import os, pathlib
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    cmd = [sys.executable, "-m", "randomfield_tpu", "--nx", "24",
+           "--spacing", "4.0", "--seed", "0", "--smoothing", "8.0",
+           "--no-lightcone", "--minkowski", "--peaks", "--nbins", "7",
+           "--quiet"]
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "v3 =" in res.stdout and "[exp v3" in res.stdout
+    assert "lattice maxima (BBKS expects" in res.stdout
+
+    # lognormal: measured morphology prints, Gaussian predictions do not
+    res = subprocess.run(
+        cmd + ["--lognormal"], capture_output=True, text=True, env=env,
+        cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "v3 =" in res.stdout and "[exp v3" not in res.stdout
+    assert "BBKS expects" not in res.stdout
+
+    # usage error without --no-lightcone
+    res = subprocess.run(
+        [sys.executable, "-m", "randomfield_tpu", "--nx", "8",
+         "--spacing", "4.0", "--peaks"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=600)
+    assert res.returncode != 0
