@@ -999,6 +999,40 @@ class Generator:
         counts, total = _pk.bbks_expected_counts(edges, volume, *moments)
         return 0.5 * (edges[:-1] + edges[1:]), counts, total
 
+    def generate_nongaussian_field(self, seed, fnl, kind="field",
+                                   smoothing_length=0.0):
+        """Local-f_NL non-Gaussian realization (models/nongaussian.py).
+
+        ``kind='field'``: delta = g + f_NL (g^2 - <g^2>) on this
+        scene's Gaussian render; ``kind='potential'``: f_NL applied to
+        the Bardeen-sign linear potential (the standard cosmological
+        local model, squeezed-limit enhanced).  f_NL = 0 recovers
+        ``generate_delta_field(seed)`` exactly.  Gate with
+        :meth:`calculate_bispectrum` vs :meth:`predicted_ng_bispectrum`.
+        """
+        from randomfield_tpu.models import nongaussian as _ng
+
+        return _ng.generate_local_ng_field(
+            self, seed, fnl, kind=kind, smoothing_length=smoothing_length
+        )
+
+    def predicted_ng_bispectrum(self, fnl, kind="field",
+                                smoothing_length=0.0, nbins=8,
+                                kmin=None, kmax=None):
+        """Exact binned tree-level bispectrum of a local-f_NL render.
+
+        Same bins/triads as :meth:`calculate_bispectrum`; returns
+        ``(k_centers, triples, B_pred, ntri)``.
+        """
+        from randomfield_tpu.models import nongaussian as _ng
+
+        return _ng.predicted_ng_bispectrum(
+            self._aux["power"], self.scene.shape, self.scene.grid_spacing,
+            fnl, kind=kind, cosmology=self.cosmology,
+            smoothing_length=smoothing_length, nbins=nbins, kmin=kmin,
+            kmax=kmax, interpolation=self.scene.interpolation,
+        )
+
     def calculate_stacked_profile(self, delta, weight, nbins=24):
         """Mean field value in radial shells around weighted positions.
 
