@@ -50,7 +50,16 @@ def main(argv=None):
                         "conjugate) realization of each seed")
     p.add_argument("--bias", type=float, default=None,
                    help="with --lognormal: render biased tracer fields "
-                        "exp(b g - b^2 sigma_G^2/2) - 1 (linear bias b)")
+                        "exp(b g - b^2 sigma_G^2/2) - 1; with --rsd: the "
+                        "linear Kaiser tracer bias b (linear bias b)")
+    p.add_argument("--rsd", nargs="?", const="auto", default=None,
+                   metavar="F",
+                   help="render linear Kaiser redshift-space fields "
+                        "(b + f mu^2) delta_k along the z axis (snapshot: "
+                        "needs --no-lightcone); optional F overrides the "
+                        "growth rate (default cosmology.growth_rate(0)); "
+                        "--bias sets b; --stats prints P_0/P_2/P_4 against "
+                        "their exact expectations")
     p.add_argument("--xi", action="store_true",
                    help="with --stats: also print the measured two-point "
                         "correlation xi(r) per seed")
@@ -148,12 +157,27 @@ def main(argv=None):
     if args.flip and not args.fixed:
         p.error("--flip only applies to --fixed (paired realizations)")
     if args.bias is not None:
-        if not args.lognormal:
+        if not (args.lognormal or args.rsd is not None):
             p.error("--bias needs --lognormal (the deterministic lognormal "
-                    "bias model)")
+                    "bias model) or --rsd (linear Kaiser bias)")
         if args.fixed:
             p.error("--bias composes with random-phase fields only; drop "
                     "--fixed")
+    if args.rsd is not None:
+        for flag, name in ((args.lognormal, "--lognormal"),
+                           (args.fixed, "--fixed"),
+                           (args.sample_power, "--sample-power"),
+                           (args.minkowski, "--minkowski"),
+                           (args.peaks, "--peaks"), (args.xi, "--xi")):
+            if flag:
+                p.error(f"--rsd renders anisotropic snapshot fields; drop "
+                        f"{name}")
+        if not args.no_lightcone:
+            p.error("--rsd is a snapshot model (redshift enters through "
+                    "the growth rate only); add --no-lightcone")
+        if args.pencil and args.stats:
+            p.error("--rsd --stats measures multipoles, which need a slab "
+                    "mesh; use --mesh (or drop --stats)")
     if (args.minkowski or args.peaks) and not args.no_lightcone:
         p.error("--minkowski/--peaks measure homogeneous-field "
                 "morphology; render with --no-lightcone")
@@ -222,6 +246,12 @@ def main(argv=None):
                 seed, smoothing_length=args.smoothing,
                 apply_lightcone=not args.no_lightcone, flip=args.flip,
             )
+        elif args.rsd is not None:
+            delta = gen.generate_kaiser_field(
+                seed, bias=1.0 if args.bias is None else args.bias,
+                f=None if args.rsd == "auto" else float(args.rsd),
+                smoothing_length=args.smoothing,
+            )
         elif args.bias is not None:
             delta = gen.generate_biased_field(
                 seed, bias=args.bias, smoothing_length=args.smoothing,
@@ -235,7 +265,26 @@ def main(argv=None):
         delta.block_until_ready()
         if not args.quiet:
             print(f"seed {seed}: rendered in {time.perf_counter() - t0:.3f}s")
-        if args.stats:
+        if args.stats and args.rsd is not None:
+            from randomfield_tpu.validate.stats import (
+                calculate_power_multipoles,
+            )
+
+            k, pl, nm = calculate_power_multipoles(
+                delta, args.spacing, nbins=args.nbins, mesh=mesh
+            )
+            _, pp, _ = gen.predicted_kaiser_multipoles(
+                bias=1.0 if args.bias is None else args.bias,
+                f=None if args.rsd == "auto" else float(args.rsd),
+                nbins=args.nbins, smoothing_length=args.smoothing,
+            )
+            for i in range(len(k)):
+                if nm[i] > 0:
+                    print(f"  k = {k[i]:9.4f}  P0 = {pl[0][i]:12.2f} "
+                          f"(exp {pp[0][i]:12.2f})  P2 = {pl[1][i]:+12.2f} "
+                          f"(exp {pp[1][i]:+12.2f})  P4 = {pl[2][i]:+11.2f} "
+                          f"(exp {pp[2][i]:+11.2f})  ({nm[i]:8.0f} modes)")
+        elif args.stats:
             # axiswise moments: flat f32 mean/var on TPU underestimates
             # variance 10-25% at >=256^3 (sequential accumulation)
             from randomfield_tpu.validate.stats import field_moments
@@ -308,6 +357,12 @@ def main(argv=None):
             extra = {}
             if args.lognormal:
                 extra["model"] = "lognormal"
+            if args.rsd is not None:
+                extra["model"] = "kaiser"
+                extra["growth_rate_f"] = float(
+                    gen.cosmology.growth_rate(0.0) if args.rsd == "auto"
+                    else float(args.rsd)
+                )
             if args.bias is not None:
                 extra["bias"] = float(args.bias)
             if args.fixed:

@@ -1426,6 +1426,76 @@ class Generator:
             seed, pref, component, smoothing_length
         )
 
+    def _kaiser_bf(self, z, bias, f):
+        b = float(bias)
+        if b == 0.0:
+            raise ValueError("bias must be nonzero for a Kaiser field")
+        if f is None:
+            f = self.cosmology.growth_rate(float(z))
+        return b, float(f)
+
+    def generate_kaiser_field(self, seed=0, z=0.0, bias=1.0, f=None,
+                              los_axis=2, smoothing_length=0.0):
+        """Linear redshift-space density field (b + f mu^2) delta_k.
+
+        The plane-parallel Kaiser (1987) distortion applied in the
+        spectrum — the same realization as ``generate_delta_field(seed,
+        apply_lightcone=False)`` boosted per mode by ``b + f mu^2`` with
+        ``mu = k_los / |k|`` along physical axis ``los_axis`` and
+        ``f`` the logarithmic growth rate (default
+        ``cosmology.growth_rate(z)``).  Its multipoles follow the
+        textbook ``P_0 = (b^2 + 2bf/3 + f^2/5) P`` family; measure them
+        with ``validate.stats.calculate_power_multipoles`` and compare
+        against the exactly binned :meth:`predicted_kaiser_multipoles`.
+        Seed-direct like the other derived fields (no forward FFT;
+        works at the HBM ceiling and on slab/pencil meshes).  Snapshot
+        convention: no lightcone weighting (redshift enters only
+        through f).
+        """
+        b, fv = self._kaiser_bf(z, bias, f)
+        return self._derived_from_kernel(
+            seed, "kaiser", int(los_axis), (b, fv), smoothing_length
+        )
+
+    def predicted_kaiser_multipoles(self, z=0.0, bias=1.0, f=None,
+                                    los_axis=2, nbins=32, ells=(0, 2, 4),
+                                    smoothing_length=0.0):
+        """Exact per-bin expectation of a Kaiser render's P_ell(k).
+
+        Interpolates P onto this grid's discrete modes (same
+        interpolation and smoothing as the render), applies
+        ``(b + f mu^2)^2`` per mode, and bins with exactly the Legendre
+        weights, bins and masks of ``calculate_power_multipoles``
+        (validate/stats.py:bin_power_multipoles_grid) — so
+        measured-vs-predicted residuals on
+        :meth:`generate_kaiser_field` renders are pure sample noise,
+        including incomplete-shell mu-coverage effects the continuum
+        Kaiser formula misses.  Returns ``(k_mean, p_ell, n_modes)``
+        with ``p_ell`` shaped ``(len(ells), nbins)``.
+        """
+        from randomfield_tpu.validate import stats as _stats
+
+        b, fv = self._kaiser_bf(z, bias, f)
+        shape, sp = self.scene.shape, self.scene.grid_spacing
+        kmag = _grid.kmag(shape, sp, jnp.float32)
+        pgrid = _power.interpolate_power(
+            self.power, kmag, self.scene.interpolation
+        )
+        pgrid = jnp.where(kmag > 0, pgrid, 0.0)
+        if smoothing_length:
+            pgrid = pgrid * jnp.exp(-(kmag * float(smoothing_length)) ** 2)
+        kv = _grid.kvectors(shape, sp)
+        k_los = jnp.asarray(kv[int(los_axis)], jnp.float32)
+        bcast = [None, None, None]
+        bcast[int(los_axis)] = slice(None)
+        k2 = kmag * kmag
+        inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+        mu2 = (k_los * k_los)[tuple(bcast)] * inv
+        pgrid = pgrid * (b + fv * mu2) ** 2
+        return _stats.bin_power_multipoles_grid(
+            pgrid, shape, sp, nbins=nbins, ells=ells, los_axis=int(los_axis)
+        )
+
     # ---- constrained realizations / data-conditioned sampling ---------------
     def _require_constrainable(self, what, allow_mesh=False):
         if self.mesh is not None:

@@ -273,6 +273,12 @@ def apply_kernel_inline(c, shape, spacing, layout, kind, component=0,
     1024^3).  ``prefactor`` may be a traced scalar.
 
     kind='scalar':  c_k -> prefactor / k^2 * c_k            (0 at DC)
+    kind='kaiser':  c_k -> (b + f mu^2) * c_k with mu = k_los/|k| —
+        the plane-parallel linear redshift-space kernel (Kaiser 1987)
+        for a tracer of bias b; prefactor packs (b, f) as a length-2
+        vector and component selects the physical LOS axis.  Even in
+        every k component, so Hermitianity (and the half-pack c2r
+        tail) is preserved exactly.
     kind='grad':    c_k -> i * prefactor * k_i / k^2 * c_k  (Nyquist-
         zeroed k_i: every self-conjugate mode maps to zero, so the
         output stays exactly Hermitian and the half-pack c2r applies).
@@ -298,6 +304,20 @@ def apply_kernel_inline(c, shape, spacing, layout, kind, component=0,
     if kind == "scalar":
         return c * (pref * inv)
     axes = {"xyz": {0: 0, 1: 1, 2: 2}, "xzy": {0: 0, 1: 2, 2: 1}}[layout]
+    if kind == "kaiser":
+        # c -> (b + f mu^2) c with mu^2 = k_los^2 / k^2 — the linear
+        # Kaiser redshift-space kernel for a tracer of bias b
+        # (prefactor = (b, f) 2-vector, component = physical LOS axis).
+        # k_los^2 is even in every axis, so FULL k vectors keep the
+        # spectrum exactly Hermitian; the DC mode gets mu^2 = 0 (its
+        # c(0) = 0 upstream anyway).
+        bf = pref.reshape(-1)
+        pos = axes[int(component)]
+        kvec = (kx, kmid, klast)[pos]
+        bcast = [None, None, None]
+        bcast[pos] = slice(None)
+        mu2 = (kvec * kvec)[tuple(bcast)] * inv
+        return c * (bf[0] + bf[1] * mu2)
     if kind == "tidal":
         i, j = TIDAL_PAIRS[int(component)]
         if i == j:

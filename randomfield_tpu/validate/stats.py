@@ -735,6 +735,45 @@ def bin_power_grid(pgrid, shape, spacing, nbins=32):
     return _xi_host(counts, psum, ksum)
 
 
+def bin_power_multipoles_grid(pgrid, shape, spacing, nbins=32,
+                              ells=(0, 2, 4), los_axis=2):
+    """Multipole-average a per-mode power half-grid into estimator bins.
+
+    The anisotropic companion of :func:`bin_power_grid`: bins an
+    expectation grid ``E[P_hat(k)]`` (which may depend on mu through,
+    e.g., the Kaiser kernel) with exactly the Legendre weights, bins,
+    multiplicities and masks of :func:`calculate_power_multipoles`, so
+    measured-vs-predicted P_ell residuals are pure sample noise —
+    including the incomplete-shell mu-coverage effects above k_Nyquist
+    the plain ``(2 ell + 1) K_ell P(k)`` continuum formula misses.
+    Returns ``(k_mean, p_ell, n_modes)`` with ``p_ell`` shaped
+    ``(len(ells), nbins)``.
+    """
+    shape = tuple(int(s) for s in shape)
+    ells = tuple(int(e) for e in ells)
+    p = jnp.asarray(pgrid)
+    km = _grid.kmag(shape, float(spacing), p.dtype)
+    kv = _grid.kvectors(shape, float(spacing))
+    k_los = jnp.asarray(kv[int(los_axis)], p.dtype)
+    bcast = [None, None, None]
+    bcast[int(los_axis)] = slice(None)
+    k_los = k_los[tuple(bcast)]
+    mu2 = jnp.where(km > 0, (k_los / jnp.where(km > 0, km, 1.0)) ** 2, 0.0)
+    edges, mult = _bin_setup(shape, float(spacing), int(nbins))
+    kmb = jnp.broadcast_to(km, p.shape)
+    multb = jnp.asarray(mult)[None, None, :]
+    edges_j = jnp.asarray(edges, p.dtype)
+    out = []
+    counts = ksum = None
+    for ell in ells:
+        w_ell = (2.0 * ell + 1.0) * _LEGENDRE_EVEN[ell](mu2)
+        counts, psum, ksum = _masked_bins(
+            kmb, multb, p * w_ell, edges_j, int(nbins), per_slab=True
+        )
+        out.append(psum)
+    return _xi_host(counts, jnp.stack(out), ksum)
+
+
 def spectrum_power(c, shape, spacing, nbins=32, layout="xyz"):
     """Realized binned P(k) directly from a packed sampled spectrum.
 

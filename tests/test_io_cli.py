@@ -327,3 +327,47 @@ def test_cli_morphology_flags(tmp_path):
          "--spacing", "4.0", "--peaks"],
         capture_output=True, text=True, env=env, cwd=repo, timeout=600)
     assert res.returncode != 0
+
+
+def test_cli_rsd(tmp_path):
+    """--rsd renders Kaiser fields; --stats prints measured + expected
+    multipoles; usage errors guard the snapshot/isotropy constraints."""
+    import os
+    import pathlib
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    out = tmp_path / "rsd_{seed}.npz"
+    cmd = [sys.executable, "-m", "randomfield_tpu", "--nx", "16",
+           "--spacing", "16.0", "--seed", "3", "--rsd", "0.6",
+           "--bias", "1.5", "--no-lightcone", "--stats", "--nbins", "5",
+           "--out", str(out)]
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "P0 =" in res.stdout and "P4 =" in res.stdout
+    delta, meta = rio.load_field(tmp_path / "rsd_3.npz")
+    assert meta["extra"]["model"] == "kaiser"
+    assert meta["extra"]["growth_rate_f"] == 0.6
+    assert meta["extra"]["bias"] == 1.5
+
+    # --rsd without a value uses the cosmology's growth rate
+    res = subprocess.run(
+        [sys.executable, "-m", "randomfield_tpu", "--nx", "16",
+         "--spacing", "16.0", "--seed", "1", "--rsd", "--no-lightcone",
+         "--quiet"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    # usage errors: missing --no-lightcone; composing with --lognormal
+    for bad in (["--nx", "8", "--spacing", "16.0", "--rsd"],
+                ["--nx", "8", "--spacing", "16.0", "--rsd",
+                 "--no-lightcone", "--lognormal"]):
+        res = subprocess.run(
+            [sys.executable, "-m", "randomfield_tpu"] + bad,
+            capture_output=True, text=True, env=env, cwd=repo, timeout=600)
+        assert res.returncode != 0
