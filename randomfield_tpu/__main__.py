@@ -175,9 +175,6 @@ def main(argv=None):
         if not args.no_lightcone:
             p.error("--rsd is a snapshot model (redshift enters through "
                     "the growth rate only); add --no-lightcone")
-        if args.pencil and args.stats:
-            p.error("--rsd --stats measures multipoles, which need a slab "
-                    "mesh; use --mesh (or drop --stats)")
     if (args.minkowski or args.peaks) and not args.no_lightcone:
         p.error("--minkowski/--peaks measure homogeneous-field "
                 "morphology; render with --no-lightcone")

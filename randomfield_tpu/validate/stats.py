@@ -361,10 +361,10 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
     window and ``interlaced_with`` alias-cancels with a half-cell-
     shifted painting, exactly as in :func:`calculate_power`.
     Single-device by default; with ``mesh`` (a ('data','space') slab
-    mesh) the transform runs distributed and the mu^2-weighted binning
-    is shard-local with one psum (window/interlacing stay single-device
-    — catalog painting is a validation-scale tool; pencil meshes:
-    reshard to a slab mesh first).
+    mesh or a 2-D pencil mesh) the transform runs distributed and the
+    mu^2-weighted binning is shard-local with one psum
+    (window/interlacing stay single-device — catalog painting is a
+    validation-scale tool).
 
     Domain note: bins beyond the axis Nyquist ``pi / spacing`` hold
     incomplete k-shells (only diagonal-direction modes exist), which
@@ -392,9 +392,15 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
                 "drop mesh= or window="
             )
         if is_pencil_mesh(mesh):
-            raise ValueError(
-                "multipoles on a pencil mesh are unsupported: reshard the "
-                "field to a ('data','space') slab mesh first"
+            fn = _make_pencil_multipoles(
+                mesh, shape, float(spacing), int(nbins), ells, int(los_axis)
+            )
+            counts, psums, ksum = fn(delta)
+            from randomfield_tpu.parallel.multihost import replicated_to_host
+
+            return _xi_host(
+                replicated_to_host(counts), replicated_to_host(psums),
+                replicated_to_host(ksum),
             )
         if mesh.shape.get(SPACE_AXIS, 1) > 1 or not getattr(
             delta, "is_fully_addressable", True
@@ -527,6 +533,85 @@ def _make_sharded_binned(mesh, shape, spacing, nbins):
             check_vma=False,
         )(c)
         return bins[0], bins[1], bins[2]
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
+    """Distributed P_ell(k) on a 2-D pencil mesh: distributed forward
+    FFT + shard-local mu^2 / Legendre-weighted binning + one psum over
+    both spatial axes.  The pencil analog of _make_sharded_multipoles;
+    the state-1 spectrum shards ky over 'spx' and kz over 'spy', so the
+    LOS wavenumber slice depends on which axis is the LOS."""
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.ops import grid as _grid
+    from randomfield_tpu.parallel import pencil as _pencil
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    volume = nx * ny * nz * spacing**3
+    px = mesh.shape[_pencil.SPX_AXIS]
+    py = mesh.shape[_pencil.SPY_AXIS]
+    ny_loc = ny // px
+    nzp = nzh + (-nzh) % py
+    nz_loc = nzp // py
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    mult_p = np.zeros(nzp, np.float32)
+    mult_p[:nzh] = mult
+    kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+    kz_p = np.zeros(nzp, kz.dtype)
+    kz_p[:nzh] = kz
+
+    def _local_bins(cl):
+        j = jax.lax.axis_index(_pencil.SPX_AXIS)
+        m = jax.lax.axis_index(_pencil.SPY_AXIS)
+        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (j * ny_loc,), (ny_loc,))
+        kz_l = jax.lax.dynamic_slice(jnp.asarray(kz_p), (m * nz_loc,), (nz_loc,))
+        mult_l = jax.lax.dynamic_slice(
+            jnp.asarray(mult_p), (m * nz_loc,), (nz_loc,)
+        )
+        kv = (jnp.asarray(kx), ky_l, kz_l)
+        km = jnp.sqrt(
+            (kv[0] * kv[0])[:, None, None]
+            + (kv[1] * kv[1])[None, :, None]
+            + (kv[2] * kv[2])[None, None, :]
+        ).astype(cl.real.dtype)
+        k_los = kv[los_axis].astype(km.dtype)
+        bcast = [None, None, None]
+        bcast[los_axis] = slice(None)
+        k_los = k_los[tuple(bcast)]
+        mu2 = jnp.where(km > 0, (k_los / jnp.where(km > 0, km, 1.0)) ** 2,
+                        0.0)
+        p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        kmb = jnp.broadcast_to(km, p.shape)
+        multb = mult_l[None, None, :]
+        edges_j = jnp.asarray(edges, p.dtype)
+        psums = []
+        counts = ksum = None
+        for ell in ells:
+            w_ell = (2.0 * ell + 1.0) * _LEGENDRE_EVEN[ell](mu2)
+            counts, psum_, ksum = _masked_bins(
+                kmb, multb, p * w_ell, edges_j, nbins, per_slab=True
+            )
+            psums.append(psum_)
+        return jax.lax.psum(
+            jnp.concatenate([counts[None], jnp.stack(psums), ksum[None]]),
+            (_pencil.SPX_AXIS, _pencil.SPY_AXIS),
+        )
+
+    @jax.jit
+    def fn(delta):
+        c = _pencil.rfftn_pencil(delta, shape, mesh, keep_pad=True)
+        bins = jax.shard_map(
+            _local_bins,
+            mesh=mesh,
+            in_specs=P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS),
+            out_specs=P(),
+            check_vma=False,
+        )(c)
+        return bins[0], bins[1:-1], bins[-1]
 
     return fn
 

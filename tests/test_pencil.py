@@ -191,3 +191,31 @@ def test_pencil_shape_validation_generator():
     with pytest.raises(ValueError):
         Generator(15, 16, 16, grid_spacing=8.0,
                   mesh=pc.make_pencil_mesh(data=1, spx=2, spy=4))
+
+
+@pytest.mark.parametrize("los_axis", [0, 1, 2])
+def test_pencil_power_multipoles_match_single_device(los_axis):
+    # Kaiser-distorted render: P_0/P_2/P_4 from the pencil-distributed
+    # estimator (shard-local mu^2 + Legendre binning, kz pad plane
+    # masked) equal the single-device estimate, every LOS axis
+    from randomfield_tpu import Generator
+    from randomfield_tpu.validate import stats
+
+    shape, spacing = (16, 16, 16), 8.0
+    mesh = pc.make_pencil_mesh(data=2, spx=2, spy=2)
+    g0 = Generator(*shape, grid_spacing=spacing)
+    g1 = Generator(*shape, grid_spacing=spacing, mesh=mesh)
+    d0 = g0.generate_kaiser_field(5, bias=1.3, f=0.7, los_axis=los_axis)
+    d1 = g1.generate_kaiser_field(5, bias=1.3, f=0.7, los_axis=los_axis)
+    k0, p0, c0 = stats.calculate_power_multipoles(
+        d0, spacing, nbins=6, los_axis=los_axis
+    )
+    k1, p1, c1 = stats.calculate_power_multipoles(
+        d1, spacing, nbins=6, los_axis=los_axis, mesh=mesh
+    )
+    np.testing.assert_allclose(c1, c0, rtol=1e-6)
+    m = c0 > 0
+    np.testing.assert_allclose(k1[m], k0[m], rtol=1e-5)
+    np.testing.assert_allclose(
+        p1[:, m], p0[:, m], rtol=5e-3, atol=2e-5 * np.nanmax(np.abs(p0))
+    )

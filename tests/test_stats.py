@@ -196,14 +196,9 @@ def test_mesh_power_multipoles_match_single_device():
         scale = np.nanmax(np.abs(p0))
         np.testing.assert_allclose(p[:, m], p0[:, m], rtol=5e-3,
                                    atol=2e-5 * scale)
-    # guards: pencil mesh and window+mesh reject
+    # guard: window+mesh rejects (catalog painting is single-device)
     import pytest as _pytest
-    from randomfield_tpu.parallel.pencil import make_pencil_mesh
 
-    with _pytest.raises(ValueError, match="pencil"):
-        stats.calculate_power_multipoles(
-            np.zeros((8, 8, 8), np.float32), 1.0,
-            mesh=make_pencil_mesh(data=1, spx=2, spy=2))
     with _pytest.raises(ValueError, match="single-device"):
         stats.calculate_power_multipoles(
             np.zeros((8, 8, 8), np.float32), 1.0, window="cic",
