@@ -67,11 +67,16 @@ def transformed_power(power, shape, spacing, nbins=256,
     kmag = _grid.kmag(shape, spacing, jnp.float32)
     pgrid = _power.interpolate_power(table, kmag, interpolation)
     pgrid = jnp.where(kmag > 0, pgrid, 0.0)
-    xi = _transform.irfftn(
-        (pgrid / jnp.asarray(volume, jnp.float32)).astype(jnp.complex64),
-        shape,
-    )
-    xi = np.asarray(xi, np.float64)
+
+    # complex values live INSIDE one jitted program: eagerly
+    # materialized complex64 buffers cannot cross program boundaries on
+    # the axon TPU runtime (ops/transform.py "axon" notes)
+    @jax.jit
+    def _xi_of(p):
+        c = (p / jnp.asarray(volume, jnp.float32)).astype(jnp.complex64)
+        return _transform.irfftn(c, shape)
+
+    xi = np.asarray(_xi_of(pgrid), np.float64)
     if xi.min() <= -1.0:
         raise ValueError(
             f"target xi reaches {xi.min():.4f} <= -1 on this grid; the "
@@ -79,9 +84,13 @@ def transformed_power(power, shape, spacing, nbins=256,
             "amplitude or refine the grid)"
         )
     xi_g = np.log1p(xi)
+
+    @jax.jit
+    def _pg_of(x):  # keep the complex spectrum inside the program too
+        return _transform.rfftn(x, norm="forward").real
+
     pg = np.asarray(
-        _transform.rfftn(jnp.asarray(xi_g, jnp.float32), norm="forward").real,
-        np.float64,
+        _pg_of(jnp.asarray(xi_g, jnp.float32)), np.float64
     ) * volume
     neg = -pg[pg < 0].sum()
     total = np.abs(pg).sum()

@@ -36,6 +36,8 @@ __all__ = [
     "sigma_m",
     "multiplicity",
     "mass_function",
+    "bias_nu",
+    "halo_bias",
 ]
 
 #: Spherical-collapse critical overdensity (EdS value; the standard
@@ -121,3 +123,62 @@ def mass_function(power, m, cosmology="Planck13", z=0.0, fit="st"):
     dlnsinv_dlnm = -(np.log(s_hi) - np.log(s_lo)) / (2.0 * eps)
     f = multiplicity(s_mid, fit=fit)
     return s_mid, (rho / m) * f * dlnsinv_dlnm
+
+
+def bias_nu(nu, fit="st"):
+    """Linear halo bias b(nu), nu = delta_c / sigma(M, z).
+
+    * ``'ps'`` — peak-background split of Press-Schechter (Mo & White
+      1996): ``b = 1 + (nu^2 - 1)/delta_c``.  Satisfies the exact
+      all-mass constraint ``Integral f_PS(nu) b_PS(nu) dln nu = 1``
+      (matter is unbiased against itself) — asserted in tests.
+    * ``'st'`` — peak-background split of the Sheth-Tormen
+      multiplicity (Sheth & Tormen 1999 eq. 12, a=0.707, p=0.3):
+      ``b = 1 + (a nu^2 - 1)/delta_c + 2p / (delta_c [1 + (a nu^2)^p])``.
+      Satisfies the same constraint against f_ST.
+    * ``'tinker10'`` — Tinker et al. 2010 (table 2, Delta = 200 x
+      mean), the simulation-calibrated companion of the 'tinker08'
+      mass function: ``b = 1 - A nu^a/(nu^a + delta_c^a) + B nu^b
+      + C nu^c`` with y = log10(200).
+    """
+    nu = np.asarray(nu, np.float64)
+    if fit == "ps":
+        return 1.0 + (nu * nu - 1.0) / DELTA_C
+    if fit == "st":
+        a_st, p = 0.707, 0.3
+        anu2 = a_st * nu * nu
+        return (
+            1.0
+            + (anu2 - 1.0) / DELTA_C
+            + 2.0 * p / (DELTA_C * (1.0 + anu2**p))
+        )
+    if fit in ("tinker10", "tinker08"):  # bias companion of tinker08
+        y = np.log10(200.0)
+        expy = np.exp(-((4.0 / y) ** 4))
+        big_a = 1.0 + 0.24 * y * expy
+        a_t = 0.44 * y - 0.88
+        big_b, b_t = 0.183, 1.5
+        big_c = 0.019 + 0.107 * y + 0.19 * expy
+        c_t = 2.4
+        nua = nu**a_t
+        return (
+            1.0
+            - big_a * nua / (nua + DELTA_C**a_t)
+            + big_b * nu**b_t
+            + big_c * nu**c_t
+        )
+    raise ValueError(f"unknown bias fit {fit!r}; "
+                     "use 'ps', 'st' or 'tinker10'")
+
+
+def halo_bias(power, m, cosmology="Planck13", z=0.0, fit="st"):
+    """Linear halo bias b(M, z) [dimensionless] at masses ``m`` [Msun/h].
+
+    Peak-background split / calibrated fits (see :func:`bias_nu`)
+    evaluated at ``nu = delta_c / sigma(M, z)`` with the same exact
+    sigma(R_L(M)) integral as :func:`mass_function` — the two are a
+    consistent pair for abundance-and-clustering mocks
+    (models/halos.py).  Returns ``(sigma, b)``.
+    """
+    s = sigma_m(power, m, cosmology, z=z)
+    return s, bias_nu(DELTA_C / s, fit=fit)
