@@ -31,7 +31,28 @@ from randomfield_tpu.models import massfunction as _mf
 from randomfield_tpu.models.halos import HaloGenerator
 from randomfield_tpu.models.halomodel import concentration
 
-__all__ = ["zheng05_occupation", "sample_nfw_radii", "HODGenerator"]
+__all__ = [
+    "zheng05_occupation",
+    "sample_nfw_radii",
+    "virial_dispersion",
+    "HODGenerator",
+]
+
+#: Newton's constant in (km/s)^2 Mpc / Msun — h cancels in h-units.
+G_KMS = 4.30091e-9
+
+
+def virial_dispersion(m, cosmology="Planck13", delta=200.0):
+    """1-D virial velocity dispersion sigma_v(M) [km/s] (isothermal
+    estimate ``sigma_v^2 = G M_Delta / (2 r_Delta)`` with the
+    mean-density Delta definition; h-independent in h-units)."""
+    from randomfield_tpu.models.cosmology import create_cosmology
+
+    c = create_cosmology(cosmology)
+    rho_m = c.Om0 * c.critical_density0 / c.h**2
+    m = np.asarray(m, np.float64)
+    r = (3.0 * m / (4.0 * np.pi * float(delta) * rho_m)) ** (1.0 / 3.0)
+    return np.sqrt(G_KMS * m / (2.0 * r))
 
 
 def zheng05_occupation(m, logmmin=13.0, sigma_logm=0.25, logm0=13.0,
@@ -134,21 +155,54 @@ class HODGenerator:
         vol = shape[0] * shape[1] * shape[2] * self.scene.grid_spacing**3
         return self.galaxy_density * vol
 
-    def generate_galaxy_catalog(self, seed=0, smoothing_length=0.0):
+    def generate_galaxy_catalog(self, seed=0, smoothing_length=0.0,
+                                rsd=False, los_axis=2):
         """One galaxy mock: ``(positions, is_central)`` on host.
 
         ``positions`` (N, 3) comoving Mpc/h (periodic box);
         ``is_central`` (N,) bool.  Same seed => same universe across
         halo and galaxy stages (independent numpy streams keyed off
         the seed for the occupation draws).
+
+        With ``rsd=True`` positions move to REDSHIFT space along
+        ``los_axis`` (plane-parallel): every galaxy inherits its halo's
+        linear Kaiser displacement ``f(z) psi_los`` (the Zel'dovich
+        displacement of the underlying Gaussian realization, NGP-read
+        at the halo's cell — the standard lognormal-mock velocity
+        approximation), and satellites add a Gaussian Finger-of-God
+        scatter ``sigma_v(M) / (a H)`` from the parent's virial
+        dispersion (:func:`virial_dispersion`).  Measure with
+        ``zeldovich.catalog_power_multipoles``.
         """
         halo_pos, halo_mass = self.halos.generate_halo_catalog(
             seed, smoothing_length=smoothing_length)
         rng = np.random.default_rng([int(seed) & 0xFFFFFFFF, 0x484F44])
         ncen_p, nsat_mean = zheng05_occupation(halo_mass, **self.hod)
+        spacing = self.scene.grid_spacing
+        box = np.array(self.scene.shape, np.float64) * spacing
+        los = int(los_axis)
+
+        if rsd:
+            f = float(self.cosmology.growth_rate(self.z))
+            psi = np.asarray(self.halos.lognormal.gaussian
+                             .generate_displacement(seed, component=los))
+            cells = np.minimum(
+                np.floor(halo_pos / spacing).astype(np.int64),
+                np.asarray(self.scene.shape) - 1,
+            )
+            halo_shift = f * psi[tuple(cells.T)]
+            # sigma_v [km/s] -> comoving Mpc/h: divide by a H(z) =
+            # 100 a E(z) km/s per Mpc/h (h cancels)
+            a = 1.0 / (1.0 + self.z)
+            ah = 100.0 * a * float(self.cosmology.efunc(self.z))
+            fog_scale = virial_dispersion(halo_mass, self.cosmology) / ah
+        else:
+            halo_shift = np.zeros(halo_mass.shape[0])
+            fog_scale = None
 
         has_cen = rng.random(halo_mass.shape[0]) < ncen_p
-        cen_pos = halo_pos[has_cen]
+        cen_pos = halo_pos[has_cen].copy()
+        cen_pos[:, los] += halo_shift[has_cen]
 
         nsat = rng.poisson(nsat_mean)
         tot = int(nsat.sum())
@@ -163,13 +217,14 @@ class HODGenerator:
             # isotropic directions
             v = rng.normal(size=(tot, 3))
             v /= np.linalg.norm(v, axis=1, keepdims=True)
-            box = np.array(self.scene.shape, np.float64) \
-                * self.scene.grid_spacing
-            sat_pos = (halo_pos[parents] + radii[:, None] * v) % box
+            sat_pos = halo_pos[parents] + radii[:, None] * v
+            sat_pos[:, los] += halo_shift[parents]
+            if rsd:
+                sat_pos[:, los] += fog_scale[parents] * rng.normal(size=tot)
         else:
             sat_pos = np.zeros((0, 3))
 
-        positions = np.concatenate([cen_pos, sat_pos])
+        positions = np.concatenate([cen_pos, sat_pos]) % box
         is_central = np.zeros(positions.shape[0], bool)
         is_central[: cen_pos.shape[0]] = True
         return positions, is_central

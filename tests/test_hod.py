@@ -89,6 +89,66 @@ def test_galaxy_power_matches_effective_bias():
     assert np.all(resid < 5 * sig + 0.2 * p_exp[good])
 
 
+def test_rsd_catalog_geometry():
+    # rsd moves ONLY the LOS coordinate; centrals by exactly their
+    # halo's Kaiser displacement (no FOG), and the transverse
+    # coordinates are bit-identical to the real-space catalog
+    hg = HODGenerator(24, 24, 24, grid_spacing=8.0)
+    for los in (0, 2):
+        p_r, c_r = hg.generate_galaxy_catalog(seed=4)
+        p_s, c_s = hg.generate_galaxy_catalog(seed=4, rsd=True,
+                                              los_axis=los)
+        np.testing.assert_array_equal(c_r, c_s)
+        keep = [i for i in range(3) if i != los]
+        np.testing.assert_array_equal(p_r[:, keep], p_s[:, keep])
+        assert not np.array_equal(p_r[:, los], p_s[:, los])
+        box = 24 * 8.0
+        assert p_s.min() >= 0.0 and p_s.max() <= box
+        # shifts are comoving-small (linear displacements + FOG)
+        d = np.abs(p_s[:, los] - p_r[:, los])
+        d = np.minimum(d, box - d)  # periodic distance
+        assert np.percentile(d, 99) < 30.0
+
+
+def test_rsd_kaiser_monopole_boost():
+    # redshift-space monopole exceeds the real-space one by roughly
+    # the Kaiser factor (1 + 2 beta/3 + beta^2/5), beta = f/b_g
+    from randomfield_tpu.models.zeldovich import catalog_power_multipoles
+
+    n, spacing, nseeds = 32, 8.0, 6
+    hg = HODGenerator(n, n, n, grid_spacing=spacing)
+    acc_r, acc_s = [], []
+    for s in range(nseeds):
+        p_r, _ = hg.generate_galaxy_catalog(seed=s)
+        p_s, _ = hg.generate_galaxy_catalog(seed=s, rsd=True)
+        k, pl_r, c = catalog_power_multipoles(
+            np.asarray(p_r, np.float32).T, spacing, shape=(n, n, n),
+            nbins=8, ells=(0, 2))
+        _, pl_s, _ = catalog_power_multipoles(
+            np.asarray(p_s, np.float32).T, spacing, shape=(n, n, n),
+            nbins=8, ells=(0, 2))
+        acc_r.append(pl_r[0])
+        acc_s.append(pl_s[0])
+    p0_r = np.mean(acc_r, axis=0)
+    p0_s = np.mean(acc_s, axis=0)
+    good = np.where(c > 8)[0][:3]
+    f = float(hg.cosmology.growth_rate(0.0))
+    beta = f / hg.galaxy_bias
+    kaiser = 1.0 + 2.0 * beta / 3.0 + beta**2 / 5.0
+    ratio = p0_s[good].sum() / p0_r[good].sum()
+    assert 1.0 + 0.25 * (kaiser - 1.0) < ratio < 1.0 + 2.5 * (kaiser - 1.0)
+
+
+def test_virial_dispersion_scaling():
+    from randomfield_tpu.models.hod import virial_dispersion
+
+    s = virial_dispersion(np.array([1e13, 1e14, 1e15]))
+    # sigma_v ~ M^{1/3}: one decade in mass ~ 10^{1/3} in dispersion
+    np.testing.assert_allclose(s[1] / s[0], 10 ** (1 / 3), rtol=1e-6)
+    # cluster-scale halos ~ hundreds of km/s (sanity of G/units)
+    assert 300.0 < s[2] < 2000.0
+
+
 def test_hod_validation():
     with pytest.raises(ValueError, match="occupies no halos"):
         HODGenerator(16, 16, 16, grid_spacing=8.0,
