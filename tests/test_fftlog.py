@@ -97,6 +97,39 @@ def test_resample_loglog_powerlaw():
     assert out_t[0] < 1e-6 * (5.0 * xn[0] ** -1.7)
 
 
+def test_fftlog_and_filon_quadrature_agree():
+    # two INDEPENDENT continuum xi(r) paths — the FFTLog transform and
+    # the hybrid trapezoid+Filon quadrature (ops/power.py) — must agree
+    # through the BAO scale.  Regression gate for the pre-Filon
+    # log-trapezoid, which silently lost 20% at r ~ 105 once the j0
+    # oscillation outran the 8192-point sampling.
+    from randomfield_tpu import load_default_power
+    from randomfield_tpu.ops.power import (power_to_correlation,
+                                           power_to_correlation_multipoles)
+
+    power = load_default_power()
+    r_test = np.array([2.0, 5.0, 20.0, 50.0, 105.0])
+    xi_q = power_to_correlation(power, r_test)
+    r_c, xi_c = fftlog.xi_from_power(power)
+    xi_f = np.interp(r_test, r_c, xi_c)
+    np.testing.assert_allclose(xi_f, xi_q, rtol=2e-3)
+    # multipoles: f=0 quadrupole/hexadecapole vanish, monopole matches
+    xis = power_to_correlation_multipoles(power, r_test, f=0.0)
+    np.testing.assert_allclose(xis[0], xi_q, rtol=1e-10)
+    assert np.all(xis[1] == 0) and np.all(xis[2] == 0)
+    # Kaiser ell=2 via fftlog on the P_2 table equals the Filon path
+    f = 0.7
+    coeff2 = 4 * f / 3 + 4 * f**2 / 7
+    tab2 = np.stack([np.asarray(power.k),
+                     coeff2 * np.asarray(power.Pk)], 1)
+    r2, xi2 = fftlog.xi_from_power(tab2, ell=2)
+    xis_f = power_to_correlation_multipoles(power, r_test, f=f,
+                                            ells=(2,))
+    np.testing.assert_allclose(
+        np.interp(r_test, r2, xi2), xis_f[0], rtol=5e-3,
+        atol=1e-5 * np.max(np.abs(xis_f[0])))
+
+
 def test_matches_gridded_prediction_default_power():
     # continuum xi(r) tracks the gridded estimator expectation in the
     # discreteness-free regime (r well above the cell, well inside the
