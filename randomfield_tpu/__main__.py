@@ -14,6 +14,89 @@ import sys
 import time
 
 
+def _catalog_mode(args, p, ny, nz, cosmology, power):
+    """--catalog branch: halo / HOD-galaxy catalogs per seed."""
+    import numpy as np
+
+    if args.catalog == "halos":
+        from randomfield_tpu.models.halos import HaloGenerator
+
+        gen = HaloGenerator(
+            args.nx, ny, nz, grid_spacing=args.spacing, cosmology=cosmology,
+            power=power, mmin=args.mmin, mmax=args.mmax,
+            nbins_mass=args.mass_bins, fit=args.fit,
+        )
+        if not args.quiet:
+            print("bin  <M> [Msun/h]   nbar [(Mpc/h)^-3]   b")
+            for i in range(len(gen.nbar)):
+                print(f"  {i}  {gen.mass_centers[i]:12.3e}  "
+                      f"{gen.nbar[i]:17.3e}  {gen.bias[i]:5.2f}")
+    else:
+        from randomfield_tpu.models.hod import HODGenerator
+
+        gen = HODGenerator(
+            args.nx, ny, nz, grid_spacing=args.spacing, cosmology=cosmology,
+            power=power, mmin=args.mmin, mmax=args.mmax,
+            nbins_mass=args.mass_bins, fit=args.fit,
+        )
+        if not args.quiet:
+            print(f"n_g = {gen.galaxy_density:.3e} (Mpc/h)^-3, "
+                  f"b_g = {gen.galaxy_bias:.2f}, "
+                  f"expected {gen.expected_galaxies():.0f} galaxies")
+
+    for seed in args.seed:
+        t0 = time.perf_counter()
+        if args.catalog == "halos":
+            pos, mass = gen.generate_halo_catalog(
+                seed, smoothing_length=args.smoothing)
+            n = pos.shape[0]
+            note = f"{n} halos (expected {gen.expected_counts().sum():.0f})"
+        else:
+            pos, is_cen = gen.generate_galaxy_catalog(
+                seed, smoothing_length=args.smoothing,
+                rsd=args.catalog == "galaxies-rsd",
+            )
+            n = pos.shape[0]
+            note = (f"{n} galaxies ({int(is_cen.sum())} centrals, "
+                    f"{int((~is_cen).sum())} satellites)")
+        if not args.quiet:
+            print(f"seed {seed}: {note} in {time.perf_counter() - t0:.2f}s")
+        if args.stats and n:
+            from randomfield_tpu.models.zeldovich import catalog_power
+
+            shape = (args.nx, ny, nz)
+            k, ph, nm = catalog_power(
+                np.asarray(pos, np.float32).T, args.spacing, shape=shape,
+                nbins=args.nbins)
+            if args.catalog == "halos":
+                k_e, p_exp, _ = gen.predicted_combined_power(
+                    nbins=args.nbins, shot_noise=False)
+            else:
+                k_e, p_exp, _ = gen.predicted_galaxy_power(
+                    nbins=args.nbins, shot_noise=False)
+                if args.catalog == "galaxies-rsd":
+                    # Kaiser monopole boost (linear; FOG damps high k)
+                    beta = float(gen.cosmology.growth_rate(gen.z)) \
+                        / gen.galaxy_bias
+                    p_exp = p_exp * (1.0 + 2.0 * beta / 3.0 + beta**2 / 5.0)
+            for i in range(len(k)):
+                if nm[i] > 0:
+                    print(f"  k = {k[i]:9.4f}  P^ = {ph[i]:12.2f}  "
+                          f"(exp {p_exp[i]:12.2f})  ({nm[i]:8.0f} modes)")
+        if args.out:
+            path = args.out.replace("{seed}", str(seed))
+            extra = dict(seed=seed, spacing=args.spacing,
+                         catalog=args.catalog, fit=args.fit,
+                         mmin=args.mmin, mmax=args.mmax)
+            if args.catalog == "halos":
+                np.savez(path, positions=pos, masses=mass, **extra)
+            else:
+                np.savez(path, positions=pos, is_central=is_cen, **extra)
+            if not args.quiet:
+                print(f"  wrote {path}")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="randomfield_tpu", description=__doc__.splitlines()[0]
@@ -71,6 +154,23 @@ def main(argv=None):
                    help="print lattice peak counts by height per seed "
                         "(with BBKS predictions for plain Gaussian "
                         "renders; requires --no-lightcone)")
+    p.add_argument("--catalog", default=None,
+                   choices=["halos", "galaxies", "galaxies-rsd"],
+                   help="draw object catalogs instead of fields: 'halos' "
+                        "(mass-function + PBS-bias Poisson halos), "
+                        "'galaxies' (Zheng05 HOD on those halos), "
+                        "'galaxies-rsd' (same, redshift-space along z); "
+                        "--stats prints the catalog P(k) vs its "
+                        "expectation, --out saves positions (+masses / "
+                        "is_central)")
+    p.add_argument("--mmin", type=float, default=1e13,
+                   help="with --catalog: minimum halo mass [Msun/h]")
+    p.add_argument("--mmax", type=float, default=1e15,
+                   help="with --catalog: maximum halo mass [Msun/h]")
+    p.add_argument("--mass-bins", type=int, default=4,
+                   help="with --catalog: number of log-uniform mass bins")
+    p.add_argument("--fit", default="st", choices=["ps", "st", "tinker08"],
+                   help="with --catalog: mass-function fit (bias follows)")
     p.add_argument("--no-lightcone", action="store_true")
     p.add_argument("--out", default=None,
                    help="output .npz path ({seed} is substituted)")
@@ -189,6 +289,18 @@ def main(argv=None):
                     "distributed on slab meshes only); use --mesh")
     ny = args.ny or args.nx
     nz = args.nz or args.nx
+    if args.catalog:
+        for flag, name in ((args.lognormal, "--lognormal"),
+                           (args.fixed, "--fixed"),
+                           (args.rsd is not None, "--rsd"),
+                           (args.sample_power, "--sample-power"),
+                           (args.minkowski, "--minkowski"),
+                           (args.peaks, "--peaks"), (args.xi, "--xi"),
+                           (mesh is not None, "--mesh/--pencil")):
+            if flag:
+                p.error(f"--catalog draws object catalogs (single-device, "
+                        f"host compaction); drop {name}")
+        return _catalog_mode(args, p, ny, nz, cosmology, power)
     if args.lognormal:
         if args.sample_power:
             p.error("--lognormal is field-space only (the sampled spectrum "

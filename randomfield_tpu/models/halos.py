@@ -218,6 +218,27 @@ class HaloGenerator:
             p = p + 1.0 / float(self.nbar[i])
         return k, p, c
 
+    def predicted_combined_power(self, nbins=32, smoothing_length=0.0,
+                                 shot_noise=True):
+        """Exact expectation of the COMBINED (all mass bins pooled)
+        halo catalog's spectrum: the number-weighted bin-pair mixture
+        ``sum_ij w_i w_j (exp(b_i b_j xi_G) - 1)`` (convex in b, so it
+        exceeds the effective-bias square at small scales) plus the
+        pooled ``1/sum n_i`` shot noise.  Matches
+        ``zeldovich.catalog_power`` on `generate_halo_catalog` output.
+        """
+        xi_g = self.lognormal._xi_gaussian_grid(smoothing_length)
+        w = self.nbar / self.nbar.sum()
+        xi_t = np.zeros_like(xi_g)
+        for i in range(w.size):
+            for j in range(w.size):
+                xi_t += w[i] * w[j] * np.expm1(
+                    self.bias[i] * self.bias[j] * xi_g)
+        k, p, c = self.lognormal._xi_to_binned_power(xi_t, nbins)
+        if shot_noise:
+            p = p + 1.0 / float(self.nbar.sum())
+        return k, p, c
+
     def calculate_power(self, delta, nbins=32):
         return self.lognormal.calculate_power(delta, nbins=nbins)
 

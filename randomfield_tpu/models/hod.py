@@ -123,23 +123,25 @@ class HODGenerator:
         # integrated bin-by-bin so they match the MOCK's bin-level
         # lognormal bias exactly
         edges = self.halos.mass_edges
-        n_g, bn_g = 0.0, 0.0
         power_t = self.halos._power
-        for i, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+        n_gi = []
+        for lo, hi in zip(edges[:-1], edges[1:]):
             msub = np.geomspace(lo, hi, 64)
             lnm = np.log(msub)
             _, dn = _mf.mass_function(power_t, msub, self.halos.cosmology,
                                       z=0.0, fit=self.halos.fit)
             ncen, nsat = zheng05_occupation(msub, **self.hod)
-            ni = np.trapezoid(dn * (ncen + nsat), lnm)
-            n_g += ni
-            bn_g += ni * self.halos.bias[i]
+            n_gi.append(np.trapezoid(dn * (ncen + nsat), lnm))
+        #: expected galaxy density per halo mass bin [(Mpc/h)^-3]
+        self.galaxy_density_bins = np.asarray(n_gi)
+        n_g = float(self.galaxy_density_bins.sum())
         if n_g <= 0:
             raise ValueError("HOD occupies no halos in the mass range")
         #: expected comoving galaxy density [(Mpc/h)^-3]
-        self.galaxy_density = float(n_g)
+        self.galaxy_density = n_g
         #: galaxy-number-weighted effective linear bias
-        self.galaxy_bias = float(bn_g / n_g)
+        self.galaxy_bias = float(
+            (self.galaxy_density_bins * self.halos.bias).sum() / n_g)
 
     @property
     def scene(self):
@@ -229,14 +231,35 @@ class HODGenerator:
         is_central[: cen_pos.shape[0]] = True
         return positions, is_central
 
-    def predicted_galaxy_power(self, nbins=32, shot_noise=True):
+    def predicted_galaxy_power(self, nbins=32, shot_noise=True,
+                               mixture=False):
         """Large-scale (2-halo) expectation of the galaxy spectrum:
         the lognormal tracer spectrum at the effective galaxy bias,
         plus ``1/n_g`` shot noise.  Valid on scales above the halo
         scale — the 1-halo satellite term adds power at high k (the
-        analytic counterpart is models/halomodel.py)."""
-        k, p, c = self.halos.lognormal.predicted_biased_power(
-            bias=self.galaxy_bias, nbins=nbins)
+        analytic counterpart is models/halomodel.py).
+
+        ``mixture=True`` returns instead the galaxy-weighted bin-pair
+        mixture ``sum_ij wg_i wg_j (exp(b_i b_j xi_G) - 1)`` — the
+        EXACT halo-level expectation, but a heavy-tailed one: with
+        satellite-weighted high-mass bins (b_i b_j sigma_G^2 >> 1) it
+        is dominated by ultra-rare close pairs that no realizable
+        ensemble resolves, so prefer the default for comparisons with
+        measured catalogs (the halo-only counterpart, where weights
+        suppress the tail bins, is `HaloGenerator.
+        predicted_combined_power`)."""
+        if mixture:
+            xi_g = self.halos.lognormal._xi_gaussian_grid(0.0)
+            w = self.galaxy_density_bins / self.galaxy_density
+            b = self.halos.bias
+            xi_t = np.zeros_like(xi_g)
+            for i in range(w.size):
+                for j in range(w.size):
+                    xi_t += w[i] * w[j] * np.expm1(b[i] * b[j] * xi_g)
+            k, p, c = self.halos.lognormal._xi_to_binned_power(xi_t, nbins)
+        else:
+            k, p, c = self.halos.lognormal.predicted_biased_power(
+                bias=self.galaxy_bias, nbins=nbins)
         if shot_noise:
             p = p + 1.0 / self.galaxy_density
         return k, p, c

@@ -322,7 +322,18 @@ class LognormalGenerator:
 
         xi_g = self._xi_gaussian_grid(smoothing_length)
         b2 = float(bias) if bias2 is None else float(bias2)
-        xi_t = np.expm1(float(bias) * b2 * xi_g)
+        return self._xi_to_binned_power(np.expm1(float(bias) * b2 * xi_g),
+                                        nbins)
+
+    def _xi_to_binned_power(self, xi_t, nbins):
+        """Bin the exact spectrum of a target grid correlation xi_t
+        with the estimator's own bins (shared tail of the predicted_*
+        expectations)."""
+        shape = self.scene.shape
+        spacing = self.scene.grid_spacing
+        volume = shape[0] * shape[1] * shape[2] * spacing**3
+        from randomfield_tpu.validate import stats as _stats
+
         pt = np.fft.rfftn(xi_t, norm="forward").real * volume
         pt[0, 0, 0] = 0.0  # the estimator masks the DC mode
         return _stats.bin_power_grid(

@@ -145,6 +145,35 @@ def test_cross_bin_power_tracks_b1_b2():
     assert np.all(resid < 6 * sig[good] + 0.15 * np.abs(p_exp[good]))
 
 
+def test_combined_catalog_power_matches_prediction():
+    # pooled multi-bin catalog: expectation is the bin-pair lognormal
+    # mixture (convex in b), measured with the catalog estimator
+    from randomfield_tpu.models.zeldovich import catalog_power
+
+    n, spacing, nseeds, nbins = 32, 8.0, 8, 8
+    hg = HaloGenerator(n, n, n, grid_spacing=spacing, mmin=1e13, mmax=5e14,
+                       nbins_mass=2, fit="st")
+    acc = []
+    for s in range(nseeds):
+        pos, _ = hg.generate_halo_catalog(seed=s)
+        k, p, c = catalog_power(pos.astype(np.float32).T, spacing,
+                                shape=(n, n, n), nbins=nbins)
+        acc.append(p)
+    p_hat = np.mean(acc, axis=0)
+    k_e, p_exp, cnt = hg.predicted_combined_power(nbins=nbins,
+                                                  shot_noise=False)
+    good = np.where(cnt > 8)[0][:5]  # window/alias-free scales
+    sig = p_exp[good] * np.sqrt(2.0 / (nseeds * cnt[good]))
+    resid = np.abs(p_hat[good] - p_exp[good])
+    assert np.all(resid < 5 * sig + 0.15 * p_exp[good])
+    # the naive effective-bias square UNDERestimates at the smallest
+    # scale retained (convexity) — the mixture is the better model
+    b_eff = (hg.nbar * hg.bias).sum() / hg.nbar.sum()
+    _, p_naive, _ = hg.lognormal.predicted_biased_power(bias=b_eff,
+                                                        nbins=nbins)
+    assert p_exp[good][-1] > p_naive[good][-1]
+
+
 def test_catalog_compaction_invariants():
     hg = HaloGenerator(24, 24, 24, grid_spacing=8.0, mmin=1e13, mmax=1e15,
                        nbins_mass=3, fit="st")

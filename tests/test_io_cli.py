@@ -63,6 +63,48 @@ def test_cli_end_to_end(tmp_path):
         assert meta["seed"] == seed
 
 
+def test_cli_catalog_modes(tmp_path):
+    import os
+    import pathlib
+
+    import numpy as np
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    base = [sys.executable, "-m", "randomfield_tpu",
+            "--nx", "16", "--spacing", "16.0", "--seed", "3"]
+
+    out = tmp_path / "halos_{seed}.npz"
+    res = subprocess.run(
+        base + ["--catalog", "halos", "--mass-bins", "2", "--stats",
+                "--nbins", "4", "--out", str(out)],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "halos (expected" in res.stdout and "exp" in res.stdout
+    with np.load(tmp_path / "halos_3.npz") as z:
+        assert z["positions"].shape[1] == 3
+        assert z["positions"].shape[0] == z["masses"].shape[0] > 0
+        assert str(z["catalog"]) == "halos"
+
+    out2 = tmp_path / "gals_{seed}.npz"
+    res = subprocess.run(
+        base + ["--catalog", "galaxies-rsd", "--mass-bins", "2",
+                "--out", str(out2), "--quiet"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    with np.load(tmp_path / "gals_3.npz") as z:
+        assert z["positions"].shape[0] == z["is_central"].shape[0] > 0
+
+    # catalog mode excludes field/mesh flags
+    res = subprocess.run(
+        base + ["--catalog", "halos", "--lognormal"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=600)
+    assert res.returncode != 0 and "--lognormal" in res.stderr
+
+
 def test_cli_mesh_modes(tmp_path):
     # --mesh / --pencil drive configs 4-5 from the command line on the
     # 8-virtual-device CPU mesh (VERDICT r02 item 8)
