@@ -201,6 +201,21 @@ def test_catalog_compaction_invariants():
         counts_to_catalog(counts[0], hg.mass_edges, 8.0)
 
 
+def test_halo_counts_mesh_native():
+    # engine kwargs pass through: counts on a ('data','space') mesh are
+    # bit-identical to single-device (partitionable Threefry + the
+    # elementwise intensity/Poisson stage shard freely)
+    from randomfield_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=2, space=4)
+    kw = dict(grid_spacing=8.0, mmin=1e13, mmax=1e15, nbins_mass=2)
+    hg0 = HaloGenerator(32, 32, 32, **kw)
+    hg1 = HaloGenerator(32, 32, 32, mesh=mesh, **kw)
+    c0 = np.asarray(hg0.generate_halo_counts(seed=3))
+    c1 = np.asarray(hg1.generate_halo_counts(seed=3))
+    np.testing.assert_array_equal(c0, c1)
+
+
 def test_catalog_mass_distribution_follows_hmf():
     # inverse-CDF masses: the catalog's mass histogram tracks dn/dlnM
     hg = HaloGenerator(32, 32, 32, grid_spacing=8.0, mmin=1e13, mmax=1e15,
