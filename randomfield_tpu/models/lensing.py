@@ -30,6 +30,7 @@ tables computed once per (cosmology, geometry, z_source).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from randomfield_tpu.models.cosmology import C_KM_S, create_cosmology
@@ -38,9 +39,12 @@ from randomfield_tpu.ops import transform as _transform
 __all__ = [
     "lensing_efficiency",
     "convergence_map",
+    "tomographic_convergence",
     "convergence_to_shear",
     "convergence_power",
+    "convergence_cross_power",
     "predicted_convergence_power",
+    "predicted_convergence_cross_power",
 ]
 
 
@@ -102,6 +106,27 @@ def convergence_map(delta, cosmology, spacing, z_source, z0=0.0,
     return delta @ jnp.asarray(w, delta.dtype)
 
 
+def tomographic_convergence(delta, cosmology, spacing, z_sources, z0=0.0,
+                            scaled_by_h=True):
+    """Convergence maps for a stack of source planes: (nsrc, nx, ny).
+
+    One device matmul ``delta @ W`` with the (nz, nsrc) efficiency
+    matrix — the tomographic survey analog (each source redshift bin
+    sees the same lightcone through its own kernel).  Cross-spectra of
+    the returned maps with :func:`convergence_cross_power` probe the
+    shared structure; exact expectations via
+    :func:`predicted_convergence_cross_power`.
+    """
+    delta = jnp.asarray(delta)
+    nz = delta.shape[-1]
+    w = np.stack([
+        lensing_efficiency(cosmology, nz, spacing, zs, z0=z0,
+                           scaled_by_h=scaled_by_h)
+        for zs in z_sources
+    ], axis=1)
+    return jnp.moveaxis(delta @ jnp.asarray(w, delta.dtype), -1, 0)
+
+
 def convergence_to_shear(kappa, spacing):
     """Kaiser-Squires: flat-sky shear (gamma1, gamma2) from kappa.
 
@@ -114,25 +139,34 @@ def convergence_to_shear(kappa, spacing):
     """
     kappa = jnp.asarray(kappa)
     nx, ny = kappa.shape
+
     # route the 2-D transform through the repo's 3-D safe helpers with a
     # trailing singleton axis: the packed axis has length 1 (kz = 0
     # only), so the x and y axes carry FULL complex transforms — the
     # Kaiser-Squires factors are even under k -> -k, so Hermitian
-    # symmetry survives and the inverse stays real
-    kx = jnp.fft.fftfreq(nx, d=1.0 / nx).astype(kappa.dtype)  # integer freqs
-    ky = jnp.fft.fftfreq(ny, d=1.0 / ny).astype(kappa.dtype)
-    kx2 = (kx * kx)[:, None]
-    ky2 = (ky * ky)[None, :]
-    ksq = kx2 + ky2
-    c = _transform.rfftn(kappa[:, :, None], norm="forward")[:, :, 0]
-    denom = jnp.where(ksq > 0, ksq, 1.0)
-    fac1 = (kx2 - ky2) / denom
-    fac2 = 2.0 * kx[:, None] * ky[None, :] / denom
-    g1h = jnp.where(ksq > 0, fac1 * c, 0.0)
-    g2h = jnp.where(ksq > 0, fac2 * c, 0.0)
-    g1 = _transform.irfftn(g1h[:, :, None], (nx, ny, 1), norm="forward")[:, :, 0]
-    g2 = _transform.irfftn(g2h[:, :, None], (nx, ny, 1), norm="forward")[:, :, 0]
-    return g1, g2
+    # symmetry survives and the inverse stays real.  One jitted program:
+    # eager complex64 intermediates cannot cross program boundaries on
+    # the axon TPU runtime (ops/transform.py "axon" notes).
+    @jax.jit
+    def _ks(kp):
+        kx = jnp.fft.fftfreq(nx, d=1.0 / nx).astype(kp.dtype)
+        ky = jnp.fft.fftfreq(ny, d=1.0 / ny).astype(kp.dtype)
+        kx2 = (kx * kx)[:, None]
+        ky2 = (ky * ky)[None, :]
+        ksq = kx2 + ky2
+        c = _transform.rfftn(kp[:, :, None], norm="forward")[:, :, 0]
+        denom = jnp.where(ksq > 0, ksq, 1.0)
+        fac1 = (kx2 - ky2) / denom
+        fac2 = 2.0 * kx[:, None] * ky[None, :] / denom
+        g1h = jnp.where(ksq > 0, fac1 * c, 0.0)
+        g2h = jnp.where(ksq > 0, fac2 * c, 0.0)
+        g1 = _transform.irfftn(g1h[:, :, None], (nx, ny, 1),
+                               norm="forward")[:, :, 0]
+        g2 = _transform.irfftn(g2h[:, :, None], (nx, ny, 1),
+                               norm="forward")[:, :, 0]
+        return g1, g2
+
+    return _ks(kappa)
 
 
 def _kperp_setup(shape2d, spacing, nbins):
@@ -176,18 +210,70 @@ def convergence_power(kappa, spacing, nbins=16):
     exact expectation on the same grid and bins is
     :func:`predicted_convergence_power`.
     """
-    kappa = jnp.asarray(kappa)
-    nx, ny = kappa.shape
-    spacing = float(spacing)
     # analysis convention c = a^2 sum kappa e^{-ik.x} (norm='backward'
-    # is the raw sum, matching ops/transform.py field_to_spectrum)
-    c = _transform.rfftn(kappa[:, :, None], norm="backward")[:, :, 0]
+    # is the raw sum, matching ops/transform.py field_to_spectrum);
+    # shares the jitted cross program so complex spectra never
+    # materialize eagerly (axon)
+    return convergence_cross_power(kappa, kappa, spacing, nbins=nbins)
+
+
+def convergence_cross_power(kappa1, kappa2, spacing, nbins=16):
+    """Cross power spectrum of two convergence maps (e.g. two
+    tomographic bins of the same render): ``Re <c1 c2*> / A`` binned
+    like :func:`convergence_power` (which is the ``kappa1 is kappa2``
+    special case).  Exact expectation:
+    :func:`predicted_convergence_cross_power`."""
+    kappa1 = jnp.asarray(kappa1)
+    kappa2 = jnp.asarray(kappa2)
+    if kappa1.shape != kappa2.shape:
+        raise ValueError("maps must share a shape")
+    nx, ny = kappa1.shape
+    spacing = float(spacing)
     area = nx * ny * spacing**2
-    p = np.asarray(
-        (c.real**2 + c.imag**2) * (spacing**2) ** 2 / area, np.float64
-    )
+
+    @jax.jit
+    def _mode_p(a, b):  # complex spectra stay inside the program (axon)
+        ca = _transform.rfftn(a[:, :, None], norm="backward")[:, :, 0]
+        cb = _transform.rfftn(b[:, :, None], norm="backward")[:, :, 0]
+        return (ca.real * cb.real + ca.imag * cb.imag) \
+            * (spacing**2) ** 2 / area
+
+    p = np.asarray(_mode_p(kappa1, kappa2), np.float64)
     km, edges, mult = _kperp_setup((nx, ny), spacing, nbins)
     return _bin2d(km, mult, p, edges, int(nbins))
+
+
+def predicted_convergence_cross_power(power, shape, spacing, weights1,
+                                      weights2, nbins=16,
+                                      interpolation="log10k"):
+    """Exact expectation of :func:`convergence_cross_power` for two
+    plane sums over the SAME box: the window in
+    :func:`predicted_convergence_power` generalizes to
+    ``Re[W1(kz) W2*(kz)]``.  Pass each bin's
+    ``lensing_efficiency * growth_function`` product."""
+    from randomfield_tpu.ops import power as _power
+
+    nx, ny, nz = (int(s) for s in shape)
+    spacing = float(spacing)
+    table = _power.validate_power(power)
+    _power.require_coverage(table, (nx, ny, nz), spacing)
+    w1 = np.asarray(weights1, np.float64)
+    w2 = np.asarray(weights2, np.float64)
+    if w1.shape != (nz,) or w2.shape != (nz,):
+        raise ValueError(f"weights must have shape ({nz},)")
+    km2, edges, mult = _kperp_setup((nx, ny), spacing, nbins)
+    kz = 2.0 * np.pi * np.fft.fftfreq(nz, d=spacing)
+    kmag3 = np.sqrt(km2[:, :, None] ** 2 + kz[None, None, :] ** 2)
+    p3 = np.asarray(
+        _power.interpolate_power(
+            table, jnp.asarray(kmag3, jnp.float32), interpolation
+        ),
+        np.float64,
+    )
+    p3[kmag3 == 0] = 0.0
+    win = np.real(np.fft.fft(w1) * np.conj(np.fft.fft(w2)))
+    p_kappa = (p3 * win[None, None, :]).sum(axis=-1) / (nz * spacing)
+    return _bin2d(km2, mult, p_kappa, edges, int(nbins))
 
 
 def predicted_convergence_power(power, shape, spacing, weights, nbins=16,

@@ -164,6 +164,70 @@ def test_convergence_power_single_plane_window():
     assert abs(pp[0] / direct - 1.0) < 1e-4  # same-|k| modes, same value
 
 
+def test_tomographic_convergence_stacks_and_orders():
+    from randomfield_tpu import Generator
+
+    n, spacing = 32, 25.0
+    g = Generator(n, n, n, grid_spacing=spacing)
+    delta = g.generate_delta_field(seed=2)
+    z_sources = (0.3, 0.6, 1.0)
+    kappas = np.asarray(lensing.tomographic_convergence(
+        delta, g.cosmology, spacing, z_sources))
+    assert kappas.shape == (3, n, n)
+    # each slice equals the single-source map
+    for i, zs in enumerate(z_sources):
+        single = np.asarray(lensing.convergence_map(
+            delta, g.cosmology, spacing, zs))
+        scale = np.abs(single).max()
+        np.testing.assert_allclose(kappas[i], single, rtol=2e-4,
+                                   atol=1e-6 * scale)
+    # deeper sources integrate more structure
+    assert kappas[0].std() < kappas[1].std() < kappas[2].std()
+    # shared lightcone: neighboring bins strongly but imperfectly
+    # correlated
+    r = np.corrcoef(kappas[1].ravel(), kappas[2].ravel())[0, 1]
+    assert 0.5 < r < 0.999
+
+
+def test_convergence_cross_power_matches_exact_prediction():
+    from randomfield_tpu import Generator
+
+    n, spacing = 32, 25.0
+    z1, z2 = 0.45, 0.9
+    g = Generator(n, n, n, grid_spacing=spacing)
+    gf = np.asarray(g.growth_function, np.float64)
+    w1 = lensing.lensing_efficiency(g.cosmology, n, spacing, z1) * gf
+    w2 = lensing.lensing_efficiency(g.cosmology, n, spacing, z2) * gf
+    kp, pp, nc = lensing.predicted_convergence_cross_power(
+        g.power, (n, n, n), spacing, w1, w2, nbins=8)
+    ratios, counts = [], []
+    for seed in (1, 2, 3, 4):
+        delta = g.generate_delta_field(seed=seed)
+        ka, kb = lensing.tomographic_convergence(
+            delta, g.cosmology, spacing, (z1, z2))
+        km, pm, nm = lensing.convergence_cross_power(ka, kb, spacing,
+                                                     nbins=8)
+        np.testing.assert_allclose(km, kp, rtol=1e-6, equal_nan=True)
+        ok = np.isfinite(pm) & np.isfinite(pp) & (nc > 8)
+        ratios.append(pm[ok] / pp[ok])
+        counts.append(nc[ok])
+    ratio = np.stack(ratios).mean(axis=0)
+    noise = np.sqrt(2.0 / (4.0 * np.stack(counts).mean(axis=0)))
+    assert np.all(np.abs(ratio - 1.0) < 5.0 * noise + 0.03), (ratio, noise)
+    # cross of a map with itself IS the auto estimator
+    ka = lensing.convergence_map(
+        g.generate_delta_field(seed=9), g.cosmology, spacing, z1)
+    k_a, p_a, _ = lensing.convergence_power(ka, spacing, nbins=8)
+    k_x, p_x, _ = lensing.convergence_cross_power(ka, ka, spacing, nbins=8)
+    np.testing.assert_allclose(p_x, p_a, rtol=1e-6, equal_nan=True)
+    # and the auto prediction is the cross prediction with w1 == w2
+    _, pp_auto, _ = lensing.predicted_convergence_power(
+        g.power, (n, n, n), spacing, w1, nbins=8)
+    _, pp_x, _ = lensing.predicted_convergence_cross_power(
+        g.power, (n, n, n), spacing, w1, w1, nbins=8)
+    np.testing.assert_allclose(pp_x, pp_auto, rtol=1e-12, equal_nan=True)
+
+
 def test_predicted_convergence_power_validates_weights():
     from randomfield_tpu.ops.power import load_default_power
 
