@@ -23,6 +23,7 @@ __all__ = [
     "ensemble_power",
     "sample_power_ensemble",
     "power_covariance",
+    "predicted_power_covariance",
     "sigma_r_from_field",
 ]
 
@@ -173,6 +174,70 @@ def power_covariance(p_hat):
     c = np.cov(pv, rowvar=False)
     cov[np.ix_(valid, valid)] = c
     return cov
+
+
+def predicted_power_covariance(power, shape, spacing, nbins=32,
+                               smoothing_length=0.0,
+                               interpolation="log10k"):
+    """EXACT Gaussian covariance of the binned P(k) estimator.
+
+    For a Gaussian field the binned estimates are independent across
+    bins with per-bin variance set mode by mode by this grid's
+    discrete spectrum:
+
+        Var[P^_bin] = [ sum_paired 4 P_k^2 + sum_selfconj 2 P_k^2 ]
+                      / ( sum_k mult_k )^2
+
+    — each Hermitian pair is ONE complex draw (Var |c|^2 = P^2)
+    carrying estimator weight mult = 2, and each self-conjugate mode
+    (kz = 0 / Nyquist planes' real modes) is a real draw
+    (Var = 2 P^2) with mult = 1.  The familiar 2 P_bar^2 / N_modes is
+    the equal-P limit.  Returns the (nbins, nbins) diagonal matrix
+    matching :func:`power_covariance` of an infinite seed ensemble
+    (gated statistically in tests); empty bins get NaN.  Host float64,
+    O(N^3) memory — validation-scale.
+    """
+    from randomfield_tpu.ops import grid as _grid
+    from randomfield_tpu.ops import power as _power
+
+    shape = tuple(int(s) for s in shape)
+    spacing = float(spacing)
+    table = _power.validate_power(power)
+    _power.require_coverage(table, shape, spacing)
+    km = np.asarray(
+        _grid.kmag(shape, spacing, jnp.float32), np.float64)
+    pg = np.asarray(
+        _power.interpolate_power(table, jnp.asarray(km, jnp.float32),
+                                 interpolation),
+        np.float64,
+    )
+    if smoothing_length:
+        pg = pg * np.exp(-((km * float(smoothing_length)) ** 2))
+    pg[km == 0] = 0.0
+    nz = shape[2]
+    nzh = nz // 2 + 1
+    mult = np.full(nzh, 2.0)
+    mult[0] = 1.0
+    if nz % 2 == 0:
+        mult[-1] = 1.0
+    mult3 = np.broadcast_to(mult[None, None, :], km.shape)
+    # per-entry variance contribution: paired (mult 2) -> 4 P^2,
+    # self-conjugate (mult 1) -> 2 P^2 == mult^2 + ... = 2*mult^... use
+    # explicit values
+    var_k = np.where(mult3 == 2.0, 4.0 * pg**2, 2.0 * pg**2)
+
+    kmin, kmax = _grid.get_k_bounds(shape, spacing)
+    edges = np.logspace(np.log10(kmin * 0.999), np.log10(kmax * 1.001),
+                        int(nbins) + 1)
+    idx = np.searchsorted(edges, km) - 1
+    valid = (idx >= 0) & (idx < int(nbins)) & (km > 0)
+    counts = np.bincount(idx[valid], weights=mult3[valid],
+                         minlength=int(nbins))
+    vsum = np.bincount(idx[valid], weights=var_k[valid],
+                       minlength=int(nbins))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = np.where(counts > 0, vsum / counts**2, np.nan)
+    return np.diag(var)
 
 
 @functools.partial(jax.jit, static_argnames=("spacing", "r"))

@@ -178,3 +178,38 @@ def test_sample_power_ensemble_checkpoint_every(tmp_path):
     assert states == [0, 0, 2, 2, 4]
     with np.load(ckpt, allow_pickle=False) as f:
         assert len(f["seeds"]) == 5
+
+
+def test_predicted_power_covariance_matches_ensemble():
+    # analytic Gaussian per-bin variance vs a 192-seed sample_power
+    # ensemble: ratio within the chi-square scatter of a sample
+    # variance; off-diagonals consistent with zero
+    import numpy as np
+
+    from randomfield_tpu import Generator
+    from randomfield_tpu.validate.ensemble import (
+        power_covariance,
+        predicted_power_covariance,
+    )
+
+    n, spacing, nbins, nseeds = 16, 8.0, 6, 192
+    g = Generator(n, n, n, grid_spacing=spacing)
+    p_hat = np.stack([
+        np.asarray(g.sample_power(s, nbins=nbins)[1]) for s in range(nseeds)
+    ])
+    cov_meas = power_covariance(p_hat)
+    cov_pred = predicted_power_covariance(
+        g.power, (n, n, n), spacing, nbins=nbins)
+    d_meas = np.diag(cov_meas)
+    d_pred = np.diag(cov_pred)
+    ok = np.isfinite(d_pred) & (d_pred > 0) & np.isfinite(d_meas)
+    assert ok.sum() >= 4
+    ratio = d_meas[ok] / d_pred[ok]
+    # sample variance of a variance: rel scatter ~ sqrt(2/(n-1)) ~ 0.10
+    assert np.all(np.abs(ratio - 1.0) < 5.0 * np.sqrt(2.0 / (nseeds - 1))
+                  + 0.05), ratio
+    # cross-bin correlations consistent with zero (Gaussian field)
+    corr = cov_meas[np.ix_(ok, ok)] / np.sqrt(
+        np.outer(d_meas[ok], d_meas[ok]))
+    off = corr[~np.eye(ok.sum(), dtype=bool)]
+    assert np.all(np.abs(off) < 6.0 / np.sqrt(nseeds))
