@@ -266,3 +266,61 @@ def test_cell_counts_shot_plus_clustering():
     # lognormal xi is exp(xi_G)-1 ~ xi at this amplitude; allow a few %
     # systematic on top of seed scatter (few hundred blocks per seed)
     assert abs(vm - expected) < 5 * sd + 0.10 * expected, (vm, expected)
+
+
+def test_masked_power_matches_window_convolved_prediction():
+    # survey-masked pseudo-P(k): measured vs the exact
+    # window-convolution expectation; mask=1 reduces to plain P(k)
+    import numpy as np
+    from randomfield_tpu import Generator
+    from randomfield_tpu.validate import stats
+
+    n, spacing, nseeds, nbins = 32, 8.0, 8, 8
+    g = Generator(n, n, n, grid_spacing=spacing)
+
+    # identity check: unit mask == plain estimator and prediction
+    d = np.asarray(g.generate_delta_field(0, apply_lightcone=False))
+    ones = np.ones((n, n, n), np.float32)
+    k0, p0, c0 = stats.calculate_power(d, spacing, nbins=nbins)
+    k1, p1, c1 = stats.calculate_masked_power(d, ones, spacing, nbins=nbins)
+    np.testing.assert_allclose(p1, p0, rtol=1e-6, equal_nan=True)
+    kp, pp, cp = stats.predicted_masked_power(g.power, ones, spacing,
+                                              nbins=nbins)
+    from randomfield_tpu.ops import power as rf_power
+    from randomfield_tpu.ops import grid as rf_grid
+    import jax.numpy as jnp
+
+    kmag = rf_grid.kmag((n, n, n), spacing, jnp.float32)
+    pgrid = rf_power.interpolate_power(g.power, kmag, "log10k")
+    pgrid = jnp.where(kmag > 0, pgrid, 0.0)
+    _, pp_plain, _ = stats.bin_power_grid(pgrid, (n, n, n), spacing,
+                                          nbins=nbins)
+    np.testing.assert_allclose(pp, pp_plain, rtol=2e-4, equal_nan=True)
+
+    # a binary half-box survey mask (hard edge -> strong mode mixing)
+    mask = np.zeros((n, n, n), np.float32)
+    mask[: n // 2] = 1.0
+    kp, pp, cp = stats.predicted_masked_power(g.power, mask, spacing,
+                                              nbins=nbins)
+    acc = []
+    for s in range(nseeds):
+        d = np.asarray(g.generate_delta_field(s, apply_lightcone=False))
+        _, pm, _ = stats.calculate_masked_power(d, mask, spacing,
+                                                nbins=nbins)
+        acc.append(pm)
+    p_hat = np.mean(acc, axis=0)
+    good = cp > 8
+    sig = pp[good] * np.sqrt(2.0 / (nseeds * cp[good]))
+    resid = np.abs(p_hat[good] - pp[good])
+    assert np.all(resid < 5 * sig + 0.05 * pp[good]), (p_hat[good],
+                                                       pp[good])
+    # the window mixes scales: prediction differs from unwindowed P
+    assert np.max(np.abs(pp[good] / pp_plain[good] - 1.0)) > 0.02
+
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero"):
+        stats.calculate_masked_power(d, np.zeros_like(mask), spacing)
+    with _pytest.raises(ValueError, match="mask shape"):
+        stats.calculate_masked_power(d, np.ones((4, 4, 4)), spacing)
