@@ -1475,6 +1475,15 @@ class Generator:
         """
         from randomfield_tpu.validate import stats as _stats
 
+        pgrid = self._kaiser_pgrid(z, bias, f, los_axis, smoothing_length)
+        return _stats.bin_power_multipoles_grid(
+            pgrid, self.scene.shape, self.scene.grid_spacing,
+            nbins=nbins, ells=ells, los_axis=int(los_axis),
+        )
+
+    def _kaiser_pgrid(self, z, bias, f, los_axis, smoothing_length):
+        """Per-mode ``(b + f mu^2)^2 P(k)`` expectation half-grid with
+        the render's interpolation and smoothing."""
         b, fv = self._kaiser_bf(z, bias, f)
         shape, sp = self.scene.shape, self.scene.grid_spacing
         kmag = _grid.kmag(shape, sp, jnp.float32)
@@ -1491,9 +1500,27 @@ class Generator:
         k2 = kmag * kmag
         inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
         mu2 = (k_los * k_los)[tuple(bcast)] * inv
-        pgrid = pgrid * (b + fv * mu2) ** 2
-        return _stats.bin_power_multipoles_grid(
-            pgrid, shape, sp, nbins=nbins, ells=ells, los_axis=int(los_axis)
+        return pgrid * (b + fv * mu2) ** 2
+
+    def predicted_kaiser_wedges(self, z=0.0, bias=1.0, f=None, los_axis=2,
+                                nbins=32, nmu=4, smoothing_length=0.0):
+        """Exact per-bin expectation of a Kaiser render's P(k, mu) wedges.
+
+        The clustering-wedge companion of
+        :meth:`predicted_kaiser_multipoles`: the same per-mode
+        ``(b + f mu^2)^2 P(k)`` expectation binned with exactly the
+        joint (|k|, |mu|) bins, multiplicities and masks of
+        ``validate.stats.calculate_power_wedges`` — residuals on
+        :meth:`generate_kaiser_field` renders are pure sample noise.
+        Returns ``(k_mean, p, n_modes)`` with ``p``/``n_modes`` shaped
+        ``(nbins, nmu)``.
+        """
+        from randomfield_tpu.validate import stats as _stats
+
+        pgrid = self._kaiser_pgrid(z, bias, f, los_axis, smoothing_length)
+        return _stats.bin_power_wedges_grid(
+            pgrid, self.scene.shape, self.scene.grid_spacing,
+            nbins=nbins, nmu=nmu, los_axis=int(los_axis),
         )
 
     # ---- constrained realizations / data-conditioned sampling ---------------

@@ -41,6 +41,10 @@ __all__ = [
     "convergence_map",
     "tomographic_convergence",
     "convergence_to_shear",
+    "shear_to_eb",
+    "shear_power_eb",
+    "add_shape_noise",
+    "shape_noise_power",
     "convergence_power",
     "convergence_cross_power",
     "predicted_convergence_power",
@@ -131,7 +135,10 @@ def convergence_to_shear(kappa, spacing):
     """Kaiser-Squires: flat-sky shear (gamma1, gamma2) from kappa.
 
     gamma_hat(k) = ((kx^2 - ky^2) + 2 i kx ky) / k^2 * kappa_hat(k),
-    DC mode zero (the mass-sheet degeneracy).  Runs through the repo's
+    DC mode zero (the mass-sheet degeneracy) and the Nyquist lines of
+    even axes zeroed (the spin-2 kernel is odd under Nyquist aliasing —
+    see :func:`_eb_factors`; :func:`shear_to_eb` inverts this map
+    exactly on the surviving modes).  Runs through the repo's
     safe transform path (complex arrays never cross the host boundary;
     the inverse runs on the minor axis — ops/transform.py "FFT backend
     selection"), so it is usable on the axon runtime at any map size.
@@ -149,15 +156,8 @@ def convergence_to_shear(kappa, spacing):
     # the axon TPU runtime (ops/transform.py "axon" notes).
     @jax.jit
     def _ks(kp):
-        kx = jnp.fft.fftfreq(nx, d=1.0 / nx).astype(kp.dtype)
-        ky = jnp.fft.fftfreq(ny, d=1.0 / ny).astype(kp.dtype)
-        kx2 = (kx * kx)[:, None]
-        ky2 = (ky * ky)[None, :]
-        ksq = kx2 + ky2
+        fac1, fac2, ksq = _eb_factors(nx, ny, kp.dtype)
         c = _transform.rfftn(kp[:, :, None], norm="forward")[:, :, 0]
-        denom = jnp.where(ksq > 0, ksq, 1.0)
-        fac1 = (kx2 - ky2) / denom
-        fac2 = 2.0 * kx[:, None] * ky[None, :] / denom
         g1h = jnp.where(ksq > 0, fac1 * c, 0.0)
         g2h = jnp.where(ksq > 0, fac2 * c, 0.0)
         g1 = _transform.irfftn(g1h[:, :, None], (nx, ny, 1),
@@ -167,6 +167,136 @@ def convergence_to_shear(kappa, spacing):
         return g1, g2
 
     return _ks(kappa)
+
+
+def _eb_factors(nx, ny, dtype):
+    """The Kaiser-Squires spin-2 rotation t1 + i t2 = e^{2 i phi_k}:
+    t1 = (kx^2 - ky^2)/k^2, t2 = 2 kx ky / k^2, zeroed on the Nyquist
+    lines of even axes — t2 is ODD under the Nyquist aliasing
+    k_Nyq == -k_Nyq, so a nonzero kernel there breaks Hermitian symmetry
+    and the inverse transform would silently project it out anyway (the
+    same convention as the off-diagonal tidal kernels,
+    ops/derived.py).  Spin-2 maps are therefore band-limited below the
+    axis Nyquist by construction, which is what makes
+    :func:`shear_to_eb` an exact inverse of
+    :func:`convergence_to_shear` mode by mode."""
+    kx = jnp.fft.fftfreq(nx, d=1.0 / nx).astype(dtype)
+    ky = jnp.fft.fftfreq(ny, d=1.0 / ny).astype(dtype)
+    kx2 = (kx * kx)[:, None]
+    ky2 = (ky * ky)[None, :]
+    ksq = kx2 + ky2
+    denom = jnp.where(ksq > 0, ksq, 1.0)
+    ok = jnp.ones((nx, ny), dtype)
+    if nx % 2 == 0:
+        ok = ok * (jnp.abs(kx) != nx // 2).astype(dtype)[:, None]
+    if ny % 2 == 0:
+        ok = ok * (jnp.abs(ky) != ny // 2).astype(dtype)[None, :]
+    t1 = (kx2 - ky2) / denom * ok
+    t2 = 2.0 * kx[:, None] * ky[None, :] / denom * ok
+    return t1, t2, ksq
+
+
+def shear_to_eb(gamma1, gamma2, spacing):
+    """E/B decomposition of a flat-sky shear field (inverse KS).
+
+    ``E_hat = t1 g1_hat + t2 g2_hat``, ``B_hat = t1 g2_hat - t2 g1_hat``
+    with ``t1 + i t2 = e^{2 i phi_k}`` — the exact inverse of
+    :func:`convergence_to_shear` on the same grid: gravitational (pure
+    KS) shear returns ``E = kappa - <kappa>`` to roundoff and ``B = 0``
+    identically; any measured B is a systematics/noise channel (the
+    standard lensing null test).  The DC mode of both outputs is zero
+    (mass-sheet degeneracy).  Returns two real maps ``(e, b)``.
+    """
+    g1 = jnp.asarray(gamma1)
+    g2 = jnp.asarray(gamma2)
+    if g1.shape != g2.shape or g1.ndim != 2:
+        raise ValueError("gamma1/gamma2 must be equal-shape 2-D maps")
+    nx, ny = g1.shape
+
+    @jax.jit
+    def _inv(a, b):
+        t1, t2, ksq = _eb_factors(nx, ny, a.dtype)
+        c1 = _transform.rfftn(a[:, :, None], norm="forward")[:, :, 0]
+        c2 = _transform.rfftn(b[:, :, None], norm="forward")[:, :, 0]
+        eh = jnp.where(ksq > 0, t1 * c1 + t2 * c2, 0.0)
+        bh = jnp.where(ksq > 0, t1 * c2 - t2 * c1, 0.0)
+        e = _transform.irfftn(eh[:, :, None], (nx, ny, 1),
+                              norm="forward")[:, :, 0]
+        bb = _transform.irfftn(bh[:, :, None], (nx, ny, 1),
+                               norm="forward")[:, :, 0]
+        return e, bb
+
+    return _inv(g1, g2)
+
+
+def shear_power_eb(gamma1, gamma2, spacing, nbins=16):
+    """E- and B-mode power spectra of a shear field.
+
+    Binned exactly like :func:`convergence_power` (same modes, bins and
+    conventions), so for noise-free KS shear ``P_E`` equals
+    ``convergence_power(kappa)`` bin for bin and ``P_B`` vanishes; with
+    white shape noise both acquire the flat :func:`shape_noise_power`
+    floor (the per-component noise splits evenly between E and B).
+    Returns ``(k_mean, p_e, p_b, n_modes)``.
+    """
+    g1 = jnp.asarray(gamma1)
+    g2 = jnp.asarray(gamma2)
+    if g1.shape != g2.shape or g1.ndim != 2:
+        raise ValueError("gamma1/gamma2 must be equal-shape 2-D maps")
+    nx, ny = g1.shape
+    spacing = float(spacing)
+    area = nx * ny * spacing**2
+
+    @jax.jit
+    def _mode_p(a, b):  # complex spectra stay inside the program (axon)
+        t1, t2, ksq = _eb_factors(nx, ny, a.dtype)
+        c1 = _transform.rfftn(a[:, :, None], norm="backward")[:, :, 0]
+        c2 = _transform.rfftn(b[:, :, None], norm="backward")[:, :, 0]
+        eh = jnp.where(ksq > 0, t1 * c1 + t2 * c2, 0.0)
+        bh = jnp.where(ksq > 0, t1 * c2 - t2 * c1, 0.0)
+        scale = (spacing**2) ** 2 / area
+        return (
+            (eh.real**2 + eh.imag**2) * scale,
+            (bh.real**2 + bh.imag**2) * scale,
+        )
+
+    pe, pb = _mode_p(g1, g2)
+    pe = np.asarray(pe, np.float64)
+    pb = np.asarray(pb, np.float64)
+    km, edges, mult = _kperp_setup((nx, ny), spacing, nbins)
+    k_mean, p_e, counts = _bin2d(km, mult, pe, edges, int(nbins))
+    _, p_b, _ = _bin2d(km, mult, pb, edges, int(nbins))
+    return k_mean, p_e, p_b, counts
+
+
+def add_shape_noise(gamma1, gamma2, sigma_e, seed=0):
+    """Add white per-component shape noise to shear maps.
+
+    ``sigma_e`` is the per-pixel, per-component intrinsic-ellipticity
+    dispersion (for a survey with n_gal galaxies per pixel and
+    per-galaxy dispersion sigma_gal per component, pass
+    ``sigma_gal / sqrt(n_gal)``).  Deterministic in ``seed``; the two
+    components get independent draws.  Expected E/B power contribution:
+    :func:`shape_noise_power`.
+    """
+    g1 = jnp.asarray(gamma1)
+    g2 = jnp.asarray(gamma2)
+    key = jax.random.key(int(seed) ^ 0x5EAB0DE5)
+    k1, k2 = jax.random.split(key)
+    s = jnp.asarray(float(sigma_e), g1.dtype)
+    return (
+        g1 + s * jax.random.normal(k1, g1.shape, g1.dtype),
+        g2 + s * jax.random.normal(k2, g2.shape, g2.dtype),
+    )
+
+
+def shape_noise_power(sigma_e, spacing):
+    """Flat noise power of white per-pixel shape noise in the map
+    conventions of :func:`shear_power_eb` / :func:`convergence_power`:
+    ``P_N = sigma_e^2 spacing^2`` per component — each of E and B
+    receives exactly this floor (the spin-2 rotation is unitary per
+    mode)."""
+    return float(sigma_e) ** 2 * float(spacing) ** 2
 
 
 def _kperp_setup(shape2d, spacing, nbins):

@@ -1,0 +1,308 @@
+"""Direct pair-count two-point statistics for object catalogs.
+
+The configuration-space companion of ``models/zeldovich.py:
+catalog_power``: brute-force weighted pair counts DD(r) (optionally
+DD(r, mu) and Legendre-weighted DD_ell(r)) over periodic minimum-image
+separations, normalized by the analytic uniform expectation of a
+periodic box — no random catalog is needed (the periodic-box "natural"
+estimator: RR is exact, not sampled).  Complements the FFT-based
+``validate/stats.py:calculate_correlation`` for *gridded* fields: pair
+counts work on ragged catalogs directly (halo/HOD/Zel'dovich outputs),
+carry no assignment-window or aliasing systematics, and support
+per-object weights and cross-correlations.
+
+Reference parity: the reference package has no catalog machinery at all
+(SURVEY.md section 2 — fields only); this module covers the standard
+survey-analysis workflow its users would otherwise reach to
+Corrfunc/nbodykit for.
+
+TPU mapping: the O(N^2) pair distances are chunked ``lax.fori_loop``
+sweeps of (chunk, N) minimum-image separation blocks on the VPU, and
+the per-bin reduction is the same exact one-hot MXU contraction the
+spectral estimators use (validate/stats.py:_dot_bin) — no scatter-adds,
+no host transfers inside the loop.  N ~ 1e5 catalogs (1e10 pairs) run
+in seconds on one chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "pair_counts",
+    "catalog_correlation",
+    "catalog_correlation_multipoles",
+]
+
+# even-order Legendre polynomials in mu^2 (pair separations are
+# unoriented, so odd multipoles vanish identically: L_odd(-mu) = -L_odd)
+_LEGENDRE_EVEN = {
+    0: lambda mu2: jnp.ones_like(mu2),
+    2: lambda mu2: 0.5 * (3.0 * mu2 - 1.0),
+    4: lambda mu2: 0.125 * (35.0 * mu2 * mu2 - 30.0 * mu2 + 3.0),
+}
+
+
+def _canonical_positions(positions):
+    """Accept (N, 3) catalogs or the (3, ...) grid layout of
+    models/zeldovich.py and return (N, 3) float32."""
+    p = jnp.asarray(positions)
+    if p.ndim == 2 and p.shape[1] == 3:
+        return p.astype(jnp.float32)
+    if p.ndim >= 2 and p.shape[0] == 3:
+        return p.reshape(3, -1).T.astype(jnp.float32)
+    raise ValueError(
+        f"positions must be (N, 3) or (3, ...); got shape {p.shape}"
+    )
+
+
+def _dot_rows(idx, rows, nbins):
+    """Per-bin sums of each row of ``rows`` via one exact one-hot MXU
+    contraction (validate/stats.py:_dot_bin pattern).  ``idx`` entries
+    outside [0, nbins) fall in a discard bin."""
+    oh = (idx.ravel()[:, None] == jnp.arange(nbins, dtype=idx.dtype)
+          ).astype(rows.dtype)
+    return jax.lax.dot(
+        rows.reshape(rows.shape[0], -1), oh,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("box", "nbins", "nmu", "ells", "los_axis", "chunk"),
+)
+def _pair_count_loop(pos1, w1, pos2, w2, edges2, box, nbins, nmu, ells,
+                     los_axis, chunk):
+    """Chunked minimum-image pair binning.
+
+    Counts ORDERED pairs (i, j) with i from catalog 1, j from catalog 2,
+    excluding exact zero separations (self-pairs in the auto case).  The
+    auto case therefore returns 2x the unordered count — consistently
+    matched by the analytic RR normalization in :func:`pair_counts`.
+    Rows accumulated per (r[, mu]) bin: sum of w_i w_j, then either the
+    Legendre-weighted sums (ells mode) or nothing else (wedge mode adds
+    the mu dimension into the bin index), plus sum of w_i w_j r_ij for
+    mean-separation readout.
+    """
+    n1 = pos1.shape[0]
+    bx = jnp.asarray(box, jnp.float32)
+    nch = -(-n1 // chunk)
+    mu_mode = nmu > 1
+    total = nbins * (nmu if mu_mode else 1)
+    nrows = 2 + (len(ells) if ells else 0)
+    acc0 = jnp.zeros((nrows, total), jnp.float32)
+
+    def body(i, acc):
+        s = i * chunk
+        p1 = jax.lax.dynamic_slice(pos1, (s, 0), (chunk, 3))
+        wv1 = jax.lax.dynamic_slice(w1, (s,), (chunk,))
+        row_ok = (s + jnp.arange(chunk)) < n1
+        wv1 = jnp.where(row_ok, wv1, 0.0)
+        d = p1[:, None, :] - pos2[None, :, :]
+        d = d - bx * jnp.round(d / bx)
+        r2 = jnp.sum(d * d, axis=-1)
+        r = jnp.sqrt(r2)
+        idx = jnp.searchsorted(edges2, r2, method="compare_all") - 1
+        valid = (idx >= 0) & (idx < nbins) & (r2 > 0)
+        wij = wv1[:, None] * w2[None, :]
+        wij = jnp.where(valid, wij, 0.0)
+        rows = [wij, wij * r]
+        if mu_mode or ells:
+            mu2 = jnp.where(
+                r2 > 0,
+                d[..., los_axis] ** 2 / jnp.where(r2 > 0, r2, 1.0),
+                0.0,
+            )
+        if mu_mode:
+            mu_idx = jnp.clip(
+                (jnp.sqrt(mu2) * nmu).astype(jnp.int32), 0, nmu - 1
+            )
+            idx = idx * nmu + mu_idx
+        if ells:
+            for ell in ells:
+                rows.append(
+                    wij * ((2.0 * ell + 1.0) * _LEGENDRE_EVEN[ell](mu2))
+                )
+        idx = jnp.where(valid, idx, total)
+        return acc + _dot_rows(idx, jnp.stack(rows), total)
+
+    return jax.lax.fori_loop(0, nch, body, acc0)
+
+
+def pair_counts(positions, box, r_edges, weights=None, positions2=None,
+                weights2=None, nmu=1, ells=(), los_axis=2, chunk=512):
+    """Weighted periodic pair counts DD(r[, mu]) and DD_ell(r).
+
+    Counts ordered pairs between ``positions`` and ``positions2``
+    (auto-counts with self-pairs excluded when ``positions2`` is None)
+    binned by minimum-image separation into ``r_edges`` (and, when
+    ``nmu > 1``, into uniform |mu| wedges with mu measured along
+    ``los_axis``).  Returns a dict with ``dd`` (sum of w_i w_j per bin,
+    shaped (nbins,) or (nbins, nmu)), ``r_mean`` (pair-weighted mean
+    separation per r bin), ``dd_ell`` ((len(ells), nbins), Legendre-
+    weighted counts ``sum w_i w_j (2l+1) L_l(mu)``) and the totals
+    needed for normalization.  All separations must fit inside the
+    minimum-image sphere: ``r_edges[-1] <= min(box)/2``.  Zero-
+    separation pairs are always excluded — in the cross case this also
+    drops exactly coincident points (which carry no geometric
+    information and would otherwise need a same-catalog flag).
+    """
+    p1 = _canonical_positions(positions)
+    n1 = p1.shape[0]
+    box3 = tuple(
+        float(b) for b in (box if np.ndim(box) else (box, box, box))
+    )
+    r_edges = np.asarray(r_edges, np.float64)
+    if r_edges.ndim != 1 or len(r_edges) < 2 or (np.diff(r_edges) <= 0).any():
+        raise ValueError("r_edges must be increasing with >= 2 entries")
+    if r_edges[0] < 0:
+        raise ValueError("r_edges must be non-negative")
+    if r_edges[-1] > min(box3) / 2 * (1 + 1e-9):
+        raise ValueError(
+            f"r_edges[-1]={r_edges[-1]:g} exceeds the minimum-image bound "
+            f"min(box)/2 = {min(box3) / 2:g}"
+        )
+    ells = tuple(int(e) for e in ells)
+    for e in ells:
+        if e not in _LEGENDRE_EVEN:
+            raise ValueError(
+                f"ell={e} unsupported: even multipoles 0/2/4 only"
+            )
+    if ells and int(nmu) > 1:
+        raise ValueError("pass either nmu wedges or ells, not both")
+    w1 = (
+        jnp.ones((n1,), jnp.float32)
+        if weights is None
+        else jnp.asarray(weights, jnp.float32).reshape(-1)
+    )
+    if w1.shape[0] != n1:
+        raise ValueError("weights length must match positions")
+    cross = positions2 is not None
+    if cross:
+        p2 = _canonical_positions(positions2)
+        w2 = (
+            jnp.ones((p2.shape[0],), jnp.float32)
+            if weights2 is None
+            else jnp.asarray(weights2, jnp.float32).reshape(-1)
+        )
+        if w2.shape[0] != p2.shape[0]:
+            raise ValueError("weights2 length must match positions2")
+    else:
+        p2, w2 = p1, w1
+    nbins = len(r_edges) - 1
+    chunk = max(1, min(int(chunk), n1))
+    pad = (-n1) % chunk
+    if pad:
+        p1p = jnp.concatenate([p1, jnp.zeros((pad, 3), p1.dtype)])
+        w1p = jnp.concatenate([w1, jnp.zeros((pad,), w1.dtype)])
+    else:
+        p1p, w1p = p1, w1
+    acc = _pair_count_loop(
+        p1p, w1p, p2, w2,
+        jnp.asarray(r_edges**2, jnp.float32), box3, int(nbins),
+        int(nmu), ells, int(los_axis), int(chunk),
+    )
+    acc = np.asarray(acc, np.float64)
+    mu_mode = int(nmu) > 1
+    dd = acc[0].reshape(nbins, nmu) if mu_mode else acc[0]
+    rsum = acc[1].reshape(nbins, nmu).sum(axis=1) if mu_mode else acc[1]
+    ddr = dd.sum(axis=1) if mu_mode else dd
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r_mean = np.where(ddr > 0, rsum / np.where(ddr > 0, ddr, 1.0),
+                          np.nan)
+    out = {
+        "dd": dd,
+        "r_mean": r_mean,
+        "r_edges": r_edges,
+        "sum_w1": float(np.asarray(jnp.sum(w1))),
+        "sum_w2": float(np.asarray(jnp.sum(w2))),
+        "sum_w1_sq": float(np.asarray(jnp.sum(w1 * w1))),
+        "cross": cross,
+        "box": box3,
+    }
+    if ells:
+        out["dd_ell"] = acc[2:2 + len(ells)]
+        out["ells"] = ells
+    return out
+
+
+def _rr_analytic(counts):
+    """Exact expected ordered pair counts of uniform points in the
+    periodic box: RR(bin) = norm * V_shell(bin) / V_box with
+    norm = W1*W2 (cross) or W^2 - sum(w^2) (auto, self-pairs excluded).
+    Exact for r <= min(box)/2 where minimum-image shells are complete
+    spheres."""
+    e = counts["r_edges"]
+    vshell = 4.0 * np.pi / 3.0 * (e[1:] ** 3 - e[:-1] ** 3)
+    bx = counts["box"]
+    vbox = bx[0] * bx[1] * bx[2]
+    if counts["cross"]:
+        norm = counts["sum_w1"] * counts["sum_w2"]
+    else:
+        norm = counts["sum_w1"] ** 2 - counts["sum_w1_sq"]
+    return norm * vshell / vbox
+
+
+def catalog_correlation(positions, box, r_edges, weights=None,
+                        positions2=None, weights2=None, nmu=1,
+                        los_axis=2, chunk=512):
+    """xi(r) (or xi(r, mu) wedges) of a catalog by direct pair counts.
+
+    The periodic-box natural estimator ``xi = DD/RR - 1`` with the
+    EXACT analytic uniform normalization RR (no random catalog, no
+    sampling noise in the denominator).  Auto-correlation by default;
+    pass ``positions2`` for the cross-correlation of two catalogs
+    (e.g. halos x galaxies).  With ``nmu > 1`` returns the anisotropic
+    ``xi(r, mu)`` in uniform |mu| wedges along ``los_axis`` (RR is
+    mu-uniform for complete shells, so the same analytic normalization
+    applies per wedge).  Returns ``(r_mean, xi, dd)`` with ``xi`` and
+    ``dd`` shaped (nbins,) or (nbins, nmu).
+
+    Agrees with the FFT/grid estimator
+    (validate/stats.py:calculate_correlation) on painted catalogs up to
+    assignment-window smoothing, and with brute-force O(N^2) float64
+    sums exactly (tests/test_paircount.py).
+    """
+    c = pair_counts(
+        positions, box, r_edges, weights=weights, positions2=positions2,
+        weights2=weights2, nmu=nmu, los_axis=los_axis, chunk=chunk,
+    )
+    rr = _rr_analytic(c)
+    if int(nmu) > 1:
+        rr = rr[:, None] / float(nmu)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        xi = c["dd"] / rr - 1.0
+    return c["r_mean"], xi, c["dd"]
+
+
+def catalog_correlation_multipoles(positions, box, r_edges, weights=None,
+                                   positions2=None, weights2=None,
+                                   ells=(0, 2, 4), los_axis=2, chunk=512):
+    """Correlation-function multipoles xi_ell(s) by direct pair counts.
+
+    Per-pair Legendre weighting (exact in mu — no wedge discretization):
+    ``xi_ell(s) = sum_{pairs in bin} w_i w_j (2l+1) L_l(mu_ij) / RR(s)
+    - delta_{l0}``, the standard periodic-box estimator for
+    redshift-space catalogs (pair it with
+    ``HODGenerator.generate_galaxy_catalog(rsd=True)`` or
+    ``zeldovich_positions(f=...)``).  Only even ells exist (unoriented
+    pairs).  Returns ``(r_mean, xi_ell, dd)`` with ``xi_ell`` shaped
+    ``(len(ells), nbins)``.
+    """
+    ells = tuple(int(e) for e in ells)
+    c = pair_counts(
+        positions, box, r_edges, weights=weights, positions2=positions2,
+        weights2=weights2, ells=ells, los_axis=los_axis, chunk=chunk,
+    )
+    rr = _rr_analytic(c)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        xi_ell = c["dd_ell"] / rr[None, :]
+    for i, e in enumerate(ells):
+        if e == 0:
+            xi_ell[i] -= 1.0
+    return c["r_mean"], xi_ell, c["dd"]

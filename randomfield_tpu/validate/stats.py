@@ -21,6 +21,8 @@ from randomfield_tpu.ops import transform as _transform
 __all__ = [
     "calculate_power",
     "calculate_power_multipoles",
+    "calculate_power_wedges",
+    "bin_power_wedges_grid",
     "calculate_masked_power",
     "predicted_masked_power",
     "spectrum_power",
@@ -423,6 +425,120 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
         None if interlaced_with is None else jnp.asarray(interlaced_with),
     )
     return _xi_host(counts, psums, ksum)
+
+
+def _wedge_bins_from_power(p, shape, spacing, nbins, nmu, los_axis):
+    """Joint (|k|, |mu|) binning core shared by the wedge estimator and
+    its exact expectation: combined bin index ``k_idx * nmu + mu_idx``
+    through the same one-hot MXU contraction as :func:`_dot_bin`, with
+    the estimator's k edges, Hermitian multiplicities and masks.  Wedges
+    are uniform in |mu| on [0, 1] (mu = k_los/|k|; |mu| suffices — the
+    conjugate mode has the same |mu|, which is why the half-grid
+    multiplicities apply unchanged)."""
+    km = _grid.kmag(shape, spacing, p.dtype)
+    kv = _grid.kvectors(shape, spacing)
+    k_los = jnp.asarray(kv[los_axis], p.dtype)
+    bcast = [None, None, None]
+    bcast[los_axis] = slice(None)
+    k_los = k_los[tuple(bcast)]
+    mu = jnp.where(km > 0, jnp.abs(k_los) / jnp.where(km > 0, km, 1.0), 0.0)
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    edges_j = jnp.asarray(edges, p.dtype)
+    k_idx = jnp.searchsorted(edges_j, km, method="compare_all") - 1
+    mu_idx = jnp.clip((mu * nmu).astype(jnp.int32), 0, nmu - 1)
+    wb = jnp.broadcast_to(jnp.asarray(mult)[None, None, :], km.shape)
+    total = nbins * nmu
+    valid = (k_idx >= 0) & (k_idx < nbins) & (km > 0) & (wb > 0)
+    idx = jnp.where(valid, k_idx * nmu + mu_idx, total)
+    wv = jnp.where(valid, wb, 0.0)
+    kmb = jnp.broadcast_to(km, p.shape)
+    counts, psum, ksum = jax.vmap(
+        lambda ix, wx, px, kx: _dot_bin(ix, wx, px, kx, total)
+    )(idx, jnp.broadcast_to(wv, p.shape), p, kmb)
+    return (
+        jnp.sum(counts, axis=0).reshape(nbins, nmu),
+        jnp.sum(psum, axis=0).reshape(nbins, nmu),
+        jnp.sum(ksum, axis=0).reshape(nbins, nmu),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "spacing", "nbins", "nmu", "los_axis",
+                     "window_order"),
+)
+def _binned_wedges(delta, shape, spacing, nbins, nmu, los_axis,
+                   window_order, delta2=None):
+    p = (
+        _mode_power(delta, shape, spacing)
+        if delta2 is None
+        else _interlaced_mode_power(delta, delta2, shape, spacing)
+    )
+    if window_order:
+        p = p / _assignment_window(shape, spacing, p.dtype) ** (
+            2 * window_order
+        )
+    return _wedge_bins_from_power(p, shape, spacing, nbins, nmu, los_axis)
+
+
+def _wedges_host(counts, psum, ksum):
+    counts = np.asarray(counts, np.float64)
+    psum = np.asarray(psum, np.float64)
+    ksum = np.asarray(ksum, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        k_mean = ksum.sum(axis=1) / counts.sum(axis=1)
+        return k_mean, psum / counts, counts
+
+
+def calculate_power_wedges(delta, spacing, nbins=32, nmu=4, los_axis=2,
+                           window=None, interlaced_with=None):
+    """Anisotropic power spectrum in (k, mu) wedges, P(k, mu_j).
+
+    The clustering-wedge companion of :func:`calculate_power_multipoles`
+    (Kazin et al. 2012): the per-mode power averaged in joint bins of
+    |k| (the estimator's log-spaced shells) and |mu| = |k_los|/|k|
+    (``nmu`` uniform wedges on [0, 1]).  Unlike the Legendre projection,
+    wedges keep the full mu-dependence observable — the standard
+    diagnostic for RSD and AP analyses.  Returns ``(k_mean, p, n_modes)``
+    with ``p`` and ``n_modes`` shaped ``(nbins, nmu)`` and ``k_mean``
+    the per-k-shell mean |k| (aggregated over wedges).  ``window`` /
+    ``interlaced_with`` behave exactly as in :func:`calculate_power`.
+    The count-weighted wedge average reproduces :func:`calculate_power`
+    bin for bin (same modes, masks and multiplicities — asserted in
+    tests); expectations bin through :func:`bin_power_wedges_grid` so
+    residuals are pure sample noise.
+    """
+    shape = tuple(int(s) for s in delta.shape[-3:])
+    if window not in _WINDOW_ORDERS:
+        raise ValueError(
+            f"unknown window {window!r}: expected None, 'ngp', 'cic' or 'tsc'"
+        )
+    counts, psum, ksum = _binned_wedges(
+        jnp.asarray(delta), shape, float(spacing), int(nbins), int(nmu),
+        int(los_axis), _WINDOW_ORDERS[window],
+        None if interlaced_with is None else jnp.asarray(interlaced_with),
+    )
+    return _wedges_host(counts, psum, ksum)
+
+
+def bin_power_wedges_grid(pgrid, shape, spacing, nbins=32, nmu=4,
+                          los_axis=2):
+    """Wedge-average a per-mode power half-grid into estimator bins.
+
+    The (k, mu)-wedge companion of :func:`bin_power_multipoles_grid`:
+    bins an expectation grid ``E[P_hat(k)]`` (which may depend on mu)
+    with exactly the joint bins, multiplicities and masks of
+    :func:`calculate_power_wedges`, so measured-vs-predicted wedge
+    residuals are pure sample noise — including the empty high-mu cells
+    of incomplete shells.  Returns ``(k_mean, p, n_modes)`` shaped as
+    the estimator's.
+    """
+    shape = tuple(int(s) for s in shape)
+    p = jnp.asarray(pgrid)
+    counts, psum, ksum = _wedge_bins_from_power(
+        p, shape, float(spacing), int(nbins), int(nmu), int(los_axis)
+    )
+    return _wedges_host(counts, psum, ksum)
 
 
 @functools.lru_cache(maxsize=16)

@@ -235,3 +235,84 @@ def test_predicted_convergence_power_validates_weights():
         lensing.predicted_convergence_power(
             load_default_power(), (8, 8, 8), 25.0, np.ones(4)
         )
+
+
+def _nyquist_filtered(kappa):
+    """kappa with DC and the even-axis Nyquist lines zeroed — the band
+    limit the spin-2 kernels impose (models/lensing.py:_eb_factors)."""
+    c = np.fft.fft2(np.asarray(kappa, np.float64))
+    n0, n1 = c.shape
+    c[0, 0] = 0.0
+    if n0 % 2 == 0:
+        c[n0 // 2, :] = 0.0
+    if n1 % 2 == 0:
+        c[:, n1 // 2] = 0.0
+    return np.fft.ifft2(c).real
+
+
+def test_eb_roundtrip_recovers_kappa_and_null_b():
+    # KS shear of any kappa: E = kappa (band-limited below the spin-2
+    # Nyquist cut, mean removed) to roundoff, B = 0
+    from randomfield_tpu import Generator
+
+    n, spacing = 32, 25.0
+    g = Generator(n, n, n, grid_spacing=spacing)
+    kappa = np.asarray(lensing.convergence_map(
+        g.generate_delta_field(seed=4), g.cosmology, spacing, 0.6))
+    g1, g2 = lensing.convergence_to_shear(kappa, spacing)
+    e, b = lensing.shear_to_eb(g1, g2, spacing)
+    want = _nyquist_filtered(kappa)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(
+        np.asarray(e, np.float64), want, atol=3e-5 * scale
+    )
+    assert np.max(np.abs(np.asarray(b))) < 3e-5 * scale
+
+
+def test_eb_power_matches_convergence_power_and_null_b():
+    from randomfield_tpu import Generator
+
+    n, spacing = 32, 25.0
+    g = Generator(n, n, n, grid_spacing=spacing)
+    kappa = np.asarray(lensing.convergence_map(
+        g.generate_delta_field(seed=7), g.cosmology, spacing, 0.8))
+    g1, g2 = lensing.convergence_to_shear(kappa, spacing)
+    k_e, p_e, p_b, cnt = lensing.shear_power_eb(g1, g2, spacing, nbins=8)
+    k_k, p_k, cnt_k = lensing.convergence_power(
+        _nyquist_filtered(kappa).astype(np.float32), spacing, nbins=8
+    )
+    np.testing.assert_allclose(cnt, cnt_k, atol=0)
+    m = cnt > 0
+    np.testing.assert_allclose(p_e[m], p_k[m], rtol=5e-4, atol=1e-7)
+    assert (np.abs(p_b[m]) < 1e-4 * np.abs(p_k[m]).max()).all()
+
+
+def test_shape_noise_floor_splits_evenly_into_e_and_b():
+    # pure white shape noise: E and B both flat at sigma_e^2 spacing^2
+    # (odd map size: no Nyquist lines, so the spin-2 band limit removes
+    # nothing and the flat floor is the exact per-bin expectation)
+    n, spacing, sigma_e = 63, 10.0, 0.3
+    zeros = np.zeros((n, n), np.float32)
+    g1, g2 = lensing.add_shape_noise(zeros, zeros, sigma_e, seed=11)
+    p_floor = lensing.shape_noise_power(sigma_e, spacing)
+    acc_e, acc_b = [], []
+    for seed in range(6):
+        g1, g2 = lensing.add_shape_noise(zeros, zeros, sigma_e, seed=seed)
+        _, p_e, p_b, cnt = lensing.shear_power_eb(
+            g1, g2, spacing, nbins=8
+        )
+        acc_e.append(p_e)
+        acc_b.append(p_b)
+    m = cnt > 20
+    e_mean = np.mean(acc_e, axis=0)[m]
+    b_mean = np.mean(acc_b, axis=0)[m]
+    # per-bin chi^2-mean error ~ p_floor * sqrt(2/(n_modes*nseeds))
+    err = 5.0 * p_floor * np.sqrt(2.0 / (cnt[m] * 6))
+    assert (np.abs(e_mean - p_floor) < err).all()
+    assert (np.abs(b_mean - p_floor) < err).all()
+    # determinism + actual noise injection
+    a1, a2 = lensing.add_shape_noise(zeros, zeros, sigma_e, seed=3)
+    b1, _ = lensing.add_shape_noise(zeros, zeros, sigma_e, seed=3)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=0)
+    assert np.std(np.asarray(a1)) > 0.2 * sigma_e
+    assert not np.allclose(np.asarray(a1), np.asarray(a2))
