@@ -47,8 +47,10 @@ __all__ = [
     "shape_noise_power",
     "convergence_power",
     "convergence_cross_power",
+    "convergence_correlation",
     "predicted_convergence_power",
     "predicted_convergence_cross_power",
+    "predicted_convergence_correlation",
 ]
 
 
@@ -444,3 +446,103 @@ def predicted_convergence_power(power, shape, spacing, weights, nbins=16,
     win = np.abs(np.fft.fft(w)) ** 2  # |sum_i w_i e^{-i kz z_i}|^2
     p_kappa = (p3 * win[None, None, :]).sum(axis=-1) / (nz * spacing)
     return _bin2d(km2, mult, p_kappa, edges, int(nbins))
+
+
+def _r2d_setup(shape2d, spacing, nbins):
+    """Minimum-image transverse separation grid + log bins (the 2-D
+    analog of validate/stats.py:_r_bin_setup)."""
+    nx, ny = shape2d
+    dx = np.minimum(np.arange(nx), nx - np.arange(nx)) * spacing
+    dy = np.minimum(np.arange(ny), ny - np.arange(ny)) * spacing
+    r = np.sqrt(dx[:, None] ** 2 + dy[None, :] ** 2)
+    rmax = r.max()
+    edges = np.logspace(
+        np.log10(spacing * 0.999), np.log10(rmax * 1.001), int(nbins) + 1
+    )
+    return r, edges
+
+
+def _bin_r2d(r, w, edges, nbins):
+    idx = np.searchsorted(edges, r) - 1
+    valid = (idx >= 0) & (idx < nbins) & (r > 0)
+    counts = np.bincount(idx[valid], minlength=nbins).astype(np.float64)
+    wsum = np.bincount(idx[valid], weights=w[valid], minlength=nbins)
+    rsum = np.bincount(idx[valid], weights=r[valid], minlength=nbins)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return rsum / counts, wsum / counts, counts
+
+
+def convergence_correlation(kappa, spacing, nbins=16):
+    """Transverse two-point correlation w(R) of a convergence map.
+
+    The configuration-space companion of :func:`convergence_power` (the
+    flat-sky analog of the angular correlation function, with R the
+    comoving transverse separation — convert to angle with
+    ``theta = R / f_K(chi)`` at a chosen distance): one inverse
+    transform of the per-mode 2-D power binned by periodic
+    minimum-image separation, exactly the construction of
+    ``validate/stats.py:calculate_correlation`` in two dimensions.
+    Returns ``(r_mean, w, n_offsets)``; the exact expectation on the
+    same modes and bins is :func:`predicted_convergence_correlation`,
+    so residual gates see pure sample noise.
+    """
+    kappa = jnp.asarray(kappa)
+    if kappa.ndim != 2:
+        raise ValueError("kappa must be a 2-D map")
+    nx, ny = kappa.shape
+    spacing = float(spacing)
+
+    @jax.jit
+    def _xi(kp):
+        # xi(d) = (1/Npix^2) sum_k |fft2 kappa|^2 e^{ik.d}, through the
+        # packed singleton-axis helpers with the engine's unnormalized
+        # norm='forward' inverse (the only convention every backend,
+        # including the axon TPU path, supports); complex stays
+        # in-program
+        c = _transform.rfftn(kp[:, :, None], norm="backward")[:, :, 0]
+        p = c.real**2 + c.imag**2
+        xi = _transform.irfftn(
+            jax.lax.complex(p, jnp.zeros_like(p))[:, :, None],
+            (nx, ny, 1), norm="forward",
+        )[:, :, 0]
+        return xi / (nx * ny) ** 2
+
+    xi = np.asarray(_xi(kappa), np.float64)
+    r, edges = _r2d_setup((nx, ny), spacing, nbins)
+    return _bin_r2d(r, xi, edges, int(nbins))
+
+
+def predicted_convergence_correlation(power, shape, spacing, weights,
+                                      nbins=16, interpolation="log10k"):
+    """Exact expectation of :func:`convergence_correlation` for a
+    plane-sum convergence map: the per-mode expectation grid of
+    :func:`predicted_convergence_power` inverse-transformed and binned
+    with exactly the estimator's minimum-image shells —
+    ``E[w(d)] = (1/A) sum_k P_kappa(k) e^{ik.d}``.  ``weights`` as in
+    :func:`predicted_convergence_power`.
+    """
+    from randomfield_tpu.ops import power as _power
+
+    nx, ny, nz = (int(s) for s in shape)
+    spacing = float(spacing)
+    table = _power.validate_power(power)
+    _power.require_coverage(table, (nx, ny, nz), spacing)
+    w = np.asarray(weights, np.float64)
+    if w.shape != (nz,):
+        raise ValueError(f"weights must have shape ({nz},), got {w.shape}")
+    km2, _, _ = _kperp_setup((nx, ny), spacing, nbins)
+    kz = 2.0 * np.pi * np.fft.fftfreq(nz, d=spacing)
+    kmag3 = np.sqrt(km2[:, :, None] ** 2 + kz[None, None, :] ** 2)
+    p3 = np.asarray(
+        _power.interpolate_power(
+            table, jnp.asarray(kmag3, jnp.float32), interpolation
+        ),
+        np.float64,
+    )
+    p3[kmag3 == 0] = 0.0
+    win = np.abs(np.fft.fft(w)) ** 2
+    p_kappa = (p3 * win[None, None, :]).sum(axis=-1) / (nz * spacing)
+    area = nx * ny * spacing**2
+    xi = np.fft.ifft2(p_kappa).real * (nx * ny) / area
+    r, edges = _r2d_setup((nx, ny), spacing, nbins)
+    return _bin_r2d(r, xi, edges, int(nbins))

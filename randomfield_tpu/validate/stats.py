@@ -427,26 +427,16 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
     return _xi_host(counts, psums, ksum)
 
 
-def _wedge_bins_from_power(p, shape, spacing, nbins, nmu, los_axis):
-    """Joint (|k|, |mu|) binning core shared by the wedge estimator and
-    its exact expectation: combined bin index ``k_idx * nmu + mu_idx``
-    through the same one-hot MXU contraction as :func:`_dot_bin`, with
-    the estimator's k edges, Hermitian multiplicities and masks.  Wedges
-    are uniform in |mu| on [0, 1] (mu = k_los/|k|; |mu| suffices — the
-    conjugate mode has the same |mu|, which is why the half-grid
-    multiplicities apply unchanged)."""
-    km = _grid.kmag(shape, spacing, p.dtype)
-    kv = _grid.kvectors(shape, spacing)
-    k_los = jnp.asarray(kv[los_axis], p.dtype)
-    bcast = [None, None, None]
-    bcast[los_axis] = slice(None)
-    k_los = k_los[tuple(bcast)]
-    mu = jnp.where(km > 0, jnp.abs(k_los) / jnp.where(km > 0, km, 1.0), 0.0)
-    edges, mult = _bin_setup(shape, spacing, nbins)
-    edges_j = jnp.asarray(edges, p.dtype)
+def _wedge_bin_core(km, mu, wb, p, edges_j, nbins, nmu):
+    """Joint (|k|, |mu|) binning core shared by every wedge variant:
+    combined bin index ``k_idx * nmu + mu_idx`` through the same
+    one-hot MXU contraction as :func:`_dot_bin`, with the estimator's
+    k edges, Hermitian multiplicities and masks.  Wedges are uniform in
+    |mu| on [0, 1] (mu = |k_los|/|k| suffices — the conjugate mode has
+    the same |mu|, which is why the half-grid multiplicities apply
+    unchanged).  Returns (nbins, nmu)-shaped (counts, psum, ksum)."""
     k_idx = jnp.searchsorted(edges_j, km, method="compare_all") - 1
     mu_idx = jnp.clip((mu * nmu).astype(jnp.int32), 0, nmu - 1)
-    wb = jnp.broadcast_to(jnp.asarray(mult)[None, None, :], km.shape)
     total = nbins * nmu
     valid = (k_idx >= 0) & (k_idx < nbins) & (km > 0) & (wb > 0)
     idx = jnp.where(valid, k_idx * nmu + mu_idx, total)
@@ -459,6 +449,27 @@ def _wedge_bins_from_power(p, shape, spacing, nbins, nmu, los_axis):
         jnp.sum(counts, axis=0).reshape(nbins, nmu),
         jnp.sum(psum, axis=0).reshape(nbins, nmu),
         jnp.sum(ksum, axis=0).reshape(nbins, nmu),
+    )
+
+
+def _wedge_mu(km, kv, los_axis, dtype):
+    k_los = jnp.asarray(kv[los_axis], dtype)
+    bcast = [None, None, None]
+    bcast[los_axis] = slice(None)
+    k_los = k_los[tuple(bcast)]
+    return jnp.where(
+        km > 0, jnp.abs(k_los) / jnp.where(km > 0, km, 1.0), 0.0
+    )
+
+
+def _wedge_bins_from_power(p, shape, spacing, nbins, nmu, los_axis):
+    km = _grid.kmag(shape, spacing, p.dtype)
+    kv = _grid.kvectors(shape, spacing)
+    mu = _wedge_mu(km, kv, los_axis, p.dtype)
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    wb = jnp.broadcast_to(jnp.asarray(mult)[None, None, :], km.shape)
+    return _wedge_bin_core(
+        km, mu, wb, p, jnp.asarray(edges, p.dtype), nbins, nmu
     )
 
 
@@ -491,7 +502,7 @@ def _wedges_host(counts, psum, ksum):
 
 
 def calculate_power_wedges(delta, spacing, nbins=32, nmu=4, los_axis=2,
-                           window=None, interlaced_with=None):
+                           window=None, interlaced_with=None, mesh=None):
     """Anisotropic power spectrum in (k, mu) wedges, P(k, mu_j).
 
     The clustering-wedge companion of :func:`calculate_power_multipoles`
@@ -503,16 +514,52 @@ def calculate_power_wedges(delta, spacing, nbins=32, nmu=4, los_axis=2,
     with ``p`` and ``n_modes`` shaped ``(nbins, nmu)`` and ``k_mean``
     the per-k-shell mean |k| (aggregated over wedges).  ``window`` /
     ``interlaced_with`` behave exactly as in :func:`calculate_power`.
-    The count-weighted wedge average reproduces :func:`calculate_power`
-    bin for bin (same modes, masks and multiplicities — asserted in
-    tests); expectations bin through :func:`bin_power_wedges_grid` so
-    residuals are pure sample noise.
+    With ``mesh`` (a ('data','space') slab mesh or a 2-D pencil mesh)
+    the transform runs distributed and the joint binning is shard-local
+    with one psum, like the multipole estimator.  The count-weighted
+    wedge average reproduces :func:`calculate_power` bin for bin (same
+    modes, masks and multiplicities — asserted in tests); expectations
+    bin through :func:`bin_power_wedges_grid` so residuals are pure
+    sample noise.
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
     if window not in _WINDOW_ORDERS:
         raise ValueError(
             f"unknown window {window!r}: expected None, 'ngp', 'cic' or 'tsc'"
         )
+    if mesh is not None:
+        from randomfield_tpu.parallel.mesh import SPACE_AXIS
+        from randomfield_tpu.parallel.pencil import is_pencil_mesh
+
+        if window is not None or interlaced_with is not None:
+            raise ValueError(
+                "window deconvolution / interlacing is single-device; "
+                "drop mesh= or window="
+            )
+        from randomfield_tpu.parallel.multihost import replicated_to_host
+
+        if is_pencil_mesh(mesh):
+            fn = _make_pencil_wedges(
+                mesh, shape, float(spacing), int(nbins), int(nmu),
+                int(los_axis),
+            )
+            counts, psum, ksum = fn(delta)
+            return _wedges_host(
+                replicated_to_host(counts), replicated_to_host(psum),
+                replicated_to_host(ksum),
+            )
+        if mesh.shape.get(SPACE_AXIS, 1) > 1 or not getattr(
+            delta, "is_fully_addressable", True
+        ):
+            fn = _make_sharded_wedges(
+                mesh, shape, float(spacing), int(nbins), int(nmu),
+                int(los_axis),
+            )
+            counts, psum, ksum = fn(delta)
+            return _wedges_host(
+                replicated_to_host(counts), replicated_to_host(psum),
+                replicated_to_host(ksum),
+            )
     counts, psum, ksum = _binned_wedges(
         jnp.asarray(delta), shape, float(spacing), int(nbins), int(nmu),
         int(los_axis), _WINDOW_ORDERS[window],
@@ -730,6 +777,124 @@ def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
             check_vma=False,
         )(c)
         return bins[0], bins[1:-1], bins[-1]
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def _make_sharded_wedges(mesh, shape, spacing, nbins, nmu, los_axis):
+    """Distributed P(k, mu) wedges on a ('data','space') slab mesh:
+    sharded forward transform, shard-local joint (|k|, |mu|) binning,
+    one psum.  The wedge analog of _make_sharded_multipoles."""
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+    from randomfield_tpu.ops import grid as _grid
+
+    nx, ny, nz = shape
+    volume = nx * ny * nz * spacing**3
+    n_space = mesh.shape[SPACE_AXIS]
+    ny_loc = ny // n_space
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+
+    def _local_bins(cl):
+        j = jax.lax.axis_index(SPACE_AXIS)
+        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (j * ny_loc,), (ny_loc,))
+        kv = (jnp.asarray(kx), ky_l, jnp.asarray(kz))
+        km = jnp.sqrt(
+            (kv[0] * kv[0])[:, None, None]
+            + (kv[1] * kv[1])[None, :, None]
+            + (kv[2] * kv[2])[None, None, :]
+        ).astype(cl.real.dtype)
+        mu = _wedge_mu(km, kv, los_axis, km.dtype)
+        p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        wb = jnp.broadcast_to(jnp.asarray(mult)[None, None, :], km.shape)
+        counts, psum, ksum = _wedge_bin_core(
+            km, mu, wb, p, jnp.asarray(edges, p.dtype), nbins, nmu
+        )
+        return jax.lax.psum(
+            jnp.stack([counts, psum, ksum]), SPACE_AXIS
+        )
+
+    @jax.jit
+    def fn(delta):
+        c = dfft.rfftn_slab(delta, shape, mesh)  # sharded along ky
+        bins = jax.shard_map(
+            _local_bins,
+            mesh=mesh,
+            in_specs=P(None, SPACE_AXIS, None),
+            out_specs=P(),
+            check_vma=False,
+        )(c)
+        return bins[0], bins[1], bins[2]
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def _make_pencil_wedges(mesh, shape, spacing, nbins, nmu, los_axis):
+    """Pencil-mesh P(k, mu) wedges: distributed forward FFT +
+    shard-local joint binning + one psum over both spatial axes.  The
+    wedge analog of _make_pencil_multipoles (state-1 spectrum: ky over
+    'spx', kz over 'spy', kz pad plane masked by zero multiplicity)."""
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.ops import grid as _grid
+    from randomfield_tpu.parallel import pencil as _pencil
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    volume = nx * ny * nz * spacing**3
+    px = mesh.shape[_pencil.SPX_AXIS]
+    py = mesh.shape[_pencil.SPY_AXIS]
+    ny_loc = ny // px
+    nzp = nzh + (-nzh) % py
+    nz_loc = nzp // py
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    mult_p = np.zeros(nzp, np.float32)
+    mult_p[:nzh] = mult
+    kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+    kz_p = np.zeros(nzp, kz.dtype)
+    kz_p[:nzh] = kz
+
+    def _local_bins(cl):
+        j = jax.lax.axis_index(_pencil.SPX_AXIS)
+        m = jax.lax.axis_index(_pencil.SPY_AXIS)
+        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (j * ny_loc,), (ny_loc,))
+        kz_l = jax.lax.dynamic_slice(jnp.asarray(kz_p), (m * nz_loc,), (nz_loc,))
+        mult_l = jax.lax.dynamic_slice(
+            jnp.asarray(mult_p), (m * nz_loc,), (nz_loc,)
+        )
+        kv = (jnp.asarray(kx), ky_l, kz_l)
+        km = jnp.sqrt(
+            (kv[0] * kv[0])[:, None, None]
+            + (kv[1] * kv[1])[None, :, None]
+            + (kv[2] * kv[2])[None, None, :]
+        ).astype(cl.real.dtype)
+        mu = _wedge_mu(km, kv, los_axis, km.dtype)
+        p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        wb = jnp.broadcast_to(mult_l[None, None, :], km.shape)
+        counts, psum, ksum = _wedge_bin_core(
+            km, mu, wb, p, jnp.asarray(edges, p.dtype), nbins, nmu
+        )
+        return jax.lax.psum(
+            jnp.stack([counts, psum, ksum]),
+            (_pencil.SPX_AXIS, _pencil.SPY_AXIS),
+        )
+
+    @jax.jit
+    def fn(delta):
+        c = _pencil.rfftn_pencil(delta, shape, mesh, keep_pad=True)
+        bins = jax.shard_map(
+            _local_bins,
+            mesh=mesh,
+            in_specs=P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS),
+            out_specs=P(),
+            check_vma=False,
+        )(c)
+        return bins[0], bins[1], bins[2]
 
     return fn
 

@@ -316,3 +316,38 @@ def test_shape_noise_floor_splits_evenly_into_e_and_b():
     np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=0)
     assert np.std(np.asarray(a1)) > 0.2 * sigma_e
     assert not np.allclose(np.asarray(a1), np.asarray(a2))
+
+
+def test_convergence_correlation_matches_exact_expectation():
+    # measured transverse w(R) of convergence maps vs the exactly
+    # binned expectation (same modes, same minimum-image shells):
+    # residuals are pure sample noise
+    from randomfield_tpu import Generator
+
+    n, spacing, nseeds = 32, 25.0, 6
+    zs = 0.7
+    g = Generator(n, n, n, grid_spacing=spacing)
+    w = lensing.lensing_efficiency(g.cosmology, n, spacing, zs)
+    weights = w * np.asarray(g.growth_function)
+    r_pred, w_pred, cnt = lensing.predicted_convergence_correlation(
+        g.power, (n, n, n), spacing, weights, nbins=10
+    )
+    acc = []
+    for s in range(nseeds):
+        kappa = lensing.convergence_map(
+            g.generate_delta_field(seed=s), g.cosmology, spacing, zs
+        )
+        r, wm, c = lensing.convergence_correlation(kappa, spacing,
+                                                   nbins=10)
+        acc.append(wm)
+    np.testing.assert_allclose(r, r_pred, rtol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(c, cnt, atol=0)
+    w_mean = np.mean(acc, axis=0)
+    w_sd = np.std(acc, axis=0, ddof=1) / np.sqrt(nseeds)
+    m = cnt > 4
+    resid = np.abs(w_mean - w_pred)[m]
+    budget = (5.0 * w_sd + 5e-3 * np.abs(w_pred).max())[m]
+    assert (resid < budget).all(), (resid / budget).max()
+    # physics: w declines from small to large separation
+    assert w_pred[m][0] > w_pred[m][-1]
+    assert w_pred[m][0] > 0

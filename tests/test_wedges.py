@@ -108,3 +108,33 @@ def test_isotropic_wedges_flat_in_mu():
     rich = cnt.min(axis=1) > 30
     spread = np.ptp(p_pred[rich], axis=1) / p_pred[rich].mean(axis=1)
     assert (spread < 0.35).all()
+
+
+def test_mesh_wedges_match_single_device():
+    # distributed wedges (slab AND pencil, two LOS axes) equal the
+    # single-device estimator bin for bin
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    n, spacing, nbins, nmu = 16, 8.0, 6, 3
+    g0 = Generator(n, n, n, grid_spacing=spacing)
+    delta = np.asarray(g0.generate_kaiser_field(5, bias=1.2, f=0.7))
+    for los_axis in (0, 2):
+        k0, p0, c0 = stats.calculate_power_wedges(
+            delta, spacing, nbins=nbins, nmu=nmu, los_axis=los_axis
+        )
+        for mesh in (make_mesh(2, 4), make_pencil_mesh(2, 2, 2)):
+            g = Generator(n, n, n, grid_spacing=spacing, mesh=mesh)
+            d = g.generate_kaiser_field(5, bias=1.2, f=0.7)
+            k1, p1, c1 = stats.calculate_power_wedges(
+                d, spacing, nbins=nbins, nmu=nmu, los_axis=los_axis,
+                mesh=mesh,
+            )
+            np.testing.assert_allclose(c1, c0, atol=0)
+            m = c0 > 0
+            np.testing.assert_allclose(p1[m], p0[m], rtol=2e-4)
+            np.testing.assert_allclose(k1, k0, rtol=1e-5, equal_nan=True)
+    with pytest.raises(ValueError, match="single-device"):
+        stats.calculate_power_wedges(
+            delta, spacing, window="cic", mesh=make_mesh(2, 4)
+        )
