@@ -51,6 +51,7 @@ __all__ = [
     "source_plane_kernel",
     "nz_lensing_kernel",
     "limber_cl",
+    "isw_galaxy_cl",
     "shear_correlation",
 ]
 
@@ -250,6 +251,49 @@ def limber_cl(ells, power, cosmology=None, kernel1=None, kernel2=None,
     integrand[:, good] = (w12[None, good] / fk[None, good] ** 2
                           * pk[:, good])
     return np.trapezoid(integrand, chi, axis=1)
+
+
+def isw_galaxy_cl(ells, power, cosmology, nz, bias=1.0, nchi=1024,
+                  interpolation="log10k"):
+    """ISW x galaxy cross spectrum C_ell^{Tg} (dimensionless DT/T).
+
+    The integrated Sachs-Wolfe temperature anisotropy sources on the
+    conformal-time derivative of the potential; through Poisson's
+    equation and the Limber projection (the 1/k^2 absorbs into
+    (ell + 1/2)^2):
+
+        C_ell^{Tg} = 3 Om0 (H0/c)^2 / (ell + 1/2)^2
+                     * Integral dchi  G'(chi) b(z) n(chi) D(z) P(k),
+
+    k = (ell + 1/2)/f_K(chi), P the z = 0 table, growth normalized
+    D(0) = 1, and G'(chi) = d[(1+z) D]/dchi evaluated ANALYTICALLY:
+
+        G' = D(z) (1 - f(z)) (100/c) E(z)        [per Mpc/h]
+
+    (dG/dz = D (1 - f) from f = dlnD/dlna, times dz/dchi = H/c) — so a
+    pure-matter universe gives C == 0 EXACTLY (f = 1: the Einstein-de
+    Sitter null gate in tests/test_limber.py), and an accelerating one
+    gives C > 0 (decaying potentials).  Multiply by T_CMB to get muK.
+    ``nz``/``bias`` as in :func:`galaxy_kernel`.  Returns C_ell (f64).
+    """
+    cosmology = create_cosmology(cosmology)
+    kern_g, (lo, hi) = galaxy_kernel(cosmology, nz, bias)
+    table = _power.validate_power(power)
+    ells = np.asarray(ells, np.float64)
+    chi = np.linspace(max(lo, 1e-6), hi, int(nchi) + 1)
+    fk = _fk_h(cosmology, chi)
+    z = _z_of_chi_h(cosmology, chi)
+    d = cosmology.growth_function(z)
+    f = cosmology.growth_rate(z)
+    gprime = d * (1.0 - f) * (100.0 / C_KM_S) * cosmology.efunc(z)
+    wg = np.asarray(kern_g(chi), np.float64)
+    kq = (ells[:, None] + 0.5) / fk[None, :]
+    pk = np.asarray(_power.interpolate_power(
+        table, np.asarray(kq.ravel(), np.float32), interpolation),
+        np.float64).reshape(kq.shape)
+    integrand = (gprime * wg * d)[None, :] * pk
+    pref = 3.0 * cosmology.Om0 * (100.0 / C_KM_S) ** 2 / (ells + 0.5) ** 2
+    return pref * np.trapezoid(integrand, chi, axis=1)
 
 
 def shear_correlation(ells, cl, n=2048, pad_decades=2.0, q=1.0,

@@ -139,6 +139,54 @@ def test_limber_gg_cross_consistency():
     assert np.all(cgk**2 <= cgg * ckk * (1 + 1e-12))
 
 
+def test_isw_galaxy_cl():
+    zg = np.linspace(0.2, 1.4, 121)
+    ng = np.exp(-0.5 * ((zg - 0.7) / 0.2) ** 2)
+    k = np.logspace(-4.5, 1.0, 256)
+    table = PowerTable(k, 2e4 * k / (1.0 + (k / 0.02) ** 2.9))
+    ells = np.array([10.0, 30.0, 100.0])
+
+    # LCDM: decaying potentials => positive cross, falling with ell
+    cl = ml.isw_galaxy_cl(ells, table, "Planck13", (zg, ng), bias=1.8)
+    assert np.all(cl > 0)
+    assert cl[0] > cl[1] > cl[2]
+    # exact bias linearity and n(z)-normalization invariance
+    cl2 = ml.isw_galaxy_cl(ells, table, "Planck13", (zg, ng), bias=3.6)
+    np.testing.assert_allclose(cl2, 2.0 * cl, rtol=1e-12)
+    cl3 = ml.isw_galaxy_cl(ells, table, "Planck13", (zg, 13.0 * ng),
+                           bias=1.8)
+    np.testing.assert_allclose(cl3, cl, rtol=1e-12)
+
+    # Einstein-de Sitter null: f = 1 makes (1+z)D constant, so the ISW
+    # source vanishes identically (up to the growth table's quadrature)
+    eds = {"Om0": 1.0, "Tcmb0": 0.0, "H0": 70.0}
+    cl_eds = ml.isw_galaxy_cl(ells, table, eds, (zg, ng), bias=1.8)
+    assert np.all(np.abs(cl_eds) < 1e-4 * np.abs(cl))
+
+    # independent derivative path: finite-difference d[(1+z)D]/dchi
+    # through the public kernel pieces reproduces the analytic G'
+    cosmo = create_cosmology("Planck13")
+    kern_g, (lo, hi) = ml.galaxy_kernel(cosmo, (zg, ng), bias=1.8)
+    chi = np.linspace(max(lo, 1e-6), hi, 1025)
+    z = cosmo.redshift_at_comoving_distance(chi / cosmo.h)
+    d = cosmo.growth_function(z)
+    G = (1.0 + z) * d
+    gprime_fd = np.gradient(G, chi)
+    fk = ml._fk_h(cosmo, chi)
+    from randomfield_tpu.ops.power import interpolate_power, validate_power
+    tab = validate_power(table)
+    cl_fd = []
+    for ell in ells:
+        kq = (ell + 0.5) / fk
+        pk = np.asarray(interpolate_power(tab, kq.astype(np.float32)),
+                        np.float64)
+        integ = gprime_fd * kern_g(chi) * d * pk
+        pref = (3.0 * cosmo.Om0 * (100.0 / 299792.458) ** 2
+                / (ell + 0.5) ** 2)
+        cl_fd.append(pref * np.trapezoid(integ, chi))
+    np.testing.assert_allclose(cl, cl_fd, rtol=2e-3)
+
+
 def test_input_validation():
     cosmo = create_cosmology("Planck13")
     with pytest.raises(ValueError):
