@@ -1433,6 +1433,134 @@ def _xi_host(counts, psum, ksum):
         return ksum / counts, psum / counts, counts
 
 
+# ---------------------------------------------------------------------------
+# Projected correlation function w_p(r_p)
+#
+# w_p(r_p) = 2 * integral_0^{pi_max} xi(r_p, pi) dpi along a plane-parallel
+# line of sight — the classic galaxy-survey statistic that integrates out
+# redshift-space distortions along pi.  On the periodic grid the integral
+# is a masked minimum-image lag sum: Delta * sum over LOS lags with
+# |pi| <= pi_max of xi(r_p, pi) (the +pi and -pi images each count once,
+# reproducing the symmetric 2*int_0 form in the continuum limit).
+# ---------------------------------------------------------------------------
+
+def _wp_bin_setup(shape, spacing, nbins, los_axis):
+    """Linear r_p bins over (0, half the shortest transverse side]."""
+    tr = [a for a in range(3) if a != int(los_axis)]
+    rmax = 0.5 * min(shape[tr[0]], shape[tr[1]]) * spacing
+    return np.linspace(0.0, rmax, nbins + 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "spacing", "nbins", "pi_max", "los_axis"),
+)
+def _binned_wp_from_power_grid(p, shape, spacing, nbins, pi_max, los_axis):
+    """Bin w_p(r_p) from a P_hat half-grid: one inverse transform of the
+    per-mode power, a masked LOS lag sum, then transverse r_p binning."""
+    volume = shape[0] * shape[1] * shape[2] * spacing**3
+    xi = _transform.irfftn(
+        (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64), shape
+    )
+    los = int(los_axis)
+    ax = _min_image_axes(shape, spacing)
+    w_pi = np.where(ax[los] <= pi_max * (1.0 + 1e-9), spacing, 0.0)
+    shp = [1, 1, 1]
+    shp[los] = shape[los]
+    wmap = jnp.sum(xi * jnp.asarray(w_pi, xi.dtype).reshape(shp), axis=los)
+    tr = [a for a in range(3) if a != los]
+    rp = np.sqrt((ax[tr[0]] ** 2)[:, None] + (ax[tr[1]] ** 2)[None, :])
+    edges = jnp.asarray(
+        _wp_bin_setup(shape, spacing, nbins, los), xi.dtype
+    )
+    return _masked_bins(
+        jnp.asarray(rp, xi.dtype), 1.0, wmap, edges, nbins, per_slab=True
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "spacing", "nbins", "pi_max", "los_axis"),
+)
+def _binned_wp_from_field(delta, shape, spacing, nbins, pi_max, los_axis):
+    p = _mode_power(delta, shape, spacing)
+    p = p.at[0, 0, 0].set(0.0)  # a residual mean would offset every lag
+    return _binned_wp_from_power_grid(
+        p, shape, spacing, nbins, pi_max, los_axis
+    )
+
+
+def _resolve_pi_max(pi_max, shape, spacing, los_axis):
+    if pi_max is None:
+        return 0.5 * shape[int(los_axis)] * spacing
+    return float(pi_max)
+
+
+def calculate_projected_correlation(delta, spacing, nbins=24, pi_max=None,
+                                    los_axis=2):
+    """Projected correlation w_p(r_p) along a plane-parallel line of sight.
+
+    ``w_p(r_p) = 2 integral_0^{pi_max} xi(r_p, pi) dpi`` — the
+    RSD-insensitive two-point statistic of galaxy surveys (Davis &
+    Peebles 1983 form), realized here as a minimum-image LOS lag sum of
+    the same xi grid the other correlation estimators use (one inverse
+    transform of the per-mode power, no pair counting).  ``pi_max``
+    (Mpc/h) defaults to half the LOS box — the full distinct-lag range;
+    the r_p = 0 column (pure LOS pairs) is excluded like every zero-lag
+    cell.  Returns ``(rp_mean, wp, n_cells)``; w_p carries units of
+    Mpc/h.  The exact estimator expectation is
+    :func:`predicted_projected_correlation`; the continuum theory curve
+    is :func:`randomfield_tpu.ops.power.power_to_projected_correlation`.
+    Single-device validation-scale tool, like the other xi estimators.
+    """
+    shape = tuple(int(s) for s in delta.shape[-3:])
+    pi_max = _resolve_pi_max(pi_max, shape, float(spacing), los_axis)
+    counts, psums, rsum = _binned_wp_from_field(
+        jnp.asarray(delta), shape, float(spacing), int(nbins), pi_max,
+        int(los_axis)
+    )
+    return _xi_host(counts, psums, rsum)
+
+
+def predicted_projected_correlation(power, shape, spacing, f=0.0, nbins=24,
+                                    pi_max=None, los_axis=2,
+                                    interpolation="log10k"):
+    """Expectation of :func:`calculate_projected_correlation` for a power
+    table, optionally Kaiser-distorted.
+
+    Interpolates P onto this grid's discrete modes, applies the linear
+    Kaiser factor ``(1 + f mu_k^2)^2`` (``f=0``: isotropic), and runs
+    the identical transform + LOS sum + binning — so
+    measured-vs-predicted residuals are pure sample noise, including
+    every discreteness and minimum-image truncation effect the
+    continuum ``2 int xi dpi`` formula misses.
+    """
+    from randomfield_tpu.ops import power as _power
+
+    shape = tuple(int(s) for s in shape)
+    table = _power.validate_power(power)
+    _power.require_coverage(table, shape, float(spacing))
+    kmag = _grid.kmag(shape, float(spacing), jnp.float32)
+    pgrid = _power.interpolate_power(table, kmag, interpolation)
+    if f:
+        kvecs = _grid.kvectors(shape, float(spacing))
+        klos = kvecs[int(los_axis)]
+        kshp = [1, 1, 1]
+        kshp[int(los_axis)] = klos.shape[0]
+        mu2k = jnp.where(
+            kmag > 0,
+            (klos.reshape(kshp) / jnp.where(kmag > 0, kmag, 1.0)) ** 2,
+            0.0,
+        )
+        pgrid = pgrid * (1.0 + float(f) * mu2k) ** 2
+    pgrid = jnp.where(kmag > 0, pgrid, 0.0)
+    pi_max = _resolve_pi_max(pi_max, shape, float(spacing), los_axis)
+    counts, psums, rsum = _binned_wp_from_power_grid(
+        pgrid, shape, float(spacing), int(nbins), pi_max, int(los_axis)
+    )
+    return _xi_host(counts, psums, rsum)
+
+
 @functools.lru_cache(maxsize=16)
 def _make_sharded_xi(mesh, shape, spacing, nbins):
     """Distributed xi(r) on a ('data','space') slab mesh: sharded forward
