@@ -89,3 +89,90 @@ def test_fit_validation_and_edge_cases():
     fit = baofit.fit_bao_scale(k, p2, template=table)
     assert fit["n_bins"] == len(k) - 1
     assert abs(fit["alpha"] - 1.0) < 2e-3
+
+
+def test_ap_exact_recovery():
+    # data manufactured from the AP model itself (Kaiser template,
+    # Ballinger+96 remap, per-ell broadband): the 2-D grid + paraboloid
+    # refinement must recover every parameter
+    table = _power.load_default_power()
+    k = np.geomspace(0.02, 0.35, 40)
+    apar0, aperp0, b2, beta = 1.06, 0.95, 2.2, 0.35
+    nodes, wts = np.polynomial.legendre.leggauss(40)
+    nodes, wts = 0.5 * (nodes + 1.0), 0.5 * wts
+    model = b2 * baofit._ap_model_multipoles(
+        table, k, apar0, aperp0, beta, (0, 2), nodes, wts
+    )
+    model[0] += 150.0 / k - 200.0 + 30.0 * k
+    model[1] += -80.0 / k + 90.0 - 10.0 * k
+    fit = baofit.fit_bao_scale_ap(
+        k, model, ells=(0, 2), template=table, beta=beta,
+        alpha_par_range=(0.9, 1.2), alpha_perp_range=(0.85, 1.1),
+        n_alpha=41,
+    )
+    assert abs(fit["alpha_par"] - apar0) < 3e-3, fit["alpha_par"]
+    assert abs(fit["alpha_perp"] - aperp0) < 3e-3, fit["alpha_perp"]
+    assert abs(fit["b2"] - b2) < 0.03 * b2
+    assert fit["chi2_min"] < 1e-3 * fit["chi2"].max()
+    np.testing.assert_allclose(
+        fit["broadband"][0], [150.0, -200.0, 30.0], rtol=0.08, atol=3.0
+    )
+    assert np.isfinite(fit["alpha_par_err"])
+    assert np.isfinite(fit["alpha_corr"]) and abs(fit["alpha_corr"]) < 1
+
+
+def test_ap_isotropic_reduction_matches_1d_fit():
+    # apar = aperp = alpha0 with beta = 0 is an exactly isotropic
+    # dilation: P_0 = b2 P(k/alpha0)/alpha0^3 — the 2-D fit and the 1-D
+    # fit must find the same scale on the same data
+    table = _power.load_default_power()
+    k = np.geomspace(0.02, 0.35, 40)
+    alpha0 = 1.035
+    data = 1.7 * np.interp(np.log10(k / alpha0), np.log10(table.k),
+                           table.Pk) / alpha0**3
+    data = data + 60.0 / k - 100.0 + 25.0 * k
+    fit1 = baofit.fit_bao_scale(k, data, template=table)
+    fit2 = baofit.fit_bao_scale_ap(
+        k, data[None, :], ells=(0,), template=table, beta=0.0,
+        alpha_par_range=(0.9, 1.15), alpha_perp_range=(0.9, 1.15),
+        n_alpha=41,
+    )
+    assert abs(fit1["alpha"] - alpha0) < 2e-3
+    assert abs(fit2["alpha_iso"] - alpha0) < 4e-3, fit2["alpha_iso"]
+    # alpha_par/alpha_perp individually are degenerate for an isotropic
+    # monopole-only fit; only the D_V combination is constrained
+
+
+def test_ap_unit_alpha_on_kaiser_expectation():
+    # the exactly binned Kaiser multipole expectation of this grid IS
+    # the undilated template through the estimator: alphas lock to 1.
+    # The residual offset is the discrete mu-coverage distortion of the
+    # binned quadrupole — it shrinks with grid size (0.94 at 64^3, 0.99
+    # at 128^3 for alpha_par), so the gate runs at 128^3
+    n, spacing, nbins, f = 128, 4.0, 24, 0.6
+    g = Generator(n, n, n, grid_spacing=spacing)
+    k, p_ell, cnt = g.predicted_kaiser_multipoles(
+        f=f, nbins=nbins, ells=(0, 2)
+    )
+    fit = baofit.fit_bao_scale_ap(
+        k, p_ell, ells=(0, 2), template=g.power, beta=f,
+        n_modes=cnt, kmin=0.04, kmax=0.5, n_alpha=41,
+    )
+    assert abs(fit["alpha_par"] - 1.0) < 0.015, fit["alpha_par"]
+    assert abs(fit["alpha_perp"] - 1.0) < 0.01, fit["alpha_perp"]
+    assert abs(fit["alpha_iso"] - 1.0) < 0.008, fit["alpha_iso"]
+
+
+def test_ap_validation_errors():
+    table = _power.load_default_power()
+    k = np.geomspace(0.02, 0.3, 20)
+    p2 = np.zeros((2, 20))
+    with pytest.raises(ValueError):
+        baofit.fit_bao_scale_ap(k, p2[0], ells=(0, 2), template=table)
+    with pytest.raises(ValueError):
+        baofit.fit_bao_scale_ap(k, p2, ells=(0, 3), template=table)
+    with pytest.raises(ValueError):
+        baofit.fit_bao_scale_ap(
+            k, p2, ells=(0, 2), template=table,
+            sigma=np.ones_like(p2), n_modes=np.ones(20),
+        )
