@@ -19,6 +19,8 @@ from randomfield_tpu.models.cosmology import Cosmology, create_cosmology
 
 __all__ = [
     "eh98_transfer",
+    "eh98_nowiggle_transfer",
+    "eh98_nowiggle_power",
     "eisenstein_hu_power",
     "bbks_transfer",
     "bbks_power",
@@ -103,6 +105,46 @@ def eh98_transfer(cosmology: Cosmology, k_mpc):
 
     t_full = f_baryon * t_baryon + (1.0 - f_baryon) * t_cdm
     return np.where(k > 0, t_full, 1.0)
+
+
+def eh98_nowiggle_transfer(cosmology: Cosmology, k_mpc):
+    """EH98 zero-baryon ("no-wiggle") transfer function (eqs. 26, 28-31).
+
+    The smooth companion of :func:`eh98_transfer`: the same broadband
+    shape with the baryon acoustic oscillations removed via the
+    shape-suppressed effective shape parameter Gamma_eff.  Used by
+    `models/irresum.py` as the analytic reference the correlation-space
+    de-wiggling fits residuals against.  ``k_mpc`` in 1/Mpc.
+    """
+    k = np.asarray(k_mpc, dtype=np.float64)
+    omhh = cosmology.Om0 * cosmology.h**2
+    obhh = cosmology.Ob0 * cosmology.h**2
+    f_baryon = cosmology.Ob0 / cosmology.Om0
+    theta = cosmology.Tcmb0 / 2.7
+    # eq. 26: approximate sound horizon (the no-wiggle fit is calibrated
+    # against this form, not the exact integral expression)
+    s = 44.5 * np.log(9.83 / omhh) / np.sqrt(1.0 + 10.0 * obhh**0.75)
+    # eq. 31: baryon suppression of the apparent shape parameter
+    a_gamma = (
+        1.0
+        - 0.328 * np.log(431.0 * omhh) * f_baryon
+        + 0.38 * np.log(22.3 * omhh) * f_baryon**2
+    )
+    # eq. 30: scale-dependent effective Gamma; eq. 28: shifted variable
+    gamma_eff = cosmology.Om0 * cosmology.h * (
+        a_gamma + (1.0 - a_gamma) / (1.0 + (0.43 * k * s) ** 4)
+    )
+    q = k / cosmology.h * theta**2 / gamma_eff
+    # eq. 29
+    l0 = np.log(2.0 * np.e + 1.8 * q)
+    c0 = 14.2 + 731.0 / (1.0 + 62.5 * q)
+    t = l0 / (l0 + c0 * q * q)
+    return np.where(k > 0, t, 1.0)
+
+
+def eh98_nowiggle_power(cosmology=None, k_h=None):
+    """Smooth EH98 linear P(k) at z=0, sigma8-normalized; k in h/Mpc."""
+    return _normalized_power(create_cosmology(cosmology), k_h, eh98_nowiggle_transfer)
 
 
 def _sigma_r_unnormalized(k_h, pk, r=8.0):
