@@ -76,17 +76,26 @@ def probe_tpu(attempts=None, timeout_s=None):
     ``jax.devices()`` hangs INDEFINITELY (not errors) when the axon
     tunnel is unhealthy — observed live this round — which would turn
     the whole bench into an rc=124 timeout with no JSON (round 2's
-    failure mode, from a different cause).  The probe runs the device
-    query in a child process with a hard timeout so the parent can
-    degrade to an honest parseable result instead.  Killing the child
-    is safe: a hang at device enumeration is pre-compile, so no chip
-    grant is wedged.
+    failure mode, from a different cause).  The probe runs a tiny
+    compile + host round-trip in a child process with a hard timeout so
+    the parent can degrade to an honest parseable result instead.
+    Killing the child can in principle wedge a mid-compile grant — but
+    if a 256x256 matmul cannot complete inside the probe budget the
+    tunnel is already unusable for this bench, and an artifact with an
+    explicit error beats an rc=124 with nothing.
     """
     import subprocess
 
     attempts = attempts or int(os.environ.get("RF_BENCH_PROBE_ATTEMPTS", 3))
     timeout_s = timeout_s or float(os.environ.get("RF_BENCH_PROBE_TIMEOUT", 240))
-    code = "import jax; print(len(jax.devices()), jax.devices()[0].platform)"
+    # Device enumeration alone is NOT enough: a wedged grant has been
+    # observed to enumerate devices and even dispatch a render, then hang
+    # forever on the host transfer.  The probe therefore compiles a tiny
+    # program AND round-trips the result to the host.
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((256, 256)); "
+            "ok = float((x @ x)[0, 0]) == 256.0; "
+            "print(int(ok), len(jax.devices()), jax.devices()[0].platform)")
     for i in range(1, attempts + 1):
         t0 = time.perf_counter()
         try:
@@ -98,7 +107,12 @@ def probe_tpu(attempts=None, timeout_s=None):
             log(f"  tpu probe {i}/{attempts}: no response in {timeout_s:.0f}s")
             continue
         if r.returncode == 0 and r.stdout.strip():
-            platform = r.stdout.split()[-1].lower()
+            tokens = r.stdout.split()
+            platform = tokens[-1].lower()
+            if tokens[0] != "1":
+                log(f"  tpu probe {i}/{attempts}: compute round-trip "
+                    f"wrong result ({r.stdout.strip()})")
+                continue
             if platform == "cpu":
                 # JAX fell back to CPU (plugin absent / env unset): a
                 # "healthy" probe here would mislabel CPU timings as
@@ -314,8 +328,44 @@ def load_or_measure_cpu_baseline():
     return base
 
 
+def _arm_watchdog(detail, headline):
+    """Guarantee the JSON contract even if a TPU phase hangs in a
+    blocking C call (observed: a wedged grant hangs host transfers
+    indefinitely; SIGALRM cannot interrupt those, a daemon thread +
+    os._exit can).  Prints the best result measured so far — partial
+    evidence with an explicit marker, never an rc=124 with nothing."""
+    import threading
+
+    # default chosen to fire before the driver's own artifact timeout
+    # (round 2's artifact survived >22 min before being cut off)
+    deadline = float(os.environ.get("RF_BENCH_DEADLINE", 1500))
+
+    def fire():
+        time.sleep(deadline)
+        detail["watchdog"] = (f"deadline {deadline:.0f}s hit; a phase is "
+                              "hung (wedged TPU grant?) — partial result")
+        log(f"WATCHDOG: {detail['watchdog']}")
+        n, dt = headline.get("n"), headline.get("dt")
+        gcells = (n**3 / dt / 1e9) if n else 0.0
+        cpu = (detail.get("cpu_baseline") or {}).get("gcells_per_s")
+        print(json.dumps({
+            "metric": (f"{n}^3 render (sample+irfftn+lightcone), "
+                       "single chip") if n else
+                      "render_throughput_single_chip",
+            "value": round(gcells, 3), "unit": "Gcells/s",
+            "vs_baseline": round(gcells / cpu, 1) if (n and cpu) else 0.0,
+            "detail": detail,
+        }), flush=True)
+        os._exit(0)
+
+    t = threading.Thread(target=fire, daemon=True)
+    t.start()
+
+
 def main():
     detail = {}
+    headline = {}
+    _arm_watchdog(detail, headline)
 
     log("TPU tunnel probe:")
     if not probe_tpu():
@@ -326,12 +376,22 @@ def main():
         print(json.dumps({
             "metric": "render_throughput_single_chip",
             "value": 0.0, "unit": "Gcells/s", "vs_baseline": 0.0,
-            "detail": {"error": "TPU tunnel unreachable: jax.devices() "
-                                "gave no response within the probe budget"},
+            "detail": {"error": "TPU tunnel unreachable: the probe's "
+                                "compile + host round-trip did not "
+                                "complete within the probe budget"},
         }))
         return
 
     _enable_compile_cache()
+
+    # Pre-load the committed CPU anchor so a watchdog-truncated run can
+    # still report vs_baseline for whatever it managed to measure.
+    if _CPU_BASELINE_PATH.exists():
+        try:
+            with open(_CPU_BASELINE_PATH) as f:
+                detail["cpu_baseline"] = json.load(f)
+        except (OSError, ValueError):
+            pass
 
     log("TPU renders:")
     headline_n, headline_dt = None, None
@@ -343,6 +403,7 @@ def main():
                 sampler="pallas", pipeline="staged(v5)",
             )
             headline_n, headline_dt = n, dt
+            headline["n"], headline["dt"] = n, dt
         except Exception as e:  # 1024^3 sits at the 16 GB HBM boundary
             log(f"  {n}^3 failed: {type(e).__name__}: {str(e)[:120]}")
             detail[f"tpu_{n}"] = {"error": type(e).__name__}
