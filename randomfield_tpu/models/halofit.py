@@ -42,7 +42,8 @@ from randomfield_tpu.models.cosmology import create_cosmology
 from randomfield_tpu.ops.fftlog import log_grid, resample_loglog
 from randomfield_tpu.ops.power import PowerTable, validate_power
 
-__all__ = ["HalofitResult", "halofit_terms", "halofit_power"]
+__all__ = ["HalofitResult", "halofit_terms", "halofit_power",
+           "halofit_power_of_z"]
 
 
 class HalofitResult(typing.NamedTuple):
@@ -183,3 +184,47 @@ def halofit_power(power, k=None, z=0.0, cosmology=None, **kw) -> PowerTable:
     Generator / LognormalGenerator for nonlinear-spectrum mocks)."""
     res = halofit_terms(power, k=k, z=z, cosmology=cosmology, **kw)
     return PowerTable(np.asarray(res.k), np.asarray(res.p_nl))
+
+
+def halofit_power_of_z(power, cosmology=None, z_max=5.0, nz=33, k=None,
+                       **kw):
+    """Callable ``(k, z) -> P_NL(k, z)`` for nonlinear Limber spectra.
+
+    Precomputes the halofit nonlinear power on an (nz, nk) table —
+    z uniform on [0, z_max], k defaulting to the input table's column —
+    and returns an elementwise bilinear interpolator in (z, ln k) of
+    ln P_NL.  Out-of-range k clamps to the table edges (the
+    ops/power.py:interpolate_power convention Limber documents); z
+    clamps to [0, z_max].  Plug straight into
+    ``models.limber.limber_cl(..., power_of_z=...)`` for nonlinear
+    lensing / clustering C_ell.
+    """
+    cosmology = create_cosmology(cosmology)
+    k_t, p_t = validate_power(power)
+    if k is None:
+        k = k_t
+    k = np.atleast_1d(np.asarray(k, np.float64))
+    zs = np.linspace(0.0, float(z_max), int(nz))
+    if zs.size < 2:
+        raise ValueError("need nz >= 2 redshift nodes")
+    rows = [halofit_terms((k_t, p_t), k=k, z=z, cosmology=cosmology, **kw)
+            .p_nl for z in zs]
+    ln_p = np.log(np.maximum(np.stack(rows), 1e-300))
+    ln_k = np.log(k)
+    nk = k.size
+
+    def p_of(kq, zq):
+        kq = np.atleast_1d(np.asarray(kq, np.float64))
+        zq = np.broadcast_to(np.asarray(zq, np.float64), kq.shape)
+        lq = np.clip(np.log(kq), ln_k[0], ln_k[-1])
+        zc = np.clip(zq, zs[0], zs[-1])
+        ik = np.clip(np.searchsorted(ln_k, lq) - 1, 0, nk - 2)
+        iz = np.clip(np.searchsorted(zs, zc) - 1, 0, zs.size - 2)
+        tk = (lq - ln_k[ik]) / (ln_k[ik + 1] - ln_k[ik])
+        tz = (zc - zs[iz]) / (zs[iz + 1] - zs[iz])
+        v = ((1 - tz) * ((1 - tk) * ln_p[iz, ik] + tk * ln_p[iz, ik + 1])
+             + tz * ((1 - tk) * ln_p[iz + 1, ik]
+                     + tk * ln_p[iz + 1, ik + 1]))
+        return np.exp(v)
+
+    return p_of

@@ -94,3 +94,52 @@ def test_halofit_power_table_roundtrip():
 def test_z_without_cosmology_raises():
     with pytest.raises(ValueError):
         halofit_terms(load_default_power(), z=1.0)
+
+
+# ---------------------------------------------------------------- P(k, z)
+
+
+def test_power_of_z_matches_terms_at_nodes():
+    from randomfield_tpu.models.halofit import halofit_power_of_z
+
+    cosmo = create_cosmology()
+    p = load_default_power()
+    kq = np.array([0.01, 0.1, 0.5, 2.0])
+    kcol = np.geomspace(1e-3, 10.0, 128)
+    p_of = halofit_power_of_z(p, cosmo, z_max=4.0, nz=17, k=kcol)
+    sel = np.searchsorted(kcol, kq)  # nearest table nodes: exact there
+    for z in [0.0, 1.0, 4.0]:  # exact (z, k) nodes of the table
+        direct = halofit_terms(p, k=kcol[sel], z=z, cosmology=cosmo).p_nl
+        np.testing.assert_allclose(p_of(kcol[sel], z), direct, rtol=1e-10)
+
+
+def test_power_of_z_interpolation_accuracy_between_nodes():
+    from randomfield_tpu.models.halofit import halofit_power_of_z
+
+    cosmo = create_cosmology()
+    p = load_default_power()
+    p_of = halofit_power_of_z(p, cosmo, z_max=4.0, nz=33)
+    kq = np.geomspace(0.01, 2.0, 12)
+    for z in [0.31, 1.77]:  # off-node
+        direct = halofit_terms(p, k=kq, z=z, cosmology=cosmo).p_nl
+        np.testing.assert_allclose(p_of(kq, z), direct, rtol=1e-2)
+
+
+def test_nonlinear_limber_lensing():
+    from randomfield_tpu.models import limber as ml
+    from randomfield_tpu.models.halofit import halofit_power_of_z
+
+    cosmo = create_cosmology()
+    p = load_default_power()
+    kern, rng = ml.source_plane_kernel(cosmo, 1.0)
+    ells = np.array([10.0, 100.0, 2000.0])
+    c_lin = ml.limber_cl(ells, p, cosmo, kernel1=kern, chi_range=rng,
+                         nchi=512)
+    p_of = halofit_power_of_z(p, cosmo, z_max=1.05, nz=22)
+    c_nl = ml.limber_cl(ells, p, cosmo, kernel1=kern, chi_range=rng,
+                        nchi=512, power_of_z=p_of)
+    # Low ell probes linear scales -> agree; high ell picks up the
+    # one-halo boost.
+    assert abs(c_nl[0] / c_lin[0] - 1.0) < 0.05
+    assert c_nl[2] > 2.0 * c_lin[2]
+    assert np.all(np.diff(c_nl / c_lin) > 0)  # boost grows with ell
