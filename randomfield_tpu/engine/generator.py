@@ -1502,6 +1502,29 @@ class Generator:
         mu2 = (k_los * k_los)[tuple(bcast)] * inv
         return pgrid * (b + fv * mu2) ** 2
 
+    def predicted_kaiser_multipole_covariance(self, z=0.0, bias=1.0,
+                                              f=None, los_axis=2, nbins=32,
+                                              ells=(0, 2, 4),
+                                              smoothing_length=0.0):
+        """Exact Gaussian covariance blocks of a Kaiser render's P_ell.
+
+        Companion of :meth:`predicted_kaiser_multipoles`: the same
+        per-mode expectation grid pushed through
+        ``validate.ensemble.predicted_multipole_covariance`` — the
+        (nbins, nells, nells) within-bin covariance across multipoles
+        of :meth:`generate_kaiser_field` +
+        ``calculate_power_multipoles`` estimates, exact mode by mode
+        for this grid (survey-forecast normal-equations input; see
+        also models/fisher.py for the derivative side).
+        """
+        from randomfield_tpu.validate import ensemble as _ensemble
+
+        pgrid = self._kaiser_pgrid(z, bias, f, los_axis, smoothing_length)
+        return _ensemble.predicted_multipole_covariance(
+            pgrid, self.scene.shape, self.scene.grid_spacing,
+            nbins=nbins, ells=ells, los_axis=int(los_axis),
+        )
+
     def predicted_kaiser_wedges(self, z=0.0, bias=1.0, f=None, los_axis=2,
                                 nbins=32, nmu=4, smoothing_length=0.0):
         """Exact per-bin expectation of a Kaiser render's P(k, mu) wedges.

@@ -24,6 +24,7 @@ __all__ = [
     "sample_power_ensemble",
     "power_covariance",
     "predicted_power_covariance",
+    "predicted_multipole_covariance",
     "sigma_r_from_field",
 ]
 
@@ -238,6 +239,74 @@ def predicted_power_covariance(power, shape, spacing, nbins=32,
     with np.errstate(invalid="ignore", divide="ignore"):
         var = np.where(counts > 0, vsum / counts**2, np.nan)
     return np.diag(var)
+
+
+def predicted_multipole_covariance(pgrid, shape, spacing, nbins=32,
+                                   ells=(0, 2, 4), los_axis=2):
+    """EXACT Gaussian covariance blocks of binned P_ell(k) estimates.
+
+    The anisotropic companion of :func:`predicted_power_covariance`:
+    for a Gaussian field whose per-mode expectation is ``pgrid`` (the
+    ``E[P_hat(k)]`` half-grid — e.g. a Kaiser ``(b + f mu^2)^2 P(k)``
+    from ``Generator._kaiser_pgrid``), the multipole estimates of
+    ``validate.stats.calculate_power_multipoles`` covary within each
+    |k| bin across ell (modes are independent, so different bins do
+    not):
+
+        Cov[P_ell(a), P_ell'(a)] =
+            sum_{k in a} w_ell(k) w_ell'(k) v_k / N_a^2,
+
+    with ``w_ell = (2 ell + 1) L_ell(mu)``, ``N_a = sum mult`` and the
+    per-entry variance ``v_k = 4 P_k^2`` for Hermitian-paired entries
+    (estimator weight 2, Var |c|^2 = P^2) or ``2 P_k^2`` for the
+    self-conjugate real modes — identical bins, weights, masks and
+    multiplicities to the estimator, so measured sample covariances
+    are gated on pure chi-square scatter.  ``ells=(0,)`` with an
+    isotropic grid reproduces :func:`predicted_power_covariance`'s
+    diagonal exactly (gated).  Returns ``(nbins, nells, nells)``
+    float64; empty bins are NaN.  Host numpy, validation-scale.
+    """
+    from randomfield_tpu.ops import grid as _grid
+
+    shape = tuple(int(s) for s in shape)
+    spacing = float(spacing)
+    ells = tuple(int(e) for e in ells)
+    p = np.asarray(pgrid, np.float64)
+    km = np.asarray(_grid.kmag(shape, spacing, jnp.float32), np.float64)
+    kv = _grid.kvectors(shape, spacing)
+    k_los = np.asarray(kv[int(los_axis)], np.float64)
+    bcast = [None, None, None]
+    bcast[int(los_axis)] = slice(None)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mu2 = np.where(km > 0, (k_los[tuple(bcast)] / np.where(
+            km > 0, km, 1.0)) ** 2, 0.0)
+    mu2 = np.broadcast_to(mu2, p.shape)
+
+    edges, mult = _stats._bin_setup(shape, spacing, int(nbins))
+    mult3 = np.broadcast_to(
+        np.asarray(mult, np.float64)[None, None, :], p.shape)
+    var_k = np.where(mult3 == 2.0, 4.0 * p**2, 2.0 * p**2)
+
+    idx = np.searchsorted(edges, km) - 1
+    valid = (idx >= 0) & (idx < int(nbins)) & (km > 0)
+    counts = np.bincount(idx[valid], weights=mult3[valid],
+                         minlength=int(nbins))
+    w = [(2.0 * ell + 1.0) * np.asarray(
+        _stats._LEGENDRE_EVEN[ell](jnp.asarray(mu2)), np.float64)
+        for ell in ells]
+    ne = len(ells)
+    cov = np.full((int(nbins), ne, ne), np.nan)
+    good = counts > 0
+    for i in range(ne):
+        for j in range(i, ne):
+            s = np.bincount(idx[valid],
+                            weights=(w[i] * w[j] * var_k)[valid],
+                            minlength=int(nbins))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cij = np.where(good, s / counts**2, np.nan)
+            cov[:, i, j] = cij
+            cov[:, j, i] = cij
+    return cov
 
 
 @functools.partial(jax.jit, static_argnames=("spacing", "r"))

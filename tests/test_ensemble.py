@@ -213,3 +213,75 @@ def test_predicted_power_covariance_matches_ensemble():
         np.outer(d_meas[ok], d_meas[ok]))
     off = corr[~np.eye(ok.sum(), dtype=bool)]
     assert np.all(np.abs(off) < 6.0 / np.sqrt(nseeds))
+
+
+def test_multipole_covariance_isotropic_reduces_to_power_covariance():
+    # ells=(0,) on an isotropic expectation grid is exactly the binned
+    # P(k) covariance (same edges, masks, multiplicities).
+    import numpy as np
+
+    from randomfield_tpu import Generator
+    from randomfield_tpu.validate.ensemble import (
+        predicted_multipole_covariance,
+        predicted_power_covariance,
+    )
+
+    n, spacing, nbins = 16, 8.0, 6
+    g = Generator(n, n, n, grid_spacing=spacing)
+    pgrid = g._kaiser_pgrid(0.0, 1.0, 0.0, 2, 0.0)  # f=0: plain P(k)
+    cov_m = predicted_multipole_covariance(
+        pgrid, (n, n, n), spacing, nbins=nbins, ells=(0,))
+    cov_iso = predicted_power_covariance(
+        g.power, (n, n, n), spacing, nbins=nbins)
+    np.testing.assert_allclose(cov_m[:, 0, 0], np.diag(cov_iso),
+                               rtol=1e-6)
+
+
+def test_multipole_covariance_matches_kaiser_ensemble():
+    # 192 Kaiser renders at 16^3: sample covariance of (P0, P2) per bin
+    # vs the exact prediction — diagonals within chi-square scatter,
+    # P0-P2 correlation coefficient within Monte-Carlo error.
+    import numpy as np
+
+    from randomfield_tpu import Generator
+    from randomfield_tpu.validate.ensemble import (
+        predicted_multipole_covariance,
+    )
+    from randomfield_tpu.validate.stats import calculate_power_multipoles
+
+    n, spacing, nbins, nseeds = 16, 8.0, 5, 192
+    b, f = 1.3, 0.6
+    g = Generator(n, n, n, grid_spacing=spacing)
+    ells = (0, 2)
+    p_ell = np.stack([
+        np.asarray(calculate_power_multipoles(
+            g.generate_kaiser_field(s, bias=b, f=f), spacing,
+            nbins=nbins, ells=ells)[1])
+        for s in range(nseeds)
+    ])  # (nseeds, 2, nbins)
+    pgrid = g._kaiser_pgrid(0.0, b, f, 2, 0.0)
+    cov_pred = predicted_multipole_covariance(
+        pgrid, (n, n, n), spacing, nbins=nbins, ells=ells)
+
+    tol = 5.0 * np.sqrt(2.0 / (nseeds - 1)) + 0.05
+    checked = 0
+    for a in range(nbins):
+        if not np.all(np.isfinite(cov_pred[a])) or cov_pred[a, 0, 0] <= 0:
+            continue
+        sample = p_ell[:, :, a]
+        if not np.all(np.isfinite(sample)):
+            continue
+        cm = np.cov(sample, rowvar=False)
+        for i in range(2):
+            ratio = cm[i, i] / cov_pred[a, i, i]
+            assert abs(ratio - 1.0) < tol, (a, i, ratio)
+        corr_m = cm[0, 1] / np.sqrt(cm[0, 0] * cm[1, 1])
+        corr_p = cov_pred[a, 0, 1] / np.sqrt(
+            cov_pred[a, 0, 0] * cov_pred[a, 1, 1])
+        assert abs(corr_m - corr_p) < 0.3, (a, corr_m, corr_p)
+        checked += 1
+    assert checked >= 3
+    # the generator wrapper is the same computation
+    cov_g = g.predicted_kaiser_multipole_covariance(
+        bias=b, f=f, nbins=nbins, ells=ells)
+    np.testing.assert_allclose(cov_g, cov_pred, rtol=1e-12)
