@@ -44,6 +44,7 @@ __all__ = [
     "make_kaiser_model",
     "fisher_matrix",
     "fisher_matrix_binned",
+    "fisher_matrix_multipoles",
     "binned_covariance_from_pgrid",
     "forecast_errors",
 ]
@@ -242,6 +243,89 @@ def fisher_matrix_binned(model_fn, theta0, shape, spacing, nbins=32):
     var = np.diag(cov)
     use = nonempty & np.isfinite(var) & (var > 0)
     return (J[use].T / var[use]) @ J[use]
+
+
+def fisher_matrix_multipoles(model_fn, theta0, shape, spacing, nbins=32,
+                             ells=(0, 2, 4), los_axis=2):
+    """Fisher matrix of the binned P_ell(k) data vector.
+
+    The redshift-space forecasting workhorse: F = sum_a J_a^T C_a^-1
+    J_a over |k| bins, where ``J_a`` is the jacobian of the exact
+    per-bin multipole expectations (the
+    validate/stats.py:bin_power_multipoles_grid reduction of the
+    per-mode model) and ``C_a`` the exact within-bin covariance block
+    across ells (validate/ensemble.py:predicted_multipole_covariance).
+    Information chain (PSD ordering, gated in tests/test_fisher.py):
+
+        fisher_matrix  >=  fisher_matrix_multipoles  >=
+        fisher_matrix_binned  ==  this with ells=(0,)   (exactly).
+
+    Multipoles recover the mu-structure information (bias/f splits)
+    that monopole binning destroys; ell <= 4 captures nearly all of it
+    for Kaiser-type models.  Bins with singular covariance blocks
+    (empty or mu-degenerate) are skipped.  Returns (nparam, nparam)
+    numpy f64.
+    """
+    from randomfield_tpu.validate import ensemble as _ensemble
+
+    shape = tuple(int(s) for s in shape)
+    spacing = float(spacing)
+    ells = tuple(int(e) for e in ells)
+    theta0 = jnp.asarray(theta0)
+    p0 = np.asarray(model_fn(theta0), np.float64)
+    jac = np.asarray(jax.jacfwd(model_fn)(theta0), np.float64)
+    cov = _ensemble.predicted_multipole_covariance(
+        p0, shape, spacing, nbins=nbins, ells=ells, los_axis=los_axis)
+
+    km = np.asarray(_grid.kmag(shape, spacing, jnp.float32), np.float64)
+    kv = _grid.kvectors(shape, spacing)
+    k_los = np.asarray(kv[int(los_axis)], np.float64)
+    bcast = [None, None, None]
+    bcast[int(los_axis)] = slice(None)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mu2 = np.where(km > 0, (k_los[tuple(bcast)] / np.where(
+            km > 0, km, 1.0)) ** 2, 0.0)
+    mu2 = np.broadcast_to(mu2, p0.shape)
+    mult = _mode_weights(shape)
+    kmin, kmax = _grid.get_k_bounds(shape, spacing)
+    edges = np.logspace(np.log10(kmin * 0.999), np.log10(kmax * 1.001),
+                        int(nbins) + 1)
+    idx = np.searchsorted(edges, km) - 1
+    valid = (idx >= 0) & (idx < int(nbins)) & (km > 0)
+    counts = np.bincount(idx[valid], weights=mult[valid],
+                         minlength=int(nbins))
+
+    # Legendre weights on mu^2 (plain numpy; the stats table is jnp)
+    leg = {0: lambda m2: np.ones_like(m2),
+           2: lambda m2: 0.5 * (3.0 * m2 - 1.0),
+           4: lambda m2: 0.125 * (35.0 * m2 * m2 - 30.0 * m2 + 3.0)}
+    for e in ells:
+        if e not in leg:
+            raise ValueError(f"unsupported multipole ell={e}")
+
+    nparam = int(theta0.shape[0])
+    ne = len(ells)
+    J = np.zeros((int(nbins), ne, nparam))
+    mv = mult[valid]
+    jv = jac[valid]
+    iv = idx[valid]
+    for e_i, ell in enumerate(ells):
+        w = (2.0 * ell + 1.0) * leg[ell](mu2[valid])
+        for p_i in range(nparam):
+            J[:, e_i, p_i] = np.bincount(
+                iv, weights=mv * w * jv[:, p_i], minlength=int(nbins))
+    nonempty = counts > 0
+    J[nonempty] /= counts[nonempty][:, None, None]
+
+    F = np.zeros((nparam, nparam))
+    for a in range(int(nbins)):
+        if not nonempty[a] or not np.all(np.isfinite(cov[a])):
+            continue
+        c = cov[a]
+        if np.linalg.cond(c) > 1e12:
+            continue
+        F += J[a].T @ np.linalg.solve(c, J[a])
+    return F
 
 
 def forecast_errors(fisher, names=None):

@@ -194,3 +194,98 @@ def test_forecast_matches_measured_amplitude_scatter():
     # (std-of-std ~ 1/sqrt(2(n-1)) ~ 5.6%; 4-sigma gate)
     ratio = amps.std(ddof=1) / sigma_forecast
     assert 0.78 < ratio < 1.28, ratio
+
+
+def test_multipole_fisher_monopole_parity():
+    # ells=(0,) is exactly fisher_matrix_binned: same bins, weights,
+    # covariance and jacobian reduction.
+    shape, spacing = (16, 16, 16), 8.0
+    table = _power.load_default_power()
+    model, theta0 = mf.make_kaiser_model(
+        table, shape, spacing, params=("ln_amp", "f"), fixed={"f": 0.6})
+    F_mono = mf.fisher_matrix_binned(model, theta0, shape, spacing, nbins=8)
+    F_m0 = mf.fisher_matrix_multipoles(model, theta0, shape, spacing,
+                                       nbins=8, ells=(0,))
+    np.testing.assert_allclose(F_m0, F_mono, rtol=1e-9)
+
+
+def test_multipole_fisher_information_chain():
+    # per-mode >= multipoles(0,2,4) >= monopole, as PSD ordering, and
+    # the multipoles recover most of the per-mode (bias, f) information
+    # the monopole destroys.
+    shape, spacing = (16, 16, 16), 8.0
+    table = _power.load_default_power()
+    model, theta0 = mf.make_kaiser_model(
+        table, shape, spacing, params=("bias", "f"),
+        fixed={"bias": 1.4, "f": 0.7})
+    F_mode = mf.fisher_matrix(model, theta0, shape)
+    F_mult = mf.fisher_matrix_multipoles(model, theta0, shape, spacing,
+                                         nbins=8, ells=(0, 2, 4))
+    F_mono = mf.fisher_matrix_binned(model, theta0, shape, spacing, nbins=8)
+    for hi, lo in [(F_mode, F_mult), (F_mult, F_mono)]:
+        evals = np.linalg.eigvalsh(hi - lo)
+        assert evals.min() > -1e-7 * np.abs(evals).max(), evals
+    # marginalized errors: multipoles close to per-mode, monopole far off
+    # (monopole alone cannot split bias from f — near-degenerate)
+    err_mode = mf.forecast_errors(F_mode, names=("bias", "f"))
+    err_mult = mf.forecast_errors(F_mult, names=("bias", "f"))
+    assert err_mult["f"][0] < 1.3 * err_mode["f"][0]
+    with np.errstate(all="ignore"):
+        try:
+            err_mono = mf.forecast_errors(F_mono, names=("bias", "f"))
+            assert err_mono["f"][0] > 3.0 * err_mult["f"][0]
+        except np.linalg.LinAlgError:
+            pass  # fully degenerate monopole Fisher is equally a pass
+
+
+def test_multipole_fisher_forecast_matches_measured_scatter():
+    # The chain end-to-end: maximum-likelihood amplitude refits on
+    # measured P_0/P_2 vectors over an ensemble scatter like the
+    # forecast says.
+    from randomfield_tpu.validate.ensemble import (
+        predicted_multipole_covariance,
+    )
+    from randomfield_tpu.validate.stats import calculate_power_multipoles
+
+    n, spacing, nbins, nseeds = 16, 8.0, 5, 160
+    b, f = 1.3, 0.6
+    shape = (n, n, n)
+    table = _power.load_default_power()
+    g = Generator(n, n, n, grid_spacing=spacing)
+    model, theta0 = mf.make_kaiser_model(
+        table, shape, spacing, params=("ln_amp",),
+        fixed={"bias": b, "f": f})
+    F = mf.fisher_matrix_multipoles(model, theta0, shape, spacing,
+                                    nbins=nbins, ells=(0, 2))
+    sigma_fore = mf.forecast_errors(F, names=("ln_amp",))["ln_amp"][0]
+
+    # GLS amplitude estimate per seed: A_hat = argmin (d - A t)^T C^-1
+    # (d - A t) over the stacked (P0, P2) bins
+    pgrid = np.asarray(model(theta0), np.float64)
+    cov = predicted_multipole_covariance(
+        pgrid, shape, spacing, nbins=nbins, ells=(0, 2))
+    from randomfield_tpu.validate.stats import bin_power_multipoles_grid
+    _, t_ell, _ = bin_power_multipoles_grid(
+        pgrid, shape, spacing, nbins=nbins, ells=(0, 2))
+    t_ell = np.asarray(t_ell, np.float64)  # (2, nbins)
+    a_hats = []
+    for s in range(nseeds):
+        d = np.asarray(calculate_power_multipoles(
+            g.generate_kaiser_field(s, bias=b, f=f), spacing,
+            nbins=nbins, ells=(0, 2))[1], np.float64)
+        num = den = 0.0
+        for a in range(nbins):
+            c = cov[a]
+            if not np.all(np.isfinite(c)) or not np.all(
+                    np.isfinite(d[:, a])):
+                continue
+            ci = np.linalg.inv(c)
+            num += t_ell[:, a] @ ci @ d[:, a]
+            den += t_ell[:, a] @ ci @ t_ell[:, a]
+        a_hats.append(num / den)
+    # d lnP/d ln_amp = 1 -> scatter of ln A_hat ~ sigma_fore
+    scatter = np.std(np.log(np.asarray(a_hats)), ddof=1)
+    # ... up to binning-loss: GLS on binned data has variance 1/den =
+    # binned Fisher, which IS F here. 5 sigma gate on the variance ratio
+    assert abs(scatter / sigma_fore - 1.0) < 5.0 * np.sqrt(
+        0.5 / (nseeds - 1)) + 0.05, (scatter, sigma_fore)
