@@ -66,6 +66,7 @@ __all__ = [
     "oneloop_terms",
     "oneloop_power",
     "second_order_density",
+    "predicted_tree_bispectrum",
 ]
 
 
@@ -280,3 +281,158 @@ def second_order_density(delta, spacing):
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
     return _second_order_density(delta, shape, float(spacing))
+
+
+# ---------------------------------------------------------------------------
+# Tree-level (F2) bispectrum, exactly binned on this grid
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "spacing", "edges", "triples")
+)
+def _tree_triple_sums(pgrid, shape, spacing, edges, triples):
+    """sum_x over the separable F2 shell decomposition, every triple.
+
+    For each bin pair (a, b) the pair field
+
+        S_ab(x) = sum_{k1 in S_a, k2 in S_b} 2 F2(k1,k2) P1 P2
+                  e^{i(k1+k2).x}
+
+    is assembled from 13 weighted shell syntheses per bin using
+    F2 = 5/7 + (k1.k2)/2 (1/k1^2 + 1/k2^2) + (2/7)(k1.k2)^2/(k1^2 k2^2):
+    the even weights {P, P k_m k_n / k^2} synthesize directly; the odd
+    weights {P k_m, P k_m / k^2} synthesize as i*w (Hermitian), whose
+    pair products carry i^2 = -1.  Odd weights are zeroed on the
+    self-conjugate lattice points (their Hermitian projection; only
+    relevant for even grid sizes).  Then
+
+        sum_{triads in (i,j,l)} B_tree = sum_x [ S_ij u_l + S_jl u_i
+                                                 + S_li u_j ] / Ncells.
+    """
+    from randomfield_tpu.ops import grid as _grid
+
+    kx, ky, kz = _grid.kvectors(shape, spacing, jnp.float32)
+    kvec = (kx[:, None, None], ky[None, :, None], kz[None, None, :])
+    k2 = _grid.ksq(shape, spacing, jnp.float32)
+    kmag = jnp.sqrt(k2)
+    inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+
+    # Hermitian projection mask for odd weights: zero the self-conjugate
+    # lattice points (DC + even-size Nyquist corners on the kz planes).
+    nx, ny, nz = shape
+    sc_xy, _ = _grid.hermitian_plane_masks(nx, ny)
+    odd_ok = np.ones(_grid.half_shape(shape), bool)
+    for zp in _grid.self_conjugate_kz_planes(nz):
+        odd_ok[:, :, zp] &= ~sc_xy
+    odd_ok = jnp.asarray(odd_ok)
+
+    def synth(w, odd):
+        if odd:
+            spec = jax.lax.complex(jnp.zeros_like(w),
+                                   jnp.where(odd_ok, w, 0.0))
+        else:
+            spec = jax.lax.complex(w, jnp.zeros_like(w))
+        return _transform.irfftn(spec, shape, assume_hermitian=True)
+
+    nb = len(edges) - 1
+    shells = []
+    for b in range(nb):
+        mask = (kmag >= edges[b]) & (kmag < edges[b + 1]) & (kmag > 0)
+        p = jnp.where(mask, pgrid, 0.0)
+        u = synth(mask.astype(jnp.float32), False)
+        a = synth(p, False)
+        v = [synth(p * kvec[m], True) for m in range(3)]
+        g = [synth(p * kvec[m] * inv_k2, True) for m in range(3)]
+        t = [synth(p * kvec[m] * kvec[n] * inv_k2, False)
+             for m in range(3) for n in range(m, 3)]
+        shells.append((u, a, v, g, t))
+
+    # T contraction weights: sum_{mn over 9} = diag once + off-diag twice
+    t_pairs = [(m, n) for m in range(3) for n in range(m, 3)]
+    t_w = [1.0 if m == n else 2.0 for (m, n) in t_pairs]
+
+    def pair_field(a_i, b_i):
+        ua, aa, va, ga, ta = shells[a_i]
+        ub, ab, vb, gb, tb = shells[b_i]
+        s = (10.0 / 7.0) * aa * ab
+        for m in range(3):
+            # odd*odd synth products carry i^2 = -1; the F2 dot term is
+            # +(k1.k2)/2 (1/k1^2 + 1/k2^2) * 2 (the leading B factor 2)
+            s = s - (va[m] * gb[m] + ga[m] * vb[m])
+        for idx6, w in enumerate(t_w):
+            s = s + (4.0 / 7.0) * w * ta[idx6] * tb[idx6]
+        return s
+
+    cache = {}
+
+    def pair(a_i, b_i):
+        key = (min(a_i, b_i), max(a_i, b_i))
+        if key not in cache:
+            cache[key] = pair_field(*key)
+        return cache[key]
+
+    sums = []
+    for (i, j, l) in triples:
+        tot = (pair(i, j) * shells[l][0]
+               + pair(j, l) * shells[i][0]
+               + pair(l, i) * shells[j][0])
+        sums.append(jnp.sum(jnp.sum(tot, axis=(1, 2)), axis=0))
+    return jnp.stack(sums)
+
+
+def predicted_tree_bispectrum(power, shape, spacing, nbins=8, kmin=None,
+                              kmax=None, smoothing_length=0.0,
+                              interpolation="log10k"):
+    """Exact binned tree-level gravity bispectrum on this grid.
+
+    The theory companion of ``validate.bispectrum.calculate_bispectrum``
+    for gravitationally evolved fields:
+
+        B_tree(k1, k2, k3) = 2 F2(k1, k2) P(k1) P(k2) + cyclic,
+
+    averaged over exactly the lattice-closed triads, shells, bins and
+    masks of the estimator (including aliased closures, with all
+    kernels evaluated at the in-zone wavevectors — matching
+    :func:`second_order_density`'s spectral gradients), so that the
+    measured bispectrum of ``delta + eps * second_order_density(delta)``
+    over a Gaussian ensemble equals ``eps * B_pred`` at O(eps) with
+    residuals of pure sample noise (gated, plus a direct per-triad
+    float64 enumeration parity gate, in tests/test_bispectrum.py).
+    ``P`` is the render's discrete spectrum (same interpolation and
+    optional Gaussian smoothing).  On even grid sizes the odd-weight
+    contribution of self-conjugate (Nyquist) modes is Hermitian-
+    projected to zero — prefer odd sizes or kmax below the Nyquist for
+    exactness at the top shell.  Returns ``(k_centers, triples, B_pred,
+    ntri)`` aligned with the estimator's output on the same arguments.
+    """
+    from randomfield_tpu.ops import grid as _grid
+    from randomfield_tpu.ops import power as _power
+    from randomfield_tpu.validate import bispectrum as _bisp
+
+    shape = tuple(int(s) for s in shape)
+    table = _power.validate_power(power)
+    _power.require_coverage(table, shape, float(spacing))
+    kmag = _grid.kmag(shape, float(spacing), jnp.float32)
+    peff = _power.interpolate_power(table, kmag, interpolation)
+    sm = float(smoothing_length)
+    if sm:
+        peff = peff * jnp.exp(-(kmag * kmag) * sm * sm)
+    peff = jnp.where(kmag > 0, peff, 0.0)
+
+    edges, triples = _bisp.bispectrum_bins(
+        shape, float(spacing), nbins, kmin, kmax
+    )
+    ekey = tuple(float(e) for e in edges)
+    tkey = tuple(map(tuple, triples.tolist()))
+    num = np.asarray(
+        _tree_triple_sums(peff, shape, float(spacing), ekey, tkey),
+        np.float64,
+    )
+    den = _bisp._triangle_counts(shape, float(spacing), ekey, tkey)
+    ncells = shape[0] * shape[1] * shape[2]
+    ntri = den / ncells
+    keep = ntri > 0.5
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pred = num / den
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return centers, triples[keep], pred[keep], ntri[keep]

@@ -166,3 +166,125 @@ def test_quadratic_field_tree_level():
     ratio = bmean[sel] / pred[sel]
     assert np.all(np.abs(ratio - 1.0) < 0.2), ratio
     assert abs(ratio.mean() - 1.0) < 0.1, ratio.mean()
+
+
+# ------------------------------------------------------- tree-level theory
+
+
+def _inzone_freqs(n, spacing):
+    return 2.0 * np.pi * np.fft.fftfreq(n, d=spacing)
+
+
+def _f2(k1, k2):
+    a2 = k1 @ k1
+    b2 = k2 @ k2
+    if a2 == 0.0 or b2 == 0.0:
+        return 0.0
+    d = float(k1 @ k2)
+    return (5.0 / 7.0 + 0.5 * d * (1.0 / a2 + 1.0 / b2)
+            + 2.0 / 7.0 * d * d / (a2 * b2))
+
+
+def test_tree_bispectrum_matches_direct_enumeration():
+    # 9^3 (odd: no Nyquist special cases): the shell-FFT prediction must
+    # equal a float64 per-triad enumeration of 2 F2 P1 P2 + cyc over all
+    # lattice-closed ordered triples, with identical bins and P values.
+    from randomfield_tpu.models.spt import predicted_tree_bispectrum
+    from randomfield_tpu.ops import grid as _grid
+    from randomfield_tpu.ops import power as _power
+
+    n, spacing, nbins = 9, 6.0, 3
+    table = _power.load_default_power()
+    centers, triples, pred, ntri = predicted_tree_bispectrum(
+        table, (n, n, n), spacing, nbins=nbins)
+
+    # same interpolated P on the half grid, folded to the full grid
+    import jax.numpy as jnp
+    kmag = _grid.kmag((n, n, n), spacing, jnp.float32)
+    ph = np.asarray(_power.interpolate_power(table, kmag, "log10k"),
+                    np.float64)
+    kf = _inzone_freqs(n, spacing)
+    idx = np.arange(n)
+    I, J, L = np.meshgrid(idx, idx, idx, indexing="ij")
+    modes = np.stack([I.ravel(), J.ravel(), L.ravel()], 1)
+    K = np.stack([kf[modes[:, 0]], kf[modes[:, 1]], kf[modes[:, 2]]], 1)
+    kzh = np.where(modes[:, 2] <= n // 2, modes[:, 2], n - modes[:, 2])
+    ix = np.where(modes[:, 2] <= n // 2, modes[:, 0],
+                  (-modes[:, 0]) % n)
+    iy = np.where(modes[:, 2] <= n // 2, modes[:, 1],
+                  (-modes[:, 1]) % n)
+    pfull = ph[ix, iy, kzh]
+    kabs = np.sqrt((K**2).sum(1))
+    edges, _ = bispectrum_bins((n, n, n), spacing, nbins)
+    bins = np.searchsorted(edges, kabs) - 1
+    inb = (bins >= 0) & (bins < nbins) & (kabs > 0)
+
+    num = {}
+    den = {}
+    nm = n**3
+    live = np.flatnonzero(kabs > 0)
+    for a in live:
+        if not inb[a]:
+            continue
+        # closing mode for every partner b: l3 = (-(ia+ib)) mod n
+        t3 = np.stack([(-(modes[a, 0] + modes[:, 0])) % n,
+                       (-(modes[a, 1] + modes[:, 1])) % n,
+                       (-(modes[a, 2] + modes[:, 2])) % n], 1)
+        flat3 = t3[:, 0] * n * n + t3[:, 1] * n + t3[:, 2]
+        ok = inb & inb[flat3]
+        for b in np.flatnonzero(ok):
+            c = flat3[b]
+            k1, k2, k3 = K[a], K[b], K[c]
+            key = (bins[a], bins[b], bins[c])
+            btree = 2.0 * (_f2(k1, k2) * pfull[a] * pfull[b]
+                           + _f2(k2, k3) * pfull[b] * pfull[c]
+                           + _f2(k3, k1) * pfull[c] * pfull[a])
+            num[key] = num.get(key, 0.0) + btree
+            den[key] = den.get(key, 0.0) + 1.0
+    for (i, j, l), b_fft, nt in zip(triples, pred, ntri):
+        key = (int(i), int(j), int(l))
+        assert key in den, key
+        np.testing.assert_allclose(nt, den[key], rtol=1e-5)  # f32 shells
+        np.testing.assert_allclose(b_fft, num[key] / den[key], rtol=5e-4,
+                                   err_msg=str(key))
+
+
+def test_tree_bispectrum_mc_gate():
+    # Antithetic matched-pair Monte Carlo:
+    # [B(g + eps Q) - B(g - eps Q)] / (2 eps) with Q = F2[g, g] has
+    # expectation B_pred + O(eps^2) — the pure Gaussian ggg noise AND
+    # the even-in-eps <g Q Q> loop term cancel exactly in the
+    # difference (B is cubic in the field), so ~32 seeds pin every
+    # triple to a few percent.
+    from randomfield_tpu import Generator
+    from randomfield_tpu.models.spt import (
+        predicted_tree_bispectrum,
+        second_order_density,
+    )
+    from randomfield_tpu.validate.bispectrum import calculate_bispectrum
+
+    n, spacing, nbins, nseeds, eps = 25, 8.0, 3, 32, 0.05
+    g = Generator(n, n, n, grid_spacing=spacing)
+    _, triples, pred, ntri = predicted_tree_bispectrum(
+        g.power, (n, n, n), spacing, nbins=nbins)
+    diffs = []
+    for s in range(nseeds):
+        # snapshot statistics: the default lightcone weighting makes the
+        # field non-stationary (plane-dependent growth), which is not
+        # what the stationary tree prediction describes
+        delta = np.asarray(
+            g.generate_delta_field(s, apply_lightcone=False), np.float32)
+        d2 = np.asarray(second_order_density(delta, spacing), np.float32)
+        bp = calculate_bispectrum(delta + eps * d2, spacing, nbins=nbins)[2]
+        bm = calculate_bispectrum(delta - eps * d2, spacing, nbins=nbins)[2]
+        diffs.append((bp - bm) / (2.0 * eps))
+    diffs = np.asarray(diffs)  # (nseeds, T)
+    mean = diffs.mean(0)
+    sem = diffs.std(0, ddof=1) / np.sqrt(nseeds)
+    z = (mean - pred) / sem
+    assert np.all(np.abs(z) < 5.0), (z, mean / pred)
+    # global amplitude: inverse-variance-weighted ratio within a few %
+    wsum = np.sum(pred**2 / sem**2)
+    amp = np.sum(mean * pred / sem**2) / wsum
+    amp_err = 1.0 / np.sqrt(wsum)
+    assert abs(amp - 1.0) < max(5.0 * amp_err, 0.05), (amp, amp_err)
