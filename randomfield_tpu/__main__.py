@@ -118,7 +118,8 @@ def main(argv=None):
     p.add_argument("--ok0", type=float, default=None,
                    help="curvature Omega_k0 override (default 0, flat)")
     p.add_argument("--power", default=None,
-                   help="a model name (default|eh98|bbks) or a CAMB-style "
+                   help="a model name (default|eh98|bbks|halofit) or a "
+                        "CAMB-style "
                         "text file (k [h/Mpc], P [(Mpc/h)^3], '#' comments, "
                         "extra columns ignored); default: built-in EH98 "
                         "Planck13 table")
@@ -229,7 +230,8 @@ def main(argv=None):
 
     power = None
     if args.power:
-        if args.power.lower() in ("default", "eh98", "eisenstein_hu", "bbks"):
+        if args.power.lower() in ("default", "eh98", "eisenstein_hu",
+                                  "bbks", "halofit"):
             power = args.power.lower()
         else:
             from randomfield_tpu.models.powerspec import load_camb_power

@@ -311,8 +311,19 @@ def resolve_power(power, cosmology=None):
         if name == "bbks":
             k = np.logspace(-4, 3, 1024)
             return k, bbks_power(cosmology, k)
+        if name == "halofit":
+            # Takahashi nonlinear spectrum of the cosmology's EH98
+            # linear table (positive-definite, safe for rendering;
+            # one-loop SPT is NOT offered here because its total goes
+            # negative at high k — call models.spt.oneloop_power with
+            # an explicit k range instead)
+            from randomfield_tpu.models.halofit import halofit_power
+
+            return halofit_power(make_power_table(cosmology),
+                                 cosmology=cosmology)
         raise ValueError(
             f"unknown power model {power!r}: expected 'default', "
-            "'eh98'/'eisenstein_hu', 'bbks', or a tabulated (k, Pk) spectrum"
+            "'eh98'/'eisenstein_hu', 'bbks', 'halofit', or a tabulated "
+            "(k, Pk) spectrum"
         )
     return power

@@ -143,3 +143,18 @@ def test_nonlinear_limber_lensing():
     assert abs(c_nl[0] / c_lin[0] - 1.0) < 0.05
     assert c_nl[2] > 2.0 * c_lin[2]
     assert np.all(np.diff(c_nl / c_lin) > 0)  # boost grows with ell
+
+
+def test_named_halofit_power_renders():
+    # Generator(power='halofit') resolves to the Takahashi spectrum of
+    # the scene cosmology and renders with a nonlinear variance boost.
+    from randomfield_tpu import Generator
+
+    g_lin = Generator(16, 16, 16, grid_spacing=8.0, power="eh98")
+    g_nl = Generator(16, 16, 16, grid_spacing=8.0, power="halofit")
+    v_lin = float(g_lin.predicted_variance())
+    v_nl = float(g_nl.predicted_variance())
+    assert v_nl > 1.05 * v_lin
+    d = np.asarray(g_nl.generate_delta_field(0, apply_lightcone=False))
+    assert np.isfinite(d).all()
+    assert abs(d.var() / v_nl - 1.0) < 0.3  # single-seed sample scatter
