@@ -25,6 +25,8 @@ __all__ = [
     "bin_power_wedges_grid",
     "calculate_masked_power",
     "predicted_masked_power",
+    "calculate_power_1d",
+    "predicted_power_1d",
     "spectrum_power",
     "field_moments",
     "calculate_correlation",
@@ -1854,3 +1856,103 @@ def field_moments(delta):
     else:
         m, v = _moments(jnp.asarray(delta))
     return float(replicated_to_host(m)), float(replicated_to_host(v))
+
+
+# ---------------------------------------------------------------------------
+# Line-of-sight 1-D (skewer) power spectra
+#
+# Each transverse site (x, y) defines a skewer delta(x, y, .) whose 1-D
+# spectrum is c1(k_par) = a sum_z delta e^{-i k_par z}; the estimator
+# averages |c1|^2 / L_par over every skewer.  The exact discrete
+# expectation is the transverse-plane sum of the 3-D per-mode power,
+#
+#     E[P1D(k_par)] = (1 / A_perp) sum_{k_perp} P(k_perp, k_par),
+#
+# the lattice form of P1D = int d^2k_perp / (2 pi)^2 P(k) — the classic
+# Lyman-alpha / IGM skewer statistic.  Per packed k_par mode, no
+# binning, so measured-vs-predicted residuals are pure sample noise.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("spacing", "los_axis"))
+def _p1d_device(delta, spacing, los_axis):
+    d = jnp.moveaxis(delta, int(los_axis), -1)
+    n_par = d.shape[-1]
+    c1 = jnp.fft.rfft(d.astype(jnp.float32), axis=-1)  # minor-axis FFT
+    p = c1.real**2 + c1.imag**2
+    # mean over skewers axiswise (accumulation safety), |a . |^2 / L_par
+    return p.mean(axis=0).mean(axis=0) * (float(spacing) / n_par)
+
+
+def calculate_power_1d(delta, spacing, los_axis=2):
+    """Mean 1-D line-of-sight power of all skewers of a field.
+
+    Returns ``(k_par, p1d)`` host float64 arrays over the non-negative
+    rfft frequencies of the LOS axis (``n_par // 2 + 1`` modes,
+    per-mode — no binning).  Units: P1D in (Mpc/h) for delta in
+    density-contrast convention.  Compare against
+    :func:`predicted_power_1d` on the same arguments.
+    """
+    delta = jnp.asarray(delta)
+    if delta.ndim != 3:
+        raise ValueError("calculate_power_1d expects one (nx, ny, nz) field")
+    n_par = int(delta.shape[int(los_axis)])
+    k_par = 2.0 * np.pi * np.fft.rfftfreq(n_par, d=float(spacing))
+    p1d = np.asarray(
+        _p1d_device(delta, float(spacing), int(los_axis)), np.float64)
+    return k_par, p1d
+
+
+def predicted_power_1d(power, shape, spacing, los_axis=2,
+                       smoothing_length=0.0, interpolation="log10k",
+                       pgrid=None):
+    """EXACT per-mode expectation of :func:`calculate_power_1d`.
+
+    ``power`` is interpolated onto the grid like the render path
+    (optionally Gaussian-smoothed); pass ``pgrid=`` (a per-mode
+    expectation half-grid, e.g. Kaiser ``Generator._kaiser_pgrid``) to
+    override it — any per-axis-even anisotropic expectation works.
+    For the packed LOS axis the transverse sum is the plane sum; for
+    x/y LOS axes the kz multiplicities (2 interior, 1 on the kz=0 /
+    Nyquist planes) restore the unstored half.  Identity (gated):
+    ``sum_par mult_par * E1D / L_par`` equals the predicted field
+    variance exactly.  Returns ``(k_par, e1d)`` float64.
+    """
+    shape = tuple(int(s) for s in shape)
+    spacing = float(spacing)
+    los_axis = int(los_axis)
+    from randomfield_tpu.ops import power as _power
+
+    if pgrid is None:
+        table = _power.validate_power(power)
+        km = _grid.kmag(shape, spacing, jnp.float32)
+        pg = _power.interpolate_power(table, km, interpolation)
+        sm = float(smoothing_length)
+        if sm:
+            pg = pg * jnp.exp(-(km * km) * sm * sm)
+        pg = jnp.where(km > 0, pg, 0.0)
+    else:
+        pg = jnp.asarray(pgrid)
+    pg = np.asarray(pg, np.float64)
+    nx, ny, nz = shape
+    a_perp = (
+        {0: ny * nz, 1: nx * nz, 2: nx * ny}[los_axis] * spacing * spacing
+    )
+    if los_axis == 2:
+        e1d = pg.sum(axis=(0, 1)) / a_perp
+        n_par = nz
+    else:
+        nzh = nz // 2 + 1
+        mult = np.full(nzh, 2.0)
+        mult[0] = 1.0
+        if nz % 2 == 0:
+            mult[-1] = 1.0
+        w = pg * mult[None, None, :]
+        other = 1 if los_axis == 0 else 0
+        full = w.sum(axis=2).sum(axis=other)  # (n_los,) over full indices
+        n_par = shape[los_axis]
+        # rfft k_par picks the non-negative representatives; P is even
+        # per axis, so the +f and -f rows are equal — take the packed
+        # half directly
+        e1d = full[: n_par // 2 + 1] / a_perp
+    k_par = 2.0 * np.pi * np.fft.rfftfreq(n_par, d=spacing)
+    return k_par, e1d
