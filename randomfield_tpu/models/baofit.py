@@ -181,7 +181,7 @@ def _ap_model_multipoles(table, k, apar, aperp, beta, ells, nodes, wts):
 
 
 def fit_bao_scale_ap(k, p_ell, ells=(0, 2), template=None, beta=0.4,
-                     sigma=None, n_modes=None,
+                     sigma=None, n_modes=None, cov=None,
                      alpha_par_range=(0.85, 1.15),
                      alpha_perp_range=(0.85, 1.15), n_alpha=61,
                      broadband=(-1, 0, 1), kmin=None, kmax=None, nmu=40):
@@ -208,9 +208,16 @@ def fit_bao_scale_ap(k, p_ell, ells=(0, 2), template=None, beta=0.4,
     shape, or ``n_modes`` shaped ``(len(k),)`` for the leading-order
     Gaussian budget ``sigma_ell = |P_0| sqrt(2 (2 ell + 1) / n_modes)``
     (exact for the monopole of an isotropic spectrum; divide n_modes by
-    the realization count for ensemble means); ``alpha_par = r_s,fid
-    H_fid / (r_s H)``, ``alpha_perp = r_s,fid D_A / (r_s D_A,fid)`` in
-    the standard convention.
+    the realization count for ensemble means), or ``cov`` shaped
+    ``(len(k), len(ells), len(ells))`` — per-bin cross-multipole
+    covariance blocks (e.g.
+    ``Generator.predicted_kaiser_multipole_covariance`` /
+    ``validate.ensemble.predicted_multipole_covariance``, divided by
+    the realization count for ensemble means): the chi^2 becomes the
+    exact block GLS via per-bin Cholesky whitening, reducing to the
+    ``sigma`` path exactly when the blocks are diagonal (gated).
+    ``alpha_par = r_s,fid H_fid / (r_s H)``, ``alpha_perp = r_s,fid
+    D_A / (r_s D_A,fid)`` in the standard convention.
 
     Returns a dict with ``alpha_par``, ``alpha_perp``, their errors and
     correlation, ``alpha_iso`` (= apar^(1/3) aperp^(2/3), the D_V
@@ -234,9 +241,16 @@ def fit_bao_scale_ap(k, p_ell, ells=(0, 2), template=None, beta=0.4,
         if template is None
         else _power.validate_power(template)
     )
-    if sigma is not None and n_modes is not None:
-        raise ValueError("pass sigma or n_modes, not both")
-    if n_modes is not None:
+    if sum(x is not None for x in (sigma, n_modes, cov)) > 1:
+        raise ValueError("pass exactly one of sigma, n_modes, cov")
+    if cov is not None:
+        cov = np.asarray(cov, np.float64)
+        if cov.shape != (k.size, len(ells), len(ells)):
+            raise ValueError(
+                f"cov must be shaped (len(k), nell, nell) = "
+                f"({k.size}, {len(ells)}, {len(ells)}), got {cov.shape}")
+        sigma_full = None
+    elif n_modes is not None:
         n_modes = np.asarray(n_modes, np.float64).ravel()
         if n_modes.shape != k.shape:
             raise ValueError("n_modes must match k")
@@ -260,10 +274,14 @@ def fit_bao_scale_ap(k, p_ell, ells=(0, 2), template=None, beta=0.4,
     if kmax is not None:
         keep &= k <= float(kmax)
     keep &= np.isfinite(p_ell).all(axis=0)
-    keep &= (np.isfinite(sigma_full) & (sigma_full > 0)).all(axis=0)
+    if cov is not None:
+        keep &= np.isfinite(cov).all(axis=(1, 2))
+        keep &= np.array([np.all(np.diag(c) > 0) for c in cov])
+    else:
+        keep &= (np.isfinite(sigma_full) & (sigma_full > 0)).all(axis=0)
     k = k[keep]
     p_use = p_ell[:, keep]
-    sig = sigma_full[:, keep]
+    sig = sigma_full[:, keep] if cov is None else None
     broadband = tuple(float(p) for p in broadband)
     nell, nk = len(ells), k.size
     npar = 1 + nell * len(broadband)
@@ -278,9 +296,32 @@ def fit_bao_scale_ap(k, p_ell, ells=(0, 2), template=None, beta=0.4,
         for i_p, p in enumerate(broadband):
             bb_cols[i_e * nk:(i_e + 1) * nk,
                     i_e * len(broadband) + i_p] = k**p
-    w = 1.0 / sig.ravel()
-    y = p_use.ravel() * w
-    bb_w = bb_cols * w[:, None]
+    if cov is not None:
+        # per-bin Cholesky whitening: C_a = L_a L_a^T, residuals
+        # r -> L_a^{-1} r make the block GLS an ordinary least squares
+        blocks = cov[keep]
+        try:
+            l_inv = np.stack([
+                np.linalg.inv(np.linalg.cholesky(c)) for c in blocks
+            ])  # (nk, nell, nell)
+        except np.linalg.LinAlgError as exc:
+            raise ValueError(
+                "cov blocks must be positive definite on the kept bins"
+            ) from exc
+
+        def _wapply(flat):
+            v = flat.reshape(nell, nk)
+            return np.einsum("aij,ja->ia", l_inv, v).ravel()
+    else:
+        w = 1.0 / sig.ravel()
+
+        def _wapply(flat):
+            return flat * w
+
+    y = _wapply(p_use.ravel())
+    bb_w = np.stack([_wapply(bb_cols[:, c])
+                     for c in range(bb_cols.shape[1])], axis=1) \
+        if bb_cols.shape[1] else bb_cols
     nodes, wts = np.polynomial.legendre.leggauss(int(nmu))
     # map [-1, 1] -> [0, 1]
     nodes = 0.5 * (nodes + 1.0)
@@ -295,7 +336,7 @@ def fit_bao_scale_ap(k, p_ell, ells=(0, 2), template=None, beta=0.4,
             tmpl = _ap_model_multipoles(
                 table, k, ap, at, beta, ells, nodes, wts
             ).ravel()
-            X = np.concatenate([(tmpl * w)[:, None], bb_w], axis=1)
+            X = np.concatenate([_wapply(tmpl)[:, None], bb_w], axis=1)
             coef, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
             r = y - X @ coef
             chi2[i, j] = r @ r
@@ -304,7 +345,7 @@ def fit_bao_scale_ap(k, p_ell, ells=(0, 2), template=None, beta=0.4,
         tmpl = _ap_model_multipoles(
             table, k, ap, at, beta, ells, nodes, wts
         ).ravel()
-        X = np.concatenate([(tmpl * w)[:, None], bb_w], axis=1)
+        X = np.concatenate([_wapply(tmpl)[:, None], bb_w], axis=1)
         coef, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
         r = y - X @ coef
         return coef, float(r @ r)

@@ -176,3 +176,114 @@ def test_ap_validation_errors():
             k, p2, ells=(0, 2), template=table,
             sigma=np.ones_like(p2), n_modes=np.ones(20),
         )
+
+
+def test_ap_cov_diagonal_reduces_to_sigma_path():
+    # block-diagonal covariance == diag(sigma^2) must reproduce the
+    # sigma path to rounding in every returned quantity
+    table = _power.load_default_power()
+    k = np.geomspace(0.02, 0.35, 30)
+    nodes, wts = np.polynomial.legendre.leggauss(40)
+    nodes, wts = 0.5 * (nodes + 1.0), 0.5 * wts
+    model = 1.9 * baofit._ap_model_multipoles(
+        table, k, 1.03, 0.98, 0.4, (0, 2), nodes, wts)
+    rng = np.random.default_rng(7)
+    sigma = 0.03 * np.abs(model) + 10.0
+    data = model + sigma * rng.normal(size=model.shape)
+    cov = np.zeros((k.size, 2, 2))
+    cov[:, 0, 0] = sigma[0] ** 2
+    cov[:, 1, 1] = sigma[1] ** 2
+    kw = dict(ells=(0, 2), template=table, beta=0.4, n_alpha=31,
+              alpha_par_range=(0.95, 1.12), alpha_perp_range=(0.9, 1.06))
+    f1 = baofit.fit_bao_scale_ap(k, data, sigma=sigma, **kw)
+    f2 = baofit.fit_bao_scale_ap(k, data, cov=cov, **kw)
+    for key in ("alpha_par", "alpha_perp", "alpha_par_err",
+                "alpha_perp_err", "chi2_min", "b2"):
+        np.testing.assert_allclose(f2[key], f1[key], rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(f2["chi2"], f1["chi2"], rtol=1e-8)
+
+
+def test_ap_cov_matches_dense_gls():
+    # correlated blocks: the whitened chi^2 surface equals an
+    # independent dense block-GLS solve at every grid node
+    table = _power.load_default_power()
+    k = np.geomspace(0.03, 0.3, 18)
+    nodes, wts = np.polynomial.legendre.leggauss(40)
+    nodes, wts = 0.5 * (nodes + 1.0), 0.5 * wts
+    model = 2.4 * baofit._ap_model_multipoles(
+        table, k, 1.0, 1.0, 0.5, (0, 2), nodes, wts)
+    rng = np.random.default_rng(3)
+    data = model * (1.0 + 0.02 * rng.normal(size=model.shape))
+    cov = np.zeros((k.size, 2, 2))
+    s0 = 0.04 * np.abs(model[0]) + 5.0
+    s2 = 0.08 * np.abs(model[0]) + 5.0
+    rho = 0.55
+    cov[:, 0, 0] = s0**2
+    cov[:, 1, 1] = s2**2
+    cov[:, 0, 1] = cov[:, 1, 0] = rho * s0 * s2
+    kw = dict(ells=(0, 2), template=table, beta=0.5, n_alpha=7,
+              alpha_par_range=(0.97, 1.03), alpha_perp_range=(0.97, 1.03),
+              broadband=(0,))
+    fit = baofit.fit_bao_scale_ap(k, data, cov=cov, **kw)
+
+    # dense reference: chi2(alpha) minimized over (b2, a_0, a_2)
+    cinv = np.linalg.inv(cov)  # (nk, 2, 2)
+    def dense_chi2(ap, at):
+        tmpl = baofit._ap_model_multipoles(
+            table, k, ap, at, 0.5, (0, 2), nodes, wts)
+        cols = [tmpl]
+        for i_e in range(2):
+            bb = np.zeros((2, k.size))
+            bb[i_e] = 1.0
+            cols.append(bb)
+        X = np.stack(cols, -1)  # (2, nk, npar)
+        A = np.einsum("ian,aij,jam->nm", X, cinv, X)
+        b = np.einsum("ian,aij,ja->n", X, cinv, data)
+        coef = np.linalg.solve(A, b)
+        r = data - np.einsum("ian,n->ia", X, coef)
+        return float(np.einsum("ia,aij,ja->", r, cinv, r))
+
+    for i, ap in enumerate(fit["alpha_par_grid"]):
+        for j, at in enumerate(fit["alpha_perp_grid"]):
+            np.testing.assert_allclose(
+                fit["chi2"][i, j], dense_chi2(ap, at), rtol=1e-8)
+
+
+def test_ap_cov_error_calibration():
+    # Delta chi^2 = 1 errors from the block-GLS surface are calibrated:
+    # 60 synthetic data vectors = continuum model + correlated noise
+    # drawn from the cov blocks -> standardized alpha pulls have unit
+    # variance within the chi-square scatter of a 60-sample std.
+    table = _power.load_default_power()
+    k = np.geomspace(0.03, 0.32, 26)
+    beta = 0.5
+    nodes, wts = np.polynomial.legendre.leggauss(40)
+    nodes, wts = 0.5 * (nodes + 1.0), 0.5 * wts
+    model = 2.0 * baofit._ap_model_multipoles(
+        table, k, 1.0, 1.0, beta, (0, 2), nodes, wts)
+    cov = np.zeros((k.size, 2, 2))
+    s0 = 0.015 * np.abs(model[0])
+    s2 = 0.030 * np.abs(model[0])
+    cov[:, 0, 0] = s0**2
+    cov[:, 1, 1] = s2**2
+    cov[:, 0, 1] = cov[:, 1, 0] = 0.45 * s0 * s2
+    chol = np.linalg.cholesky(cov)
+    rng = np.random.default_rng(11)
+    pulls_par, pulls_perp = [], []
+    for _ in range(60):
+        noise = np.einsum("aij,ja->ia", chol,
+                          rng.normal(size=(2, k.size)))
+        fit = baofit.fit_bao_scale_ap(
+            k, model + noise, ells=(0, 2), template=table, beta=beta,
+            cov=cov, n_alpha=25, alpha_par_range=(0.93, 1.07),
+            alpha_perp_range=(0.95, 1.05))
+        if np.isfinite(fit["alpha_par_err"]):
+            pulls_par.append((fit["alpha_par"] - 1.0)
+                             / fit["alpha_par_err"])
+            pulls_perp.append((fit["alpha_perp"] - 1.0)
+                              / fit["alpha_perp_err"])
+    assert len(pulls_par) >= 50
+    for pulls in (pulls_par, pulls_perp):
+        p = np.asarray(pulls)
+        assert abs(p.mean()) < 4.0 / np.sqrt(p.size), p.mean()
+        assert 0.7 < p.std(ddof=1) < 1.4, p.std(ddof=1)
