@@ -49,10 +49,12 @@ __all__ = [
     "convergence_cross_power",
     "convergence_correlation",
     "masked_convergence_power",
+    "masked_shear_power_eb",
     "predicted_convergence_power",
     "predicted_convergence_cross_power",
     "predicted_convergence_correlation",
     "predicted_masked_convergence_power",
+    "predicted_masked_shear_power_eb",
 ]
 
 
@@ -526,6 +528,129 @@ def predicted_masked_convergence_power(power, mask, shape, spacing,
         np.fft.ifft2(m_hat2) * np.fft.ifft2(p_kappa))) * npix
     p_masked = conv / (npix**2 * w2)
     return _bin2d(km2, mult, p_masked, edges, int(nbins))
+
+
+def masked_shear_power_eb(gamma1, gamma2, mask, spacing, nbins=16):
+    """E/B pseudo-spectra of survey-masked shear maps.
+
+    :func:`shear_power_eb` of ``(mask gamma1, mask gamma2)`` normalized
+    by ``<mask^2>`` — the flat-sky pseudo-C_ell shear estimator.  The
+    mask mixes E into B (the classic leakage null-test contaminant);
+    both expectations, leakage included, are exact in
+    :func:`predicted_masked_shear_power_eb` (same bins).  ``mask=1``
+    reduces to :func:`shear_power_eb` identically.  Returns
+    ``(k_mean, p_e, p_b, n_modes)``.
+    """
+    g1 = jnp.asarray(gamma1)
+    g2 = jnp.asarray(gamma2)
+    w = np.asarray(mask, np.float64)
+    if w.shape != tuple(g1.shape):
+        raise ValueError(f"mask shape {w.shape} != map shape "
+                         f"{tuple(g1.shape)}")
+    w2 = float(np.mean(w**2))
+    if w2 <= 0:
+        raise ValueError("mask is identically zero")
+    wj = jnp.asarray(w, g1.dtype)
+    k, pe, pb, nm = shear_power_eb(g1 * wj, g2 * wj, spacing, nbins=nbins)
+    return k, pe / w2, pb / w2, nm
+
+
+def _p_kappa_grid(power, shape, spacing, weights, interpolation):
+    """Per-mode E[|kappa_hat|^2]-convention grid (full 2-D fft layout),
+    shared by the masked predictions; transverse DC included."""
+    from randomfield_tpu.ops import power as _power
+
+    nx, ny, nz = (int(s) for s in shape)
+    table = _power.validate_power(power)
+    _power.require_coverage(table, (nx, ny, nz), spacing)
+    w = np.asarray(weights, np.float64)
+    if w.shape != (nz,):
+        raise ValueError(f"weights must have shape ({nz},)")
+    kx = 2.0 * np.pi * np.fft.fftfreq(nx, d=spacing)
+    ky = 2.0 * np.pi * np.fft.fftfreq(ny, d=spacing)
+    km2 = np.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
+    kz = 2.0 * np.pi * np.fft.fftfreq(nz, d=spacing)
+    kmag3 = np.sqrt(km2[:, :, None] ** 2 + kz[None, None, :] ** 2)
+    p3 = np.asarray(
+        _power.interpolate_power(
+            table, jnp.asarray(kmag3, jnp.float32), interpolation
+        ),
+        np.float64,
+    )
+    p3[kmag3 == 0] = 0.0
+    win = np.abs(np.fft.fft(w)) ** 2
+    return (p3 * win[None, None, :]).sum(axis=-1) / (nz * spacing)
+
+
+def _conv2d(m_hat2, grid):
+    """Circular convolution sum_{l'} m_hat2(l - l') grid(l') via FFTs."""
+    npix = grid.size
+    return np.real(np.fft.fft2(
+        np.fft.ifft2(m_hat2) * np.fft.ifft2(grid))) * npix
+
+
+def _eb_factors_np(nx, ny):
+    """float64 numpy twin of :func:`_eb_factors` (same zeroing)."""
+    kx = np.fft.fftfreq(nx, d=1.0 / nx)
+    ky = np.fft.fftfreq(ny, d=1.0 / ny)
+    kx2 = (kx * kx)[:, None]
+    ky2 = (ky * ky)[None, :]
+    ksq = kx2 + ky2
+    denom = np.where(ksq > 0, ksq, 1.0)
+    ok = np.ones((nx, ny))
+    if nx % 2 == 0:
+        ok *= (np.abs(kx) != nx // 2)[:, None]
+    if ny % 2 == 0:
+        ok *= (np.abs(ky) != ny // 2)[None, :]
+    t1 = (kx2 - ky2) / denom * ok
+    t2 = 2.0 * kx[:, None] * ky[None, :] / denom * ok
+    return t1, t2
+
+
+def predicted_masked_shear_power_eb(power, mask, shape, spacing, weights,
+                                    nbins=16, interpolation="log10k"):
+    """EXACT expectation of :func:`masked_shear_power_eb` — leakage
+    included.
+
+    With ``gamma_hat(l') = e^{2 i phi_l'} kappa_hat(l')`` (Kaiser-
+    Squires) the masked E/B modes pick up ``cos/sin(2 phi_l - 2
+    phi_l')`` couplings, so
+
+        E[P_E(l)] = [t1_l^2 A11 + t2_l^2 A22 + 2 t1_l t2_l A12](l)
+                    / (Npix^2 <mask^2>),
+        E[P_B(l)] = [t1_l^2 A22 + t2_l^2 A11 - 2 t1_l t2_l A12](l)
+                    / (Npix^2 <mask^2>),
+
+    with ``Aij = conv(|mask_hat|^2, ti' tj' P_kappa)`` — three 2-D FFT
+    convolutions, evaluated on this lattice's exact modes (same
+    t-factor Nyquist-line zeroing as the estimator) and binned
+    identically.  Unit mask: P_B = 0 exactly and P_E reduces to the
+    unmasked spectrum; any real footprint leaks E into B with the
+    exact amplitude predicted here (the pseudo-C_ell null-test
+    calibration).  Returns ``(k_mean, p_e, p_b, counts)``.
+    """
+    nx, ny, nz = (int(s) for s in shape)
+    spacing = float(spacing)
+    w_mask = np.asarray(mask, np.float64)
+    if w_mask.shape != (nx, ny):
+        raise ValueError(f"mask must be ({nx}, {ny}), got {w_mask.shape}")
+    w2 = float(np.mean(w_mask**2))
+    if w2 <= 0:
+        raise ValueError("mask is identically zero")
+    p_kappa = _p_kappa_grid(power, shape, spacing, weights, interpolation)
+    t1, t2 = _eb_factors_np(nx, ny)
+    m_hat2 = np.abs(np.fft.fft2(w_mask)) ** 2
+    a11 = _conv2d(m_hat2, t1 * t1 * p_kappa)
+    a22 = _conv2d(m_hat2, t2 * t2 * p_kappa)
+    a12 = _conv2d(m_hat2, t1 * t2 * p_kappa)
+    npix = nx * ny
+    norm = 1.0 / (npix**2 * w2)
+    pe = (t1 * t1 * a11 + t2 * t2 * a22 + 2.0 * t1 * t2 * a12) * norm
+    pb = (t1 * t1 * a22 + t2 * t2 * a11 - 2.0 * t1 * t2 * a12) * norm
+    km2, edges, mult = _kperp_setup((nx, ny), spacing, nbins)
+    k_mean, p_e, counts = _bin2d(km2, mult, pe, edges, int(nbins))
+    _, p_b, _ = _bin2d(km2, mult, pb, edges, int(nbins))
+    return k_mean, p_e, p_b, counts
 
 
 def _r2d_setup(shape2d, spacing, nbins):
