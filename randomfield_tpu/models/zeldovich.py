@@ -45,6 +45,7 @@ __all__ = [
     "catalog_power",
     "catalog_power_multipoles",
     "shot_noise",
+    "zeldovich_power",
 ]
 
 
@@ -301,3 +302,127 @@ def catalog_power_multipoles(positions, spacing, shape=None, weights=1.0,
         volume = shape[0] * shape[1] * shape[2] * float(spacing) ** 3
         p_ell[tuple(ells).index(0)] -= shot_noise(np.asarray(w), volume)
     return k, p_ell, n
+
+
+# ---------------------------------------------------------------------------
+# Exact (resummed) Zel'dovich power spectrum — the theory curve for the
+# displaced-lattice mocks above
+# ---------------------------------------------------------------------------
+
+def _filon_cos_batch(mu, f, x):
+    """Batched Filon: ``Int_0^1 f_b(mu) cos(x_b mu) dmu`` per row.
+
+    ``mu``: (m,) shared increasing nodes on [0, 1]; ``f``: (B, m)
+    smooth prefactor rows; ``x``: (B,) oscillation frequencies (any
+    magnitude — the cosine is integrated analytically against the
+    piecewise-linear interpolant of f, the vector twin of
+    ops/power.py:_filon_sincos).  Rows with |x| ~ 0 fall back to the
+    trapezoid limit.
+    """
+    x = np.asarray(x, np.float64)
+    small = np.abs(x) < 1e-6
+    xs = np.where(small, 1.0, x)[:, None]
+    s = np.sin(mu[None, :] * xs)
+    c = np.cos(mu[None, :] * xs)
+    b = np.diff(f, axis=1) / np.diff(mu)[None, :]
+    w = np.empty_like(f)
+    w[:, 0] = -b[:, 0]
+    w[:, -1] = b[:, -1]
+    w[:, 1:-1] = b[:, :-1] - b[:, 1:]
+    out = (f[:, -1] * s[:, -1] - f[:, 0] * s[:, 0]) / xs[:, 0] \
+        + (c * w).sum(axis=1) / (xs[:, 0] * xs[:, 0])
+    if small.any():
+        trap = np.trapezoid(f[small], mu, axis=1)
+        out[small] = trap
+    return out
+
+
+def zeldovich_power(power, k=None, z=0.0, cosmology=None, n_q=12288,
+                    q_max=700.0, n_mu=96, n_psi=4096):
+    """EXACT Zel'dovich (1LPT-resummed) power spectrum.
+
+    The density of lattice points displaced by the linear field is a
+    pure function of the displacement correlators (Taylor & Hamilton
+    1996; no perturbative truncation):
+
+        P_ZA(k) = Int d^3q e^{-i k.q} [ e^{-(1/2) k_i k_j C_ij(q)}
+                                        - e^{-k^2 sigma_v^2} ],
+        C_ij = X delta_ij + Y qhat_i qhat_j,
+        X = 2 (sigma_v^2 - psi_perp),  Y = 2 (psi_perp - psi_par),
+
+    with psi_par/psi_perp the displacement autocorrelations already
+    used by the streaming model (models/streaming.py:
+    velocity_correlations at f = 1).  Writing ``(1/2) C_ij =
+    sigma_v^2 delta_ij - Psi_ij`` and pulling one order out
+    analytically,
+
+        P_ZA(k) = e^{-k^2 sigma_v^2} P_lin(k)
+                  + Int d^3q e^{-i k.q} [ e^{-(1/2) k k C}
+                    - e^{-k^2 sigma_v^2} (1 + k_i k_j Psi_ij) ],
+
+    the remainder integrand decays like Psi^2 (compact support — the
+    long-range linear tail whose oscillatory transform defeats direct
+    quadrature is carried exactly by the first term).  The angular
+    integral of the exponential is batched Filon quadrature in mu
+    (exact for arbitrary k q — no Bessel-series truncation); the
+    subtraction's mu moments are closed form (j0 and the mu^2
+    moment); the radial integral is trapezoid on a linear q grid
+    resolving the k q oscillation.  This is the theory curve for
+    :func:`zeldovich_positions` mocks: the full nonlinear BAO damping
+    and small-scale suppression of the displaced lattice, reducing to
+    P_lin as k -> 0.  With ``z``/``cosmology`` the input table is
+    growth-scaled by D(z)^2 first.  Host float64; returns
+    ``(k, p_za)``.
+    """
+    from randomfield_tpu.models.cosmology import create_cosmology
+    from randomfield_tpu.models.streaming import velocity_correlations
+    from randomfield_tpu.ops.power import validate_power
+
+    k_t, p_t = validate_power(power)
+    z = float(z)
+    if z != 0.0:
+        cosmo = create_cosmology(cosmology)
+        d = float(cosmo.growth_function(z))
+        p_t = p_t * d * d
+    if k is None:
+        k = np.geomspace(max(1e-3, k_t[0]), min(2.0, k_t[-1]), 64)
+    k = np.atleast_1d(np.asarray(k, np.float64))
+    if np.any(k <= 0):
+        raise ValueError("k must be positive")
+
+    from randomfield_tpu.ops.fftlog import resample_loglog
+
+    q = np.linspace(0.0, float(q_max), int(n_q))
+    q[0] = 0.5 * q[1]
+    psi_par, psi_perp, sv2 = velocity_correlations(
+        (k_t, p_t), q, f=1.0, n=int(n_psi))
+    x_corr = 2.0 * (sv2 - psi_perp)       # X(q)
+    y_corr = 2.0 * (psi_perp - psi_par)   # Y(q)
+    alpha = psi_perp                      # k k Psi = k^2 (alpha + beta mu^2)
+    beta = psi_par - psi_perp
+    mu = np.linspace(0.0, 1.0, int(n_mu))
+    mu2 = mu * mu
+    p_lin = resample_loglog(np.asarray(k_t, np.float64),
+                            np.asarray(p_t, np.float64), k)
+
+    out = np.empty_like(k)
+    dq = np.gradient(q)
+    for i, kk in enumerate(k):
+        kq = kk * q
+        damp = np.exp(-kk * kk * sv2)
+        g = np.exp(-0.5 * kk * kk
+                   * (x_corr[:, None] + y_corr[:, None] * mu2[None, :]))
+        ang = _filon_cos_batch(mu, g, kq)          # (n_q,)
+        # closed-form mu moments of the subtraction:
+        # Int_0^1 cos(x mu) dmu = j0(x);  Int_0^1 mu^2 cos(x mu) dmu
+        small = kq < 1e-3
+        xs = np.where(small, 1.0, kq)
+        j0 = np.where(small, 1.0 - kq * kq / 6.0, np.sin(xs) / xs)
+        m2 = np.where(
+            small, 1.0 / 3.0 - kq * kq / 10.0,
+            ((xs * xs - 2.0) * np.sin(xs) + 2.0 * xs * np.cos(xs))
+            / xs**3)
+        sub = damp * ((1.0 + kk * kk * alpha) * j0 + kk * kk * beta * m2)
+        out[i] = (damp * p_lin[i]
+                  + 4.0 * np.pi * np.sum(q * q * (ang - sub) * dq))
+    return k, out
