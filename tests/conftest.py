@@ -8,6 +8,7 @@ register the TPU plugin, so env vars set here are too late — we must go
 through jax.config.update before any backend is initialized.
 """
 
+import faulthandler
 import os
 import sys
 
@@ -19,3 +20,21 @@ if _PLATFORM == "cpu":
     jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Hang watchdog: a full-suite run has been observed to deadlock in a
+# futex wait (only while the sandbox's TPU tunnel was wedged; never
+# reproduced with the tunnel healthy or down cleanly).  Rather than let
+# any such hang eat the whole CI/driver budget silently, arm a per-test
+# deadline that dumps every thread's stack and hard-exits.  900 s is ~6x
+# the slowest legitimate test (the 2-process Gloo multihost run).
+_TEST_DEADLINE_S = float(os.environ.get("RF_TEST_DEADLINE", 900))
+
+
+def pytest_runtest_setup(item):
+    if _TEST_DEADLINE_S > 0:
+        faulthandler.dump_traceback_later(_TEST_DEADLINE_S, exit=True)
+
+
+def pytest_runtest_teardown(item, nextitem):
+    if _TEST_DEADLINE_S > 0:
+        faulthandler.cancel_dump_traceback_later()
