@@ -1,0 +1,99 @@
+"""Super-sample covariance: power-spectrum response to a background mode.
+
+A survey footprint (or any windowed sub-volume) samples density modes
+longer than itself only through their effect on the mean density inside
+the window.  A background overdensity delta_b modulates the measured
+small-scale power through the tree-level response (Takada & Hu 2013,
+arXiv:1302.6994, eq. 32; the separate-universe decomposition of growth,
+dilation, and mean-density terms):
+
+    d ln P(k) / d delta_b = 68/21 - (1/3) d ln [k^3 P(k)] / d ln k,
+
+which adds a rank-one "super-sample" block to the Gaussian covariance
+of binned P(k) estimates:
+
+    C^SSC_ij = sigma_b^2 R(k_i) R(k_j),      R(k) = dP(k)/d delta_b,
+
+with sigma_b^2 the variance of the linear density field averaged over
+the footprint window.  For a periodic simulation box delta_b is frozen
+to zero, so SSC vanishes for full-box estimates — it enters exactly
+when a mask/window selects part of the volume, the same regime as
+validate/fkp.py and the masked pseudo-spectra in models/lensing.py.
+
+The 2015 reference package is linear-theory only with no covariance
+machinery (SURVEY.md section 0) — capability expansion.  Complements
+the EXACT Gaussian block (validate/ensemble.py:predicted_power_covariance)
+which this matrix simply adds to.  Host-side float64 numpy (1-D table
+calculus; not MXU work).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from randomfield_tpu.ops.power import sigma_r, validate_power
+
+__all__ = [
+    "power_response",
+    "sigma_b_tophat",
+    "ssc_covariance",
+]
+
+
+def power_response(power, k=None):
+    """Tree-level SSC response R(k) = dP(k)/d delta_b.
+
+    ``power``: anything :func:`~randomfield_tpu.ops.power.validate_power`
+    accepts.  ``k``: evaluation wavenumbers (default: the table's own
+    knots).  Returns host float64 ``(k, R)``.
+
+    The logarithmic slope d ln(k^3 P)/d ln k is evaluated by central
+    differences on the table's log-log samples, which is EXACT for any
+    pure power law P = A k^n (log P is linear in log k), giving
+    R = (68/21 - (3 + n)/3) P — the gate in tests/test_ssc.py.
+    """
+    table = validate_power(power)
+    lk = np.log(np.asarray(table.k, np.float64))
+    ptab = np.asarray(table.Pk, np.float64)
+    if np.any(ptab <= 0):
+        raise ValueError("power_response needs strictly positive P(k) "
+                         "(log-derivative of the table)")
+    lp = np.log(ptab)
+    # d ln(k^3 P)/d ln k = 3 + d ln P/d ln k
+    slope_tab = 3.0 + np.gradient(lp, lk)
+    if k is None:
+        kk = np.asarray(table.k, np.float64)
+        p = np.asarray(table.Pk, np.float64)
+        slope = slope_tab
+    else:
+        kk = np.atleast_1d(np.asarray(k, np.float64))
+        p = np.exp(np.interp(np.log(kk), lk, lp))
+        slope = np.interp(np.log(kk), lk, slope_tab)
+    resp = (68.0 / 21.0 - slope / 3.0) * p
+    return kk, resp
+
+
+def sigma_b_tophat(power, r):
+    """RMS background-mode amplitude sigma_b for a spherical top-hat
+    footprint of comoving radius ``r`` — identically sigma(R) of the
+    linear spectrum (ops/power.py:sigma_r), exposed under the SSC name
+    so the covariance call site reads like the literature."""
+    return float(sigma_r(validate_power(power), float(r)))
+
+
+def ssc_covariance(power, k, sigma_b):
+    """Rank-one SSC covariance block C_ij = sigma_b^2 R(k_i) R(k_j).
+
+    ``k``: bin-center wavenumbers of the P(k) estimate (e.g. the
+    ``k_mean`` returned by validate/stats.py:calculate_power);
+    ``sigma_b``: background-mode RMS over the footprint window
+    (:func:`sigma_b_tophat` for spherical footprints, or the user's own
+    window integral).  NaN bin centers (empty bins) propagate to NaN
+    rows/columns, matching predicted_power_covariance.  Add the result
+    to the Gaussian block for the total covariance.
+    """
+    k = np.asarray(k, np.float64)
+    resp = np.full(k.shape, np.nan)
+    good = np.isfinite(k)
+    _, resp[good] = power_response(power, k[good])
+    return float(sigma_b) ** 2 * np.outer(resp, resp)
