@@ -35,6 +35,7 @@ from randomfield_tpu.ops.power import sigma_r, validate_power
 
 __all__ = [
     "power_response",
+    "sigma_b_from_mask",
     "sigma_b_tophat",
     "ssc_covariance",
 ]
@@ -79,6 +80,54 @@ def sigma_b_tophat(power, r):
     linear spectrum (ops/power.py:sigma_r), exposed under the SSC name
     so the covariance call site reads like the literature."""
     return float(sigma_r(validate_power(power), float(r)))
+
+
+def sigma_b_from_mask(mask, spacing, power, interpolation="log10k"):
+    """EXACT lattice sigma_b for an arbitrary footprint weight mask.
+
+    ``mask``: real 3-D weights m(x) on this package's grid (1 inside
+    the footprint, 0 outside; arbitrary apodization allowed);
+    ``spacing``: grid spacing.  The window-averaged density is
+    delta_b = sum m delta / sum m, and with this package's conventions
+    (delta(x) = sum_k c(k) e^{ikx}, <|c(k)|^2> = P(|k|)/V — the same
+    normalization pinned by validate/oracle.py:oracle_sigmas) its
+    variance over realizations is the exact mode sum
+
+        sigma_b^2 = sum_{k != 0} |M(k)|^2 / M(0)^2 * P(|k|) / V,
+
+    with M(k) the unnormalized DFT of the mask.  A unit mask has
+    M(k != 0) = 0 identically — sigma_b = 0 for full periodic boxes,
+    the statement that SSC vanishes without a window.  P is
+    interpolated in log10(k) like the render path.  Host float64,
+    O(N^3) memory — validation-scale.
+    """
+    m = np.asarray(mask, np.float64)
+    if m.ndim != 3:
+        raise ValueError("mask must be a 3-D weight array")
+    if not np.any(m):
+        raise ValueError("mask is identically zero")
+    table = validate_power(power)
+    spacing = float(spacing)
+    nx, ny, nz = m.shape
+    volume = nx * ny * nz * spacing**3
+    mk2 = np.abs(np.fft.fftn(m)) ** 2
+    kx = 2 * np.pi * np.fft.fftfreq(nx, d=spacing)
+    ky = 2 * np.pi * np.fft.fftfreq(ny, d=spacing)
+    kz = 2 * np.pi * np.fft.fftfreq(nz, d=spacing)
+    kmag = np.sqrt(kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+                   + kz[None, None, :] ** 2)
+    ktab = np.asarray(table.k, np.float64)
+    ptab = np.asarray(table.Pk, np.float64)
+    lk = np.log10(np.where(kmag > 0, kmag, ktab[0]))
+    if interpolation == "log10k":
+        pk = np.interp(lk, np.log10(ktab), ptab)
+    elif interpolation == "loglog":
+        pk = 10.0 ** np.interp(lk, np.log10(ktab), np.log10(ptab))
+    else:
+        raise ValueError(interpolation)
+    pk[kmag == 0] = 0.0
+    var = float(np.sum(mk2 * pk)) / (float(m.sum()) ** 2 * volume)
+    return float(np.sqrt(var))
 
 
 def ssc_covariance(power, k, sigma_b):

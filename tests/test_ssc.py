@@ -88,3 +88,40 @@ def test_ssc_adds_to_gaussian_covariance_shapes():
     d = np.diag(total) - np.diag(gauss)
     good = np.isfinite(d)
     assert good.any() and (d[good] >= 0).all()
+
+
+def test_sigma_b_from_mask_unit_mask_null():
+    table = load_default_power()
+    m = np.ones((8, 8, 8))
+    assert ssc.sigma_b_from_mask(m, 16.0, table) == 0.0
+
+
+def test_sigma_b_from_mask_rejects_bad_masks():
+    import pytest
+
+    table = load_default_power()
+    with pytest.raises(ValueError):
+        ssc.sigma_b_from_mask(np.ones((4, 4)), 16.0, table)
+    with pytest.raises(ValueError):
+        ssc.sigma_b_from_mask(np.zeros((4, 4, 4)), 16.0, table)
+
+
+def test_sigma_b_from_mask_matches_mock_ensemble():
+    """The exact mode sum predicts the across-seed variance of the
+    window-averaged density of float64 oracle renders."""
+    from randomfield_tpu.validate import oracle
+
+    table = load_default_power()
+    shape, spacing = (16, 16, 16), 16.0
+    m = np.zeros(shape)
+    m[:8, :, :] = 1.0  # half-box slab footprint
+    pred = ssc.sigma_b_from_mask(m, spacing, table)
+    nseeds = 600
+    vals = np.empty(nseeds)
+    msum = m.sum()
+    for s in range(nseeds):
+        f = oracle.oracle_render(s, shape, spacing, (table.k, table.Pk))
+        vals[s] = (m * f).sum() / msum
+    got = vals.std()
+    # relative sampling error of a std over N Gaussians ~ 1/sqrt(2N) ~ 2.9%
+    np.testing.assert_allclose(got, pred, rtol=0.12)
