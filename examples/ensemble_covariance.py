@@ -52,6 +52,12 @@ table = load_default_power()
 mask = np.zeros(fields.shape[1:])
 mask[:32, :32, :] = 1.0  # a quarter-box survey footprint
 sigma_b = ssc.sigma_b_from_mask(mask, gen.grid_spacing, table)
+# NOTE: the Gaussian block below is the FULL-box estimator's (all modes,
+# no window convolution); a genuinely windowed P(k) estimate would have
+# a different Gaussian block too (fewer modes — roughly the footprint
+# volume fraction — plus window mode-coupling).  The printed diagonal
+# boost is therefore illustrative of the SSC term's size, not a
+# self-consistent windowed-estimator covariance (ADVICE r3).
 gauss = predicted_power_covariance(table, fields.shape[1:],
                                    gen.grid_spacing, nbins=12)
 total = gauss + ssc.ssc_covariance(table, k, sigma_b)

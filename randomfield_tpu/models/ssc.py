@@ -68,6 +68,16 @@ def power_response(power, k=None):
         slope = slope_tab
     else:
         kk = np.atleast_1d(np.asarray(k, np.float64))
+        # np.interp extrapolates flat: outside the table it would return
+        # the edge P and slope silently — wrong response values.  The
+        # covariance path (predicted_power_covariance) guards its k range
+        # the same way (ADVICE r3).
+        if np.any(kk < table.k[0]) or np.any(kk > table.k[-1]):
+            raise ValueError(
+                f"power_response: requested k in "
+                f"[{kk.min():.4g}, {kk.max():.4g}] outside the table's "
+                f"coverage [{table.k[0]:.4g}, {table.k[-1]:.4g}] h/Mpc"
+            )
         p = np.exp(np.interp(np.log(kk), lk, lp))
         slope = np.interp(np.log(kk), lk, slope_tab)
     resp = (68.0 / 21.0 - slope / 3.0) * p

@@ -30,11 +30,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _TEST_DEADLINE_S = float(os.environ.get("RF_TEST_DEADLINE", 900))
 
 
-def pytest_runtest_setup(item):
+import pytest
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_protocol(item, nextitem):
+    # wrap the WHOLE protocol (setup + call + teardown, including fixture
+    # finalization — session-scoped finalizers run inside the last item's
+    # teardown) so a hang anywhere inside it trips the deadline; plain
+    # setup/teardown hooks run before the built-in runner finalizes
+    # fixtures and would leave teardown hangs uncovered (ADVICE r3)
     if _TEST_DEADLINE_S > 0:
         faulthandler.dump_traceback_later(_TEST_DEADLINE_S, exit=True)
-
-
-def pytest_runtest_teardown(item, nextitem):
+    yield
     if _TEST_DEADLINE_S > 0:
         faulthandler.cancel_dump_traceback_later()
