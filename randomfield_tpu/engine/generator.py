@@ -62,8 +62,7 @@ def _render_impl(key, sigmas, weights, smoothing_length, shape, spacing,
         delta = _transform.irfftn(c, shape, norm="forward",
                                   assume_hermitian=True)
         return delta * weights[None, None, :]
-    nx, ny, nz = shape
-    draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), dtype=sigmas.dtype)
+    draws = _sample.unit_draws(key, shape, sigmas.dtype)
     return _render_from_noise_impl(
         draws, sigmas, weights, smoothing_length, shape, spacing
     )
@@ -204,8 +203,7 @@ def _sample_spectrum_jit(key, sigmas, smoothing_length, shape, spacing,
     if nested:
         c = _sample.sample_spectrum_nested(key, sigmas, shape)
         return _power.filter_modes(c, shape, spacing, smoothing_length)
-    nx, ny, nz = shape
-    draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), dtype=sigmas.dtype)
+    draws = _sample.unit_draws(key, shape, sigmas.dtype)
     return _spectrum_from_noise_impl(draws, sigmas, smoothing_length, shape, spacing)
 
 
@@ -330,25 +328,11 @@ class Generator:
         power = resolve_power(power, self.cosmology)
         from randomfield_tpu.engine.staged import pick_pipeline
 
+        # fused, staged and mesh Threefry pipelines all draw the ONE
+        # canonical chunked stream (ops/sample.py:unit_draws), so
+        # pipeline='auto' never changes realization family across grid
+        # sizes (round-4 change; the round-3 warning here is obsolete)
         self.pipeline = pick_pipeline(self.scene.shape, pipeline)
-        if (pipeline == "auto" and self.pipeline == "staged"
-                and mesh is None and sampler != "nested"):
-            import warnings
-
-            # the staged pipeline draws its noise in (x, kz, y) order, so
-            # seed s is a DIFFERENT realization of the same ensemble than
-            # the fused pipeline's seed s — scaling a study past the auto
-            # threshold silently changes realization family unless the
-            # pipeline is pinned (engine/staged.py module docstring)
-            warnings.warn(
-                f"pipeline='auto' selected the staged pipeline for this "
-                f"{self.scene.nx}x{self.scene.ny}x{self.scene.nz} grid; "
-                "staged and fused pipelines draw distinct (individually "
-                "deterministic) realizations for the same seed. Pass "
-                "pipeline='staged' or 'fused' explicitly to pin the "
-                "realization family across grid sizes.",
-                stacklevel=3,
-            )
         if mesh is not None:
             if pipeline == "staged":
                 raise ValueError(
@@ -385,6 +369,16 @@ class Generator:
                     f"{self.scene.shape}"
                 )
             self.pipeline = "fused"
+        if sampler == "pallas":
+            # ONE Pallas family at every grid size: the hardware stream's
+            # tile geometry depends on (shape, layout), so letting 'auto'
+            # pick layout 'xyz' below the staged threshold and 'xzy' above
+            # it would change the realization family exactly like the
+            # round-3 Threefry auto trap.  Pallas scenes therefore always
+            # run the (x, kz, y) staged machinery (one fused program where
+            # shapes allow — engine/staged.py:render_v3); the ``pipeline``
+            # argument is ignored for this sampler.
+            self.pipeline = "staged"
         layout = "xzy" if self.pipeline == "staged" else "xyz"
         self.sampler = sampler
         self._nested = sampler == "nested"
@@ -753,16 +747,13 @@ class Generator:
                 "noise export matches the fused pipeline's draw order; "
                 "build the Generator with pipeline='fused'"
             )
-        nx, ny, nz = self.scene.shape
         if self._nested:
             from randomfield_tpu.ops.sample import nested_unit_draws
 
             return nested_unit_draws(
                 _as_key(seed), self.scene.shape, self._dtype
             )
-        return jax.random.normal(
-            _as_key(seed), (2, nx, ny, nz // 2 + 1), dtype=self._dtype
-        )
+        return _sample.unit_draws(_as_key(seed), self.scene.shape, self._dtype)
 
     def generate_from_noise(self, draws, smoothing_length=0.0,
                             apply_lightcone=True):

@@ -30,12 +30,11 @@ This is the single-chip analog of the reference's in-place pyfftw plan
 (randomfield/transform.py:Plan); XLA buffer donation is the TPU-native
 equivalent of FFTW's in-place transforms.
 
-Note: the staged pipeline draws its unit normals in (x, kz, y) order, so
-a staged render of seed s is a *different realization* of the same
-ensemble than a fused render of seed s (each is individually
-deterministic; both are validated against the float64 oracle fed the
-same draws).  In practice the pipelines never overlap: 'auto' uses fused
-at sizes where fused fits.
+The staged pipeline's chunked (x, kz, y) draw order IS the canonical
+Threefry stream (ops/sample.py:unit_draws): since round 4 the fused and
+mesh pipelines draw the same chunked stream and transpose, so one seed
+is one realization on every Threefry pipeline (equal to f32 rounding —
+sigma scaling and symmetrization apply in different orders).
 """
 
 from __future__ import annotations
@@ -76,10 +75,14 @@ def _stage_p1(shape, spacing, dtype_name):
     realization for a given seed (the staged stream is defined by this
     stage alone).
     """
+    from randomfield_tpu.ops.sample import canonical_chunks
+
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     dtype = jnp.dtype(dtype_name)
-    chunks = _pick_chunks(nx, 16)
+    # the ONE chunk definition shared with ops/sample.py:unit_draws —
+    # this stage defines the canonical Threefry realization family
+    chunks = canonical_chunks(nx)
     planes = _grid.self_conjugate_kz_planes(nz)
 
     @jax.jit

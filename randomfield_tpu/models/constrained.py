@@ -591,7 +591,10 @@ def make_sharded_posterior(mesh, shape, spacing, from_seed=False,
             k_s, lk_tab, val_tab, jnp.zeros((), dtype), shape, spacing,
             mesh, False, log_values, dtype,
         )
-        draws = jax.random.normal(k_n, (2, nx, ny, nz // 2 + 1), dtype)
+        # canonical chunked stream (ops/sample.py:unit_draws) — the same
+        # noise realization the single-device _posterior_jit draws via
+        # sample_spectrum, so mesh and single-device posteriors agree
+        draws = _sample.unit_draws(k_n, shape, dtype)
         draws = jax.lax.with_sharding_constraint(draws, draws_sharding)
         z = jax.lax.complex(draws[0], draws[1]) * jnp.asarray(
             0.7071067811865476, dtype

@@ -36,9 +36,63 @@ from randomfield_tpu.ops import transform as _transform
 
 __all__ = ["sample_unit_hermitian", "sample_spectrum",
            "sample_fixed_spectrum", "sample_unit_hermitian_nested",
-           "sample_spectrum_nested", "nested_unit_draws", "NESTED_MAX_DIM"]
+           "sample_spectrum_nested", "nested_unit_draws", "unit_draws",
+           "canonical_chunks", "NESTED_MAX_DIM"]
 
 _INV_SQRT2 = 0.7071067811865476
+
+# x-slab chunk target of the canonical Threefry stream (see unit_draws)
+CANONICAL_CHUNK_TARGET = 16
+
+
+def canonical_chunks(nx: int) -> int:
+    """Chunk count of the canonical stream: largest divisor of nx <= 16.
+
+    The ONE definition both the staged pipeline's chunked sampling stage
+    (engine/staged.py:_stage_p1) and :func:`unit_draws` share — the
+    realization family is pinned by it, so it must never diverge between
+    them.
+    """
+    for c in range(min(CANONICAL_CHUNK_TARGET, nx), 0, -1):
+        if nx % c == 0:
+            return c
+    return 1
+
+
+def unit_draws(key, shape, dtype=jnp.float32):
+    """The canonical Threefry unit-normal draws, fused (2, nx, ny, nzh).
+
+    One realization family for every Threefry pipeline (round-4 change;
+    the round-3 fused pipeline drew ``normal(key, (2, nx, ny, nzh))``
+    positionally, a DIFFERENT family from the staged pipeline's chunked
+    (x, kz, y) stream, so ``pipeline='auto'`` silently changed families
+    at the staged threshold).  The canonical stream is the staged one —
+    the only one computable at the HBM ceiling, where a single full-size
+    ``normal`` call cannot be materialized:
+
+        chunk i of nx/chunks x-planes draws
+        ``normal(fold_in(key, i), (2, cx, nzh, ny))``   (x, kz, y) order
+
+    and this helper transposes those draws into the fused engine's
+    (2, nx, ny, nzh) contract.  Mode (kx, ky, kz) receives the same
+    draw in every pipeline; fused/staged/mesh renders of one seed are
+    the same realization (to f32 rounding — sigma scaling and
+    symmetrization are applied in different orders).
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    chunks = canonical_chunks(nx)
+    cx = nx // chunks
+
+    def one(i):
+        d = jax.random.normal(
+            jax.random.fold_in(key, i), (2, cx, nzh, ny), dtype
+        )
+        return jnp.transpose(d, (0, 1, 3, 2))  # (2, cx, ny, nzh)
+
+    idx = jnp.arange(chunks, dtype=jnp.uint32)
+    d = jax.vmap(one)(idx)  # (chunks, 2, cx, ny, nzh)
+    return jnp.transpose(d, (1, 0, 2, 3, 4)).reshape(2, nx, ny, nzh)
 
 # Per-axis size bound of the nested sampler: signed lattice indices are
 # packed into 10-bit two's-complement fields of a 30-bit counter word,
@@ -52,11 +106,13 @@ def sample_unit_hermitian(key, shape, dtype=jnp.complex64):
     Each packed mode is (x + i y) / sqrt(2) with x, y ~ N(0, 1), giving
     <|z|^2> = 1; the self-conjugate kz planes are then symmetrized so the
     inverse c2r transform of the result is exactly real, with the
-    self-conjugate modes real-valued at full (unit) variance.
+    self-conjugate modes real-valued at full (unit) variance.  Draws come
+    from the canonical chunked stream (:func:`unit_draws`) shared with
+    the staged pipeline.
     """
     real_dtype = jnp.finfo(dtype).dtype
-    nx, ny, nz = shape
-    draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), dtype=real_dtype)
+    nz = shape[2]
+    draws = unit_draws(key, shape, real_dtype)
     z = jax.lax.complex(draws[0], draws[1]) * jnp.asarray(_INV_SQRT2, real_dtype)
     return _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
 

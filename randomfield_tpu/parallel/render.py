@@ -93,15 +93,20 @@ def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
     it costs no communication and matches the single-device fixed
     render draw-for-draw; ``flip`` negates the phases (the paired
     realization)."""
+    from randomfield_tpu.ops import sample as _sample
+
     nx, ny, nz = shape
     draws_sharding, spec_sharding, _ = _mesh_specs(mesh, batched)
+    # the canonical chunked Threefry stream (ops/sample.py:unit_draws):
+    # identical per-mode values to the single-device fused and staged
+    # pipelines, and — partitionable Threefry — identical under ANY
+    # sharding, so the sharded render still equals the unsharded one
     if batched:
-        n_batch = key.shape[0]
         draws = jax.vmap(
-            lambda k: jax.random.normal(k, (2, nx, ny, nz // 2 + 1), dtype)
+            lambda k: _sample.unit_draws(k, shape, dtype)
         )(key)
     else:
-        draws = jax.random.normal(key, (2, nx, ny, nz // 2 + 1), dtype)
+        draws = _sample.unit_draws(key, shape, dtype)
     draws = jax.lax.with_sharding_constraint(draws, draws_sharding)
     re = draws[..., 0, :, :, :] if batched else draws[0]
     im = draws[..., 1, :, :, :] if batched else draws[1]

@@ -278,9 +278,9 @@ def test_mesh_native_constrained_matches_single_device():
         # chunked matmuls), so the parity tolerance is looser than the
         # draw-exact render parity elsewhere
         d = np.asarray(gm.generate_constrained_field(9, cons))
-        np.testing.assert_allclose(d, ref, atol=4e-3 * ref.std(), rtol=2e-3)
+        np.testing.assert_allclose(d, ref, atol=6e-3 * ref.std(), rtol=2e-3)
         got = gm.measure_constraints(d, cons)
-        np.testing.assert_allclose(got, [2.0, -0.7], atol=2e-3)
+        np.testing.assert_allclose(got, [2.0, -0.7], atol=4e-3)
         m = np.asarray(gm.constrained_mean_field(cons))
         np.testing.assert_allclose(m, mean0, atol=1e-3 * np.abs(mean0).max())
 

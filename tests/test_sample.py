@@ -28,13 +28,16 @@ def test_determinism():
 def test_unit_variance_statistics():
     # average <|z|^2> over many seeds, per mode class
     shape = (6, 6, 6)
-    nseeds = 400
+    nseeds = 800
     keys = jax.vmap(jax.random.key)(jnp.arange(nseeds, dtype=jnp.uint32))
     zs = jax.vmap(lambda k: sample.sample_unit_hermitian(k, shape))(keys)
     zs = np.asarray(zs)
     mode_var = np.mean(np.abs(zs) ** 2, axis=0)
-    # every packed mode (interior and self-conjugate alike) has <|z|^2> = 1
-    se = 3.0 / np.sqrt(nseeds)  # |z|^2 has var ~1 (complex) to 2 (real modes)
+    # every packed mode (interior and self-conjugate alike) has <|z|^2> = 1;
+    # |z|^2 has variance 1 (complex modes) to 2 (self-conjugate real
+    # modes), so bound max deviation at 3.5 sigma of the WORST class —
+    # with 144 modes the expected max is ~3 sigma
+    se = 3.5 * np.sqrt(2.0 / nseeds)
     assert np.all(np.abs(mode_var - 1.0) < se), np.max(np.abs(mode_var - 1.0))
 
 
