@@ -521,6 +521,18 @@ class Generator:
         """(log10k, P) interpolation arrays for program inputs."""
         return self._table_host[0], self._table_host[1]
 
+    def _mesh_sigmas(self):
+        """The cached SHARDED sigma grid every mesh program reads.
+
+        Materialized once per scene (the same sigma_inline expression the
+        programs previously evaluated inline — identical values) because
+        this runtime's table-interpolation gathers cost ~7 s at 512^3
+        PER RENDER when inlined (round-4 measurement).  One half-spectrum
+        f32 shard per device is the price; at 2048^3 over 16 devices that
+        is ~1.1 GB/device — proportionate, unlike the round-2 replicated
+        placement this layer once had."""
+        return self.sigmas
+
     def predicted_variance(self, smoothing_length=0.0, apply_lightcone=False):
         """Exact expected variance of a rendered field.
 
@@ -612,7 +624,7 @@ class Generator:
             lk, val = self._table_args()
             out = fn(
                 self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-                lk, val, self._weights(apply_lightcone),
+                lk, val, self._mesh_sigmas(), self._weights(apply_lightcone),
                 self._smoothing(smoothing_length),
             )
         elif self.sampler == "pallas":
@@ -713,7 +725,7 @@ class Generator:
             lk, val = self._table_args()
             out = fn(
                 self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-                lk, val, self._weights(apply_lightcone),
+                lk, val, self._mesh_sigmas(), self._weights(apply_lightcone),
                 self._smoothing(smoothing_length),
             )
             return self._maybe_verbose(out, seed, t0)
@@ -818,7 +830,8 @@ class Generator:
             )
             lk, val = self._table_args()
             return fn(
-                first, lk, val, self._weights(apply_lightcone),
+                first, lk, val, self._mesh_sigmas(),
+                self._weights(apply_lightcone),
                 self._smoothing(smoothing_length),
             )
         return _render_fixed_batch(
@@ -891,7 +904,8 @@ class Generator:
             )
             lk, val = self._table_args()
             return fn(
-                first, lk, val, self._weights(apply_lightcone),
+                first, lk, val, self._mesh_sigmas(),
+                self._weights(apply_lightcone),
                 self._smoothing(smoothing_length),
             )
         return _render_batch(
@@ -1120,7 +1134,8 @@ class Generator:
             lk, val = self._table_args()
             counts, psum, ksum = fn(
                 self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-                lk, val, self._smoothing(smoothing_length),
+                lk, val, self._mesh_sigmas(),
+                self._smoothing(smoothing_length),
             )
             counts = replicated_to_host(counts).astype(np.float64)
             psum = replicated_to_host(psum).astype(np.float64)
@@ -1256,7 +1271,8 @@ class Generator:
                 pref_in = jnp.asarray(prefactor, self._dtype)
             return fn(
                 self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-                lk, val, pref_in, self._smoothing(smoothing_length),
+                lk, val, self._mesh_sigmas(), pref_in,
+                self._smoothing(smoothing_length),
             )
         sm = jnp.asarray(smoothing_length, self._dtype)
         shape, sp = self.scene.shape, self.scene.grid_spacing
@@ -1329,7 +1345,8 @@ class Generator:
                 psi2 = fn(
                     self._seed_u32(seed) if self._multiprocess
                     else _as_key(seed),
-                    lk, val, self._smoothing(smoothing_length),
+                    lk, val, self._mesh_sigmas(),
+                    self._smoothing(smoothing_length),
                 )
                 return psi + (
                     jnp.stack(psi2) if component is None else psi2[0]
@@ -1661,7 +1678,7 @@ class Generator:
             values = np.asarray(values, np.float32)
         return fn(
             self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-            lk, val, gram, pos, scales, values,
+            lk, val, self._mesh_sigmas(), gram, pos, scales, values,
             self._weights(apply_lightcone),
             self._smoothing(smoothing_length),
         )
@@ -1690,7 +1707,8 @@ class Generator:
                     pos = np.asarray(pos, np.float32)
                     scales = np.asarray(scales, np.float32)
                 cache[key] = fn(
-                    lk, val, pos, scales, self._smoothing(smoothing_length)
+                    lk, val, self._mesh_sigmas(), pos, scales,
+                    self._smoothing(smoothing_length),
                 )
             else:
                 cache[key] = _con.constraint_gram(
@@ -1769,7 +1787,7 @@ class Generator:
                 dtype_name=str(self._dtype),
             )
             lk, val = self._table_args()
-            return fn(data, lk, val, na, nb)
+            return fn(data, lk, val, self._mesh_sigmas(), na, nb)
         return _con.wiener_filter(
             data, self.state.sigmas, noise_power, self.scene.shape,
             self.scene.grid_spacing,
@@ -1799,7 +1817,7 @@ class Generator:
             lk, val = self._table_args()
             return fn(
                 self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-                data, lk, val, na, nb,
+                data, lk, val, self._mesh_sigmas(), na, nb,
             )
         return _con.posterior_render(
             _as_key(seed), data, self.state.sigmas, noise_power,
@@ -1822,7 +1840,9 @@ class Generator:
                 dtype_name=str(self._dtype),
             )
             lk, val = self._table_args()
-            return float(replicated_to_host(fn(lk, val, na, nb)))
+            return float(replicated_to_host(
+                fn(lk, val, self._mesh_sigmas(), na, nb)
+            ))
         return _con.predicted_posterior_mse(
             self.state.sigmas, noise_power, self.scene.shape,
             self.scene.grid_spacing,

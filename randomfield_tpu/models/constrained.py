@@ -386,10 +386,16 @@ def _kernel_m(m, pos, scales, axis_geom):
 
 
 def _sigma_eff2_global(shape, spacing, lk_tab, val_tab, log_values, dtype,
-                       sm):
-    sig = _power.sigma_inline(
-        shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
-    )
+                       sm, sigmas=None):
+    # sigmas: materialized sharded grid (Generator._mesh_sigmas) — the
+    # inline interpolation's gathers cost seconds per call on this
+    # runtime (parallel/render.py:_sampled_spectrum)
+    if sigmas is None:
+        sig = _power.sigma_inline(
+            shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
+        )
+    else:
+        sig = sigmas
     k2 = _grid.ksq(shape, spacing, dtype)
     se = sig * jnp.exp(-0.5 * k2 * sm * sm)
     return se * se
@@ -434,12 +440,14 @@ def make_sharded_constrained(mesh, shape, spacing, n_constraints,
     dtype = jnp.dtype(dtype_name)
     _, spec_sharding, out = _mesh_specs(mesh, batched=False)
 
-    def fn(key, lk_tab, val_tab, gram, pos, scales, values, weights, sm):
+    def fn(key, lk_tab, val_tab, sig_grid, gram, pos, scales, values,
+           weights, sm):
         if from_seed:
             key = jax.random.key(key)
         axis_geom = _axis_geometry(shape, spacing, dtype)
         se2 = _sigma_eff2_global(
-            shape, spacing, lk_tab, val_tab, log_values, dtype, sm
+            shape, spacing, lk_tab, val_tab, log_values, dtype, sm,
+            sigmas=sig_grid,
         )
         if mean_only:
             alpha = jnp.linalg.solve(gram, values)
@@ -449,7 +457,7 @@ def make_sharded_constrained(mesh, shape, spacing, n_constraints,
         else:
             c = _sampled_spectrum(
                 key, lk_tab, val_tab, sm, shape, spacing, mesh, False,
-                log_values, dtype,
+                log_values, dtype, sigmas=sig_grid,
             )
             gamma = _gamma_global(c, pos, scales, axis_geom, n_constraints)
             alpha = jnp.linalg.solve(gram, values - gamma)
@@ -469,11 +477,12 @@ def make_sharded_constraint_gram(mesh, shape, spacing, n_constraints,
     """Compile the mesh-native Gram matrix: M(M+1)/2 sharded reductions."""
     dtype = jnp.dtype(dtype_name)
 
-    def fn(lk_tab, val_tab, pos, scales, sm):
+    def fn(lk_tab, val_tab, sig_grid, pos, scales, sm):
         axis_geom = _axis_geometry(shape, spacing, dtype)
         mult = axis_geom[-1][None, None, :]
         w = mult * _sigma_eff2_global(
-            shape, spacing, lk_tab, val_tab, log_values, dtype, sm
+            shape, spacing, lk_tab, val_tab, log_values, dtype, sm,
+            sigmas=sig_grid,
         )
         rows = [[None] * n_constraints for _ in range(n_constraints)]
         for i in range(n_constraints):
@@ -547,9 +556,9 @@ def make_sharded_wiener(mesh, shape, spacing, noise_tabulated=False,
     dtype = jnp.dtype(dtype_name)
     _, spec_sharding, out = _mesh_specs(mesh, batched=False)
 
-    def fn(data, lk_tab, val_tab, noise_a, noise_b):
+    def fn(data, lk_tab, val_tab, sig_grid, noise_a, noise_b):
         c = _forward_mesh(data, shape, mesh, dtype)
-        sig = _power.sigma_inline(
+        sig = sig_grid if sig_grid is not None else _power.sigma_inline(
             shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
         )
         nvar = _noise_nvar_global(
@@ -583,13 +592,13 @@ def make_sharded_posterior(mesh, shape, spacing, from_seed=False,
     nx, ny, nz = shape
     draws_sharding, spec_sharding, out = _mesh_specs(mesh, batched=False)
 
-    def fn(key, data, lk_tab, val_tab, noise_a, noise_b):
+    def fn(key, data, lk_tab, val_tab, sig_grid, noise_a, noise_b):
         if from_seed:
             key = jax.random.key(key)
         k_s, k_n = jax.random.split(key)
         c_r = _sampled_spectrum(
             k_s, lk_tab, val_tab, jnp.zeros((), dtype), shape, spacing,
-            mesh, False, log_values, dtype,
+            mesh, False, log_values, dtype, sigmas=sig_grid,
         )
         # canonical chunked stream (ops/sample.py:unit_draws) — the same
         # noise realization the single-device _posterior_jit draws via
@@ -607,7 +616,7 @@ def make_sharded_posterior(mesh, shape, spacing, from_seed=False,
         )
         c_n = z * jnp.sqrt(nvar).astype(dtype)
         c_d = _forward_mesh(data, shape, mesh, dtype)
-        sig = _power.sigma_inline(
+        sig = sig_grid if sig_grid is not None else _power.sigma_inline(
             shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
         )
         w = _wiener_weight(sig, nvar).astype(c_d.dtype)
@@ -635,8 +644,8 @@ def make_sharded_posterior_mse(mesh, shape, spacing, noise_tabulated=False,
     if shape[2] % 2 == 0:
         mult[-1] = 1.0
 
-    def fn(lk_tab, val_tab, noise_a, noise_b):
-        sig = _power.sigma_inline(
+    def fn(lk_tab, val_tab, sig_grid, noise_a, noise_b):
+        sig = sig_grid if sig_grid is not None else _power.sigma_inline(
             shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
         )
         s2 = sig * sig

@@ -27,6 +27,8 @@ sub-transforms compose into exactly ``irfftn(c, norm='forward')``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -34,9 +36,49 @@ from jax.sharding import Mesh, PartitionSpec as P
 from randomfield_tpu.ops import transform as _transform
 from randomfield_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 
-__all__ = ["irfftn_slab", "rfftn_slab"]
+__all__ = ["irfftn_slab", "rfftn_slab", "can_pallas_slab"]
 
 _B = jax.lax.optimization_barrier
+
+
+def can_pallas_slab(shape) -> bool:
+    """Shapes whose slab-local transforms can run the Pallas CT kernels."""
+    from randomfield_tpu.ops.pallas_fft import can_pallas_fft
+
+    nx, ny, nz = shape
+    return (
+        can_pallas_fft(nx) and can_pallas_fft(ny)
+        and nz % 2 == 0 and can_pallas_fft(nz // 2)
+    )
+
+
+def _pallas_interpret() -> bool:
+    try:
+        return jax.devices()[0].platform == "cpu"
+    except Exception:
+        return True
+
+
+def use_pallas_local(shape) -> bool:
+    """Default ON for capable shapes on TPU; RF_MESH_PALLAS=0/1 overrides.
+
+    RF_MESH_PALLAS=1 forces the path on CPU too (Mosaic interpreter) —
+    how the parity tests drive it on the 8-virtual-device mesh.
+    CAUTION (CPU interpreter only): the interpreter executes kernels via
+    host callbacks, which DEADLOCK inside shard_map when the mesh has an
+    axis the in_specs never mention (e.g. an idle 'data' axis on an
+    unbatched call) — parity tests must size their meshes so every axis
+    is mentioned.  Compiled TPU kernels have no callback and no such
+    restriction.
+    """
+    env = os.environ.get("RF_MESH_PALLAS", "")
+    if env == "0":
+        return False
+    if not can_pallas_slab(shape):
+        return False
+    if env == "1":
+        return True
+    return not _pallas_interpret()
 
 
 def _ifft_axis(x, axis):
@@ -102,7 +144,8 @@ def _specs(mesh, batched, k_axis, x_axis):
     return P(*k), P(*x)
 
 
-def irfftn_slab(c, shape, mesh: Mesh, batched=False, assume_hermitian=False):
+def irfftn_slab(c, shape, mesh: Mesh, batched=False, assume_hermitian=False,
+                weights=None):
     """Distributed inverse c2r FFT (norm='forward', i.e. pure mode sum).
 
     ``c``: packed half-spectrum (..., nx, ny, nz//2+1), sharded along ky
@@ -110,25 +153,124 @@ def irfftn_slab(c, shape, mesh: Mesh, batched=False, assume_hermitian=False):
     'data').  Returns the real field (..., nx, ny, nz) sharded along x.
     ``assume_hermitian=True`` (render paths, symmetrized spectra) uses
     the faster half-pack c2r tail (see transform.irfft_minor).
+
+    ``weights``: optional (nz,) per-z-plane multipliers (lightcone
+    weighting) applied to the output — on the Pallas path they are fused
+    into the c2r megakernel's single output pass, so passing them here
+    instead of multiplying afterwards saves one full read+write of the
+    field at scale.
+
+    Local transforms: on TPU, Hermitian inputs of capable shapes
+    (:func:`can_pallas_slab`) run the Pallas CT kernel family
+    (ops/pallas_fft.py) — measured ~3x the effective bandwidth of the
+    native minor-axis FFT custom-call on this runtime — via the v5-style
+    schedule (digit-order kernels, one combined digit-fix transpose, the
+    fused half-pack c2r + weights megakernel).  RF_MESH_PALLAS=0 forces
+    the safe native path; =1 forces Pallas (Mosaic interpreter on CPU —
+    the parity-test configuration).
     """
     nx, ny, nz = shape
     n_space = mesh.shape[SPACE_AXIS]
     _check_divisible(shape, n_space)
+    if assume_hermitian and use_pallas_local(shape):
+        return _irfftn_slab_pallas(c, shape, mesh, batched, weights)
     in_spec, out_spec = _specs(mesh, batched, k_axis=1, x_axis=0)
     off = 1 if batched else 0
+    have_w = weights is not None
+    w = jnp.ones((1,), jnp.float32) if not have_w else weights
 
-    def local(cl):
+    def local(cl, wl):
         cl = _ifft_axis(cl, cl.ndim - 3)
         if n_space > 1:
             cl = jax.lax.all_to_all(
                 cl, SPACE_AXIS, split_axis=off, concat_axis=off + 1, tiled=True
             )
         cl = _ifft_axis(cl, cl.ndim - 2)
-        return _irfft_last(cl, nz, assume_hermitian)
+        out = _irfft_last(cl, nz, assume_hermitian)
+        if have_w:
+            out = out * wl[None, None, :].astype(out.dtype)
+        return out
 
     return jax.shard_map(
-        local, mesh=mesh, in_specs=in_spec, out_specs=out_spec, check_vma=False
-    )(c)
+        local, mesh=mesh, in_specs=(in_spec, P(None)), out_specs=out_spec,
+        check_vma=False,
+    )(c, w)
+
+
+def _irfftn_slab_pallas(c, shape, mesh: Mesh, batched, weights):
+    """Slab inverse on the Pallas CT kernels, v5-style schedule.
+
+    Per shard (engine/staged.py:_stages_v5 adapted to the slab layout;
+    one all-to-all between the two complex passes):
+
+        split      complex (.., nx, nyl, nzh) -> re/im f32 lattices
+        x-pass     transpose to minor + CT kernel (natural order out)
+        all2all    split x -> concat y (the slab collective, unchanged)
+        y-pass     transpose to minor + CT kernel, RAW digit order
+        close      ONE transpose fixing y digits + rotating kz minor
+        tail       fused half-pack c2r + z-weights megakernel
+
+    The kernels are exact drop-ins (~1e-6 relative vs the native FFT,
+    same class as ops/ctfft.py); parity with the native slab path is
+    asserted on the CPU mesh in tests/test_parallel.py.
+    """
+    from randomfield_tpu.ops import pallas_fft as pf
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    n_space = mesh.shape[SPACE_AXIS]
+    interp = _pallas_interpret()
+    in_spec, out_spec = _specs(mesh, batched, k_axis=1, x_axis=0)
+    off = 1 if batched else 0
+    ay = ny // 128
+    w = (jnp.ones((nz,), jnp.float32) if weights is None
+         else jnp.asarray(weights, jnp.float32))
+
+    def local(cl, wl):
+        lead = cl.shape[:off]
+        re = jnp.real(cl)
+        im = jnp.imag(cl)
+        # x-pass on the minor axis: (.., nx, nyl, nzh) -> (.., nyl, nzh, nx)
+        perm = tuple(range(off)) + (off + 1, off + 2, off)
+        tre = _B(jnp.transpose(re, perm))
+        tim = _B(jnp.transpose(im, perm))
+        # natural x order (reorder=True): the all-to-all splits natural
+        # contiguous x slabs
+        gre, gim = pf.ifft_minor_pallas_reim(tre, tim, interpret=interp)
+        if n_space > 1:
+            gre = jax.lax.all_to_all(
+                gre, SPACE_AXIS, split_axis=off + 2, concat_axis=off,
+                tiled=True,
+            )
+            gim = jax.lax.all_to_all(
+                gim, SPACE_AXIS, split_axis=off + 2, concat_axis=off,
+                tiled=True,
+            )
+        # now (.., ny, nzh, nxl); y-pass needs y minor
+        nxl = gre.shape[off + 2]
+        perm2 = tuple(range(off)) + (off + 1, off + 2, off)
+        tre = _B(jnp.transpose(gre, perm2))  # (.., nzh, nxl, ny)
+        tim = _B(jnp.transpose(gim, perm2))
+        gre, gim = pf.ifft_minor_pallas_reim(
+            tre, tim, reorder=False, interpret=interp
+        )
+
+        def close(g):
+            # y digit fix (c, d) -> (d, c) + kz-minor rotation in ONE
+            # transpose (engine/staged.py:_stages_v5 close)
+            g5 = g.reshape(*lead, nzh, nxl, ay, 128)
+            permc = tuple(range(off)) + (off + 1, off + 3, off + 2, off)
+            return _B(jnp.transpose(g5, permc).reshape(*lead, nxl, ny, nzh))
+
+        cr = close(gre).reshape(-1, ny, nzh)
+        ci = close(gim).reshape(-1, ny, nzh)
+        f = pf.irfft_tail_pallas(cr, ci, nz, wl, interpret=interp)
+        return f.reshape(*lead, nxl, ny, nz)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(in_spec, P(None)), out_specs=out_spec,
+        check_vma=False,
+    )(c, w)
 
 
 def rfftn_slab(x, shape, mesh: Mesh, batched=False):

@@ -112,7 +112,7 @@ def _kz_pad(nzh: int, py: int) -> int:
 
 
 def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False,
-                  input_layout="state1"):
+                  input_layout="state1", weights=None):
     """Distributed inverse c2r FFT over a pencil mesh (norm='forward').
 
     ``c``: packed half-spectrum (..., nx, ny, nzh).
@@ -130,8 +130,20 @@ def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False,
     (kz <-> x, the state 0 -> 1 transpose), the standard 3-transpose
     pencil schedule (AccFFT/P3DFFT).
 
+    ``weights``: optional (nz,) per-z-plane multipliers applied to the
+    output (fused into the Pallas c2r tail where that path runs).
+
+    Local transforms: Hermitian inputs of Pallas-capable shapes run the
+    CT kernel family on separate re/im lattices with the all-to-alls
+    riding the transposed intermediate layouts (one transpose per
+    stage instead of the native path's transpose pairs); same
+    RF_MESH_PALLAS switch and ~1e-6 exactness class as the slab path
+    (parallel/dfft.py:_irfftn_slab_pallas).
+
     Returns the real field sharded per :func:`pencil_field_sharding`.
     """
+    from randomfield_tpu.parallel.dfft import use_pallas_local
+
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     px, py = mesh.shape[SPX_AXIS], mesh.shape[SPY_AXIS]
@@ -142,8 +154,12 @@ def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False,
     state0 = input_layout == "state0"
     if input_layout not in ("state0", "state1"):
         raise ValueError(f"unknown input_layout {input_layout!r}")
+    if assume_hermitian and use_pallas_local(shape):
+        return _irfftn_pencil_pallas(
+            c, shape, mesh, batched, state0, weights
+        )
 
-    def local(cl):
+    def local(cl, wl):
         if state0:
             # state 0: (nx/py, ny/px, nzh) — pad kz locally, then
             # all-to-all kz <-> x over 'spy' into state 1
@@ -172,7 +188,10 @@ def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False,
         # state 3: (nx/px, ny/py, kzp) — kz fully local; drop the pad
         if pad:
             cl = cl[..., :nzh]
-        return _transform.irfft_minor(cl, nz, assume_hermitian)
+        out = _transform.irfft_minor(cl, nz, assume_hermitian)
+        if weights is not None:
+            out = out * wl[None, None, :].astype(out.dtype)
+        return out
 
     if state0:
         in_spec = (P(data, SPY_AXIS, SPX_AXIS, None) if batched
@@ -189,10 +208,114 @@ def irfftn_pencil(c, shape, mesh: Mesh, batched=False, assume_hermitian=False,
         widths = [(0, 0)] * c.ndim
         widths[-1] = (0, pad)
         c = jnp.pad(c, widths)
+    w = (jnp.ones((1,), jnp.float32) if weights is None
+         else jnp.asarray(weights))
     return jax.shard_map(
-        local, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
-        check_vma=False,
-    )(c)
+        local, mesh=mesh, in_specs=(in_spec, P(None)),
+        out_specs=out_spec, check_vma=False,
+    )(c, w)
+
+
+def _irfftn_pencil_pallas(c, shape, mesh: Mesh, batched, state0, weights):
+    """Pencil inverse on the Pallas CT kernels, re/im-native.
+
+    The native schedule's "transpose to minor + FFT + transpose back"
+    pairs collapse to ONE transpose per stage: each all-to-all rides the
+    transposed intermediate layout instead of the canonical one (the
+    collectives move the same bytes — only the axis numbering changes),
+    and the c2r tail is the fused half-pack + z-weights megakernel:
+
+        state 0  (nx/py, ny/px, nzh)   pad kz, A2A(spy) kz <-> x
+        state 1  (nx, ny/px, kzp/py)   T -> (ny/px, kzp/py, nx), K(x)
+                 A2A(spx) x <-> ky  -> (ny, kzp/py, nx/px)
+        state 2  T -> (kzp/py, nx/px, ny), K(y)
+                 A2A(spy) y <-> kz  -> (kzp, nx/px, ny/py)
+        state 3  T -> (nx/px, ny/py, kzp), slice pad, fused c2r tail
+
+    Kernel exactness and switches as in parallel/dfft.py.
+    """
+    from randomfield_tpu.ops import pallas_fft as pf
+    from randomfield_tpu.parallel.dfft import _pallas_interpret
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    px, py = mesh.shape[SPX_AXIS], mesh.shape[SPY_AXIS]
+    pad = _kz_pad(nzh, py)
+    off = 1 if batched else 0
+    data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
+    interp = _pallas_interpret()
+    _B = jax.lax.optimization_barrier
+
+    def local(cl, wl):
+        lead = cl.shape[:off]
+        re = jnp.real(cl)
+        im = jnp.imag(cl)
+        if state0:
+            if pad:
+                widths = [(0, 0)] * re.ndim
+                widths[-1] = (0, pad)
+                re = jnp.pad(re, widths)
+                im = jnp.pad(im, widths)
+            if py > 1:
+                re = jax.lax.all_to_all(
+                    re, SPY_AXIS, split_axis=off + 2, concat_axis=off,
+                    tiled=True,
+                )
+                im = jax.lax.all_to_all(
+                    im, SPY_AXIS, split_axis=off + 2, concat_axis=off,
+                    tiled=True,
+                )
+        # state 1: (.., nx, nyp, kzpp) -> x on the minor
+        perm = tuple(range(off)) + (off + 1, off + 2, off)
+        re = _B(jnp.transpose(re, perm))
+        im = _B(jnp.transpose(im, perm))
+        re, im = pf.ifft_minor_pallas_reim(re, im, interpret=interp)
+        if px > 1:
+            re = jax.lax.all_to_all(
+                re, SPX_AXIS, split_axis=off + 2, concat_axis=off, tiled=True
+            )
+            im = jax.lax.all_to_all(
+                im, SPX_AXIS, split_axis=off + 2, concat_axis=off, tiled=True
+            )
+        # state 2: (.., ny, kzpp, nxp) -> y on the minor
+        re = _B(jnp.transpose(re, perm))
+        im = _B(jnp.transpose(im, perm))
+        re, im = pf.ifft_minor_pallas_reim(re, im, interpret=interp)
+        if py > 1:
+            re = jax.lax.all_to_all(
+                re, SPY_AXIS, split_axis=off + 2, concat_axis=off, tiled=True
+            )
+            im = jax.lax.all_to_all(
+                im, SPY_AXIS, split_axis=off + 2, concat_axis=off, tiled=True
+            )
+        # state 3: (.., kzp, nxp, nyp) -> kz minor, drop pad, fused tail
+        re = _B(jnp.transpose(re, perm))[..., :nzh]
+        im = _B(jnp.transpose(im, perm))[..., :nzh]
+        nxp_l, nyp_l = re.shape[off], re.shape[off + 1]
+        f = pf.irfft_tail_pallas(
+            re.reshape(-1, nyp_l, nzh), im.reshape(-1, nyp_l, nzh),
+            nz, wl, interpret=interp,
+        )
+        return f.reshape(*lead, nxp_l, nyp_l, nz)
+
+    if state0:
+        in_spec = (P(data, SPY_AXIS, SPX_AXIS, None) if batched
+                   else P(SPY_AXIS, SPX_AXIS, None))
+    else:
+        in_spec = (P(data, None, SPX_AXIS, SPY_AXIS) if batched
+                   else P(None, SPX_AXIS, SPY_AXIS))
+        if pad:
+            widths = [(0, 0)] * c.ndim
+            widths[-1] = (0, pad)
+            c = jnp.pad(c, widths)
+    out_spec = (P(data, SPX_AXIS, SPY_AXIS, None) if batched
+                else P(SPX_AXIS, SPY_AXIS, None))
+    w = (jnp.ones((nz,), jnp.float32) if weights is None
+         else jnp.asarray(weights, jnp.float32))
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(in_spec, P(None)),
+        out_specs=out_spec, check_vma=False,
+    )(c, w)
 
 
 def rfftn_pencil(x, shape, mesh: Mesh, batched=False, keep_pad=False):

@@ -84,8 +84,16 @@ def _mesh_specs(mesh, batched):
 
 def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
                       mesh, batched, log_values, dtype, fixed=False,
-                      flip=False):
-    """Sample + symmetrize + inline-sigma scale + filter, sharded.
+                      flip=False, sigmas=None):
+    """Sample + symmetrize + sigma scale + filter, sharded.
+
+    ``sigmas``: optional MATERIALIZED (sharded) sigma grid.  On this
+    runtime the inline table interpolation's gathers are pathologically
+    slow (~7 s at 512^3 — measured round 4), so per-render programs pass
+    the scene's cached sharded grid (Generator._mesh_sigmas) and sigma
+    becomes a pure read; ``None`` falls back to inline evaluation
+    (identical values — the grid is materialized from the same
+    expression).
 
     ``fixed=True`` pins every mode's magnitude to sigma(k) exactly
     (Angulo-Pontzen variance suppression, ops/sample.py:
@@ -117,9 +125,12 @@ def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
         z = jnp.where(mag > 0, z / jnp.where(mag > 0, mag, 1.0), 1.0)
         if flip:
             z = -z
-    sig = _power.sigma_inline(
-        shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
-    )
+    if sigmas is None:
+        sig = _power.sigma_inline(
+            shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
+        )
+    else:
+        sig = sigmas
     sig = jax.lax.with_sharding_constraint(
         sig, spec_sharding if not batched
         else NamedSharding(mesh, P(*spec_sharding.spec[1:]))
@@ -129,13 +140,21 @@ def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
     return jax.lax.with_sharding_constraint(c, spec_sharding)
 
 
-def _inverse(c, shape, mesh, batched):
+def _inverse(c, shape, mesh, batched, weights=None):
+    """Distributed Hermitian inverse; optional fused (nz,) z-weights.
+
+    On the slab Pallas path the weights ride the c2r megakernel's output
+    pass (no separate field-sized multiply); other paths multiply after
+    the transform — callers pass weights here instead of scaling the
+    result themselves so every path pays the minimum."""
     if _pencil.is_pencil_mesh(mesh):
-        return _pencil.irfftn_pencil(
+        out = _pencil.irfftn_pencil(
             c, shape, mesh, batched=batched, assume_hermitian=True,
-            input_layout="state0",
+            input_layout="state0", weights=weights,
         )
-    return dfft.irfftn_slab(c, shape, mesh, batched=batched, assume_hermitian=True)
+        return out
+    return dfft.irfftn_slab(c, shape, mesh, batched=batched,
+                            assume_hermitian=True, weights=weights)
 
 
 @functools.lru_cache(maxsize=32)
@@ -159,15 +178,14 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
     dtype = jnp.dtype(dtype_name)
     _, _, out = _mesh_specs(mesh, batched=False)
 
-    def fn(key, lk_tab, val_tab, weights, smoothing_length):
+    def fn(key, lk_tab, val_tab, sig, weights, smoothing_length):
         if from_seed:
             key = jax.random.key(key)
         c = _sampled_spectrum(
             key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            False, log_values, dtype, fixed, flip,
+            False, log_values, dtype, fixed, flip, sigmas=sig,
         )
-        delta = _inverse(c, shape, mesh, False)
-        return delta * weights[None, None, :]
+        return _inverse(c, shape, mesh, False, weights=weights)
 
     return jax.jit(fn, out_shardings=out)
 
@@ -180,15 +198,14 @@ def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
     dtype = jnp.dtype(dtype_name)
     _, _, out = _mesh_specs(mesh, batched=True)
 
-    def fn(keys, lk_tab, val_tab, weights, smoothing_length):
+    def fn(keys, lk_tab, val_tab, sig, weights, smoothing_length):
         if from_seed:
             keys = jax.vmap(jax.random.key)(keys)
         c = _sampled_spectrum(
             keys, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            True, log_values, dtype, fixed, flip,
+            True, log_values, dtype, fixed, flip, sigmas=sig,
         )
-        delta = _inverse(c, shape, mesh, True)
-        return delta * weights[None, None, :]
+        return _inverse(c, shape, mesh, True, weights=weights)
 
     return jax.jit(fn, out_shardings=out)
 
@@ -211,12 +228,12 @@ def make_sharded_derived(mesh: Mesh, shape, spacing, kind, component,
     dtype = jnp.dtype(dtype_name)
     _, spec_sharding, out = _mesh_specs(mesh, batched=False)
 
-    def fn(key, lk_tab, val_tab, prefactor, smoothing_length):
+    def fn(key, lk_tab, val_tab, sig, prefactor, smoothing_length):
         if from_seed:
             key = jax.random.key(key)
         c = _sampled_spectrum(
             key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            False, log_values, dtype,
+            False, log_values, dtype, sigmas=sig,
         )
         c = _derived.apply_kernel_inline(
             c, shape, spacing, "xyz", kind, component, prefactor
@@ -286,12 +303,12 @@ def make_sharded_spectrum_bins(mesh: Mesh, shape, spacing, nbins,
         )
         return jax.lax.psum(jnp.stack([counts, psum_, ksum]), psum_axes)
 
-    def fn(key, lk_tab, val_tab, smoothing_length):
+    def fn(key, lk_tab, val_tab, sig, smoothing_length):
         if from_seed:
             key = jax.random.key(key)
         c = _sampled_spectrum(
             key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            False, log_values, dtype,
+            False, log_values, dtype, sigmas=sig,
         )
         bins = jax.shard_map(
             _local_bins, mesh=mesh, in_specs=in_spec, out_specs=P(),
@@ -327,12 +344,12 @@ def make_sharded_displacement_2lpt(mesh: Mesh, shape, spacing,
     _, spec_sharding, out = _mesh_specs(mesh, batched=False)
     comps = (0, 1, 2) if component is None else (int(component),)
 
-    def fn(key, lk_tab, val_tab, smoothing_length):
+    def fn(key, lk_tab, val_tab, sig, smoothing_length):
         if from_seed:
             key = jax.random.key(key)
         c = _sampled_spectrum(
             key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            False, log_values, dtype,
+            False, log_values, dtype, sigmas=sig,
         )
         k2 = _grid.ksq(shape, spacing, dtype)
         inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)

@@ -170,3 +170,51 @@ def test_sharded_power_estimator_matches_single_device():
     mask = n0 > 0
     np.testing.assert_allclose(k1[mask], k0[mask], rtol=1e-5)
     np.testing.assert_allclose(p1[mask], p0[mask], rtol=2e-4)
+
+
+@pytest.mark.parametrize("space,batched", [(1, False), (4, False), (2, True)])
+def test_irfftn_slab_pallas_matches_native(space, batched, monkeypatch):
+    """The Pallas-kernel slab path (RF_MESH_PALLAS=1, Mosaic interpreter
+    on CPU) equals the native slab path and numpy, weights fused."""
+    monkeypatch.setenv("RF_MESH_PALLAS", "1")
+    mesh = _mesh(1, space)
+    shape = (128, 128, 256)
+    assert dfft.can_pallas_slab(shape)
+    rng = np.random.RandomState(3)
+    x = rng.normal(size=shape).astype(np.float32)
+    c_np = np.fft.rfftn(x).astype(np.complex64)
+    wz = rng.uniform(0.5, 1.5, size=(256,)).astype(np.float32)
+    ref = np.fft.irfftn(c_np, axes=(0, 1, 2), norm="forward")
+
+    if batched:
+        c = jnp.stack([jnp.asarray(c_np), 0.5 * jnp.asarray(c_np)])
+        out = jax.jit(
+            lambda c: dfft.irfftn_slab(
+                c, shape, mesh, batched=True, assume_hermitian=True,
+                weights=jnp.asarray(wz),
+            )
+        )(c)
+        want = ref * wz[None, None, :]
+        scale = np.abs(ref).std()
+        np.testing.assert_allclose(np.asarray(out[0]), want,
+                                   atol=2e-5 * scale, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(out[1]), 0.5 * want,
+                                   atol=2e-5 * scale, rtol=2e-4)
+        return
+    c = jnp.asarray(c_np)
+    out = jax.jit(
+        lambda c: dfft.irfftn_slab(
+            c, shape, mesh, assume_hermitian=True, weights=jnp.asarray(wz)
+        )
+    )(c)
+    monkeypatch.setenv("RF_MESH_PALLAS", "0")
+    native = jax.jit(
+        lambda c: dfft.irfftn_slab(
+            c, shape, mesh, assume_hermitian=True, weights=jnp.asarray(wz)
+        )
+    )(c)
+    scale = np.abs(ref).std()
+    np.testing.assert_allclose(np.asarray(out), ref * wz[None, None, :],
+                               atol=2e-5 * scale, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(native),
+                               atol=2e-5 * scale, rtol=2e-4)

@@ -1,5 +1,6 @@
 """Pencil (2-D) decomposition transforms on the 8-device CPU mesh."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -218,4 +219,47 @@ def test_pencil_power_multipoles_match_single_device(los_axis):
     np.testing.assert_allclose(k1[m], k0[m], rtol=1e-5)
     np.testing.assert_allclose(
         p1[:, m], p0[:, m], rtol=5e-3, atol=2e-5 * np.nanmax(np.abs(p0))
+    )
+
+
+def test_irfftn_pencil_pallas_matches_native(monkeypatch):
+    """Pallas pencil path (Mosaic interpreter on CPU): both input
+    layouts, weights fused, vs native path and numpy."""
+    import os
+
+    from randomfield_tpu.parallel import pencil as pc
+
+    monkeypatch.setenv("RF_MESH_PALLAS", "1")
+    shape = (128, 128, 256)
+    rng = np.random.RandomState(5)
+    x = rng.normal(size=shape).astype(np.float32)
+    c_np = np.fft.rfftn(x).astype(np.complex64)
+    wz = rng.uniform(0.5, 1.5, size=(256,)).astype(np.float32)
+    ref = np.fft.irfftn(c_np, axes=(0, 1, 2), norm="forward")
+    # data=1: the CPU interpreter's host callbacks deadlock under
+    # shard_map when any mesh axis goes unmentioned (dfft.use_pallas_local)
+    mesh = pc.make_pencil_mesh(data=1, spx=2, spy=2)
+    c = jnp.asarray(c_np)
+    scale = np.abs(ref).std()
+    for layout in ("state0", "state1"):
+        out = jax.jit(
+            lambda c: pc.irfftn_pencil(
+                c, shape, mesh, assume_hermitian=True, input_layout=layout,
+                weights=jnp.asarray(wz),
+            )
+        )(c)
+        np.testing.assert_allclose(
+            np.asarray(out), ref * wz[None, None, :],
+            atol=2e-5 * scale, rtol=2e-4,
+        )
+    monkeypatch.setenv("RF_MESH_PALLAS", "0")
+    native = jax.jit(
+        lambda c: pc.irfftn_pencil(
+            c, shape, mesh, assume_hermitian=True, input_layout="state0",
+            weights=jnp.asarray(wz),
+        )
+    )(c)
+    np.testing.assert_allclose(
+        np.asarray(native), ref * wz[None, None, :],
+        atol=2e-5 * scale, rtol=2e-4,
     )
