@@ -391,13 +391,28 @@ class Generator:
         # (parallel/render.py), so sigma costs zero resident HBM at any
         # mesh shape — a materialized (sharded) grid is built lazily only
         # if the .sigmas property is read
+        from randomfield_tpu.engine.staged import _use_v3
+
+        # Threefry staged scenes on TPU render tableless (unit draws +
+        # the in-place Pallas sigma-interp scale kernel): no sigma grid
+        # is tabulated up front — 2 GiB resident + one full read per
+        # render at 1024^3 — and the ``sigmas`` property materializes
+        # one lazily for the few methods that need the grid itself.
+        self._staged_threefry_v3 = (
+            mesh is None and sampler == "threefry"
+            and self.pipeline == "staged" and _use_v3(self.scene.shape)
+        )
         self.state, self._aux = _scene.build_state(
             self.scene, power, layout=layout,
-            with_sigmas=(mesh is None and sampler != "pallas"),
+            with_sigmas=(
+                mesh is None and sampler != "pallas"
+                and not self._staged_threefry_v3
+            ),
         )
-        if sampler == "pallas":
-            # the fused kernel interpolates sigma(k) from a small uniform
-            # log10-k table in VMEM — no sigma grid is stored or read
+        if sampler == "pallas" or self._staged_threefry_v3:
+            # the fused/scale kernels interpolate sigma(k) from a small
+            # uniform log10-k table in VMEM — no sigma grid is stored or
+            # read
             from randomfield_tpu.ops.pallas_sampler import make_sigma_table
 
             self._pallas_table = make_sigma_table(
@@ -434,8 +449,10 @@ class Generator:
             if self.state.sigmas is not None:
                 mb = self.state.sigmas.size * self._dtype.itemsize / 2**20
                 sig_note = f"sigma grid {mb:.1f} MiB"
-            else:
+            elif self.mesh is not None:
                 sig_note = "sigma inline (mesh)"
+            else:
+                sig_note = "sigma table in VMEM (no grid)"
             print(
                 f"[randomfield_tpu] scene setup {time.perf_counter() - t0:.3f}s, "
                 f"{sig_note}, k in [{self.k_min:.4g}, {self.k_max:.4g}] h/Mpc"
@@ -663,13 +680,24 @@ class Generator:
                     c, self._weights(apply_lightcone), self.scene.shape
                 )
         elif self.pipeline == "staged":
-            from randomfield_tpu.engine.staged import staged_render
-
-            out = staged_render(
-                _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
-                jnp.asarray(smoothing_length, self._dtype),
-                self.scene.shape, self.scene.grid_spacing,
+            from randomfield_tpu.engine.staged import (
+                _use_v3, render_v3_threefry, staged_render,
             )
+
+            if self._staged_threefry_v3 and _use_v3(self.scene.shape):
+                out = render_v3_threefry(
+                    _as_key(seed), self._pallas_table, self.scene.shape,
+                    self.scene.grid_spacing, str(self._dtype),
+                    self._weights(apply_lightcone),
+                    jnp.asarray(smoothing_length, self._dtype),
+                )
+            else:
+                out = staged_render(
+                    _as_key(seed), self.sigmas,
+                    self._weights(apply_lightcone),
+                    jnp.asarray(smoothing_length, self._dtype),
+                    self.scene.shape, self.scene.grid_spacing,
+                )
         else:
             out = render(
                 _as_key(seed), self.state.sigmas, self._weights(apply_lightcone),
@@ -880,13 +908,23 @@ class Generator:
         keys = None if self._multiprocess else seeds_to_keys(seeds)
         if self.mesh is None and self.pipeline == "staged":
             # staged grids are near the HBM ceiling: render sequentially
-            from randomfield_tpu.engine.staged import staged_render
+            from randomfield_tpu.engine.staged import (
+                _use_v3, render_v3_threefry, staged_render,
+            )
 
             sm = jnp.asarray(smoothing_length, self._dtype)
             w = self._weights(apply_lightcone)
+            if self._staged_threefry_v3 and _use_v3(self.scene.shape):
+                return jnp.stack([
+                    render_v3_threefry(
+                        keys[i], self._pallas_table, self.scene.shape,
+                        self.scene.grid_spacing, str(self._dtype), w, sm,
+                    )
+                    for i in range(len(keys))
+                ])
             return jnp.stack([
                 staged_render(
-                    keys[i], self.state.sigmas, w, sm,
+                    keys[i], self.sigmas, w, sm,
                     self.scene.shape, self.scene.grid_spacing,
                 )
                 for i in range(len(keys))
@@ -1234,7 +1272,7 @@ class Generator:
                            str(self._dtype))
             kx, ky, kz = kvectors(self.scene.shape, self.scene.grid_spacing,
                                   self._dtype)
-            return p1(_as_key(seed), self.state.sigmas, sm, kx, kz, ky)
+            return p1(_as_key(seed), self.sigmas, sm, kx, kz, ky)
         return _sample_spectrum_jit(
             _as_key(seed), self.state.sigmas, sm,
             self.scene.shape, self.scene.grid_spacing,

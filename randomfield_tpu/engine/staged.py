@@ -125,6 +125,137 @@ def _stage_p1(shape, spacing, dtype_name):
     return p1
 
 
+@functools.lru_cache(maxsize=16)
+def _stage_p1_reim(shape, spacing, dtype_name):
+    """:func:`_stage_p1` emitting separate re/im f32 lattices.
+
+    Identical draws, scaling and symmetrization (the canonical chunked
+    Threefry stream), but no complex array is ever formed — the output
+    feeds :func:`finish_staged_reim` (the v3 Pallas-CT transform path)
+    directly.  Two f32 lattices in flight instead of one complex64 also
+    lowers the peak by keeping every later stage's donate-in/out pairs
+    half-sized, which is what lets a 1024^3 render complete while the
+    caller still holds a previous 4 GiB field (the v2 complex path OOMs
+    there — round-4 measurement: ~12.5 GiB pipeline peak vs ~8.5 GiB
+    for this one on a 16 GiB chip).
+    """
+    from randomfield_tpu.ops.sample import canonical_chunks
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    dtype = jnp.dtype(dtype_name)
+    chunks = canonical_chunks(nx)
+    planes = _grid.self_conjugate_kz_planes(nz)
+
+    @jax.jit
+    def p1(key, sigmas_xzy, smoothing_length, kx, kz, ky):
+        s = jnp.asarray(smoothing_length, dtype)
+        cx = nx // chunks
+        kx_c = kx.reshape(chunks, cx)
+        sig_c = sigmas_xzy.reshape(chunks, cx, nzh, ny)
+
+        def one(args):
+            i, kxs, sig = args
+            draws = jax.random.normal(
+                jax.random.fold_in(key, i), (2, cx, nzh, ny), dtype
+            )
+            k2 = (
+                (kxs * kxs)[:, None, None]
+                + (kz * kz)[None, :, None]
+                + (ky * ky)[None, None, :]
+            )
+            amp = (
+                jnp.asarray(_INV_SQRT2, dtype)
+                * (sig * jnp.exp(-0.5 * k2 * s * s)).astype(dtype)
+            )
+            return draws[0] * amp, draws[1] * amp
+
+        idx = jnp.arange(chunks, dtype=jnp.uint32)
+        re, im = jax.lax.map(one, (idx, kx_c, sig_c))
+        re = re.reshape(nx, nzh, ny)
+        im = im.reshape(nx, nzh, ny)
+        for p in planes:
+            fre, fim = _transform._symmetrize_plane_reim(
+                re[:, p, :], im[:, p, :], True
+            )
+            re = re.at[:, p, :].set(fre)
+            im = im.at[:, p, :].set(fim)
+        return re, im
+
+    return p1
+
+
+@functools.lru_cache(maxsize=16)
+def _stage_p1_unit(shape, dtype_name):
+    """Canonical chunked UNIT draws as re/im lattices, symmetrized.
+
+    The sigma * filter scaling is deliberately absent: it is applied by
+    the in-place Pallas table-interp kernel
+    (ops/pallas_sampler.py:scale_spectrum_pallas_reim), so no sigma grid
+    is ever tabulated or resident.  Scaling after symmetrization equals
+    scaling before it: sigma and the Gaussian filter depend only on
+    |k|^2, which is bit-identical between Hermitian partners (signed
+    index negation squares away in f32).
+    """
+    from randomfield_tpu.ops.sample import canonical_chunks
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    dtype = jnp.dtype(dtype_name)
+    chunks = canonical_chunks(nx)
+    planes = _grid.self_conjugate_kz_planes(nz)
+
+    @jax.jit
+    def p1(key):
+        cx = nx // chunks
+        inv = jnp.asarray(_INV_SQRT2, dtype)
+
+        def one(i):
+            draws = jax.random.normal(
+                jax.random.fold_in(key, i), (2, cx, nzh, ny), dtype
+            )
+            return draws[0] * inv, draws[1] * inv
+
+        idx = jnp.arange(chunks, dtype=jnp.uint32)
+        re, im = jax.lax.map(one, idx)
+        re = re.reshape(nx, nzh, ny)
+        im = im.reshape(nx, nzh, ny)
+        for p in planes:
+            fre, fim = _transform._symmetrize_plane_reim(
+                re[:, p, :], im[:, p, :], True
+            )
+            re = re.at[:, p, :].set(fre)
+            im = im.at[:, p, :].set(fim)
+        return re, im
+
+    return p1
+
+
+def render_v3_threefry(key, table, shape, spacing, dtype_name, weights,
+                       smoothing_length, interpret=False):
+    """Threefry staged render with NO sigma grid: unit draws -> in-place
+    Pallas sigma-interp scale -> v3 re/im transform stages.
+
+    Same canonical realization stream as :func:`staged_render` (identical
+    draws; sigma comes from the resampled uniform log10-k table instead
+    of tabulate_sigmas — equal to well below the statistical gates, see
+    ops/pallas_sampler.py:make_sigma_table).  Peak HBM = the two f32
+    lattices plus stage temporaries: a 1024^3 render completes on a
+    16 GiB chip while the caller holds a previous field, which the
+    complex v2 path (~12.5 GiB peak + 2 GiB resident sigma grid) cannot.
+    """
+    from randomfield_tpu.ops import pallas_sampler as _ps
+
+    shape = tuple(shape)
+    p1 = _stage_p1_unit(shape, dtype_name)
+    re, im = p1(key)
+    re, im = _ps.scale_spectrum_pallas_reim(
+        re, im, table, shape, float(spacing), smoothing_length,
+        interpret=interpret,
+    )
+    return finish_staged_reim(re, im, weights, shape, spacing, dtype_name)
+
+
 def _ifft_minor_fast(t):
     """Minor-axis inverse FFT; optionally the Pallas CT kernel on TPU.
 
@@ -1016,10 +1147,23 @@ def staged_render(key, sigmas_xzy, weights, smoothing_length, shape, spacing):
 
     ``sigmas_xzy`` must be in (nx, nzh, ny) layout
     (``tabulate_sigmas(..., layout='xzy')``).
+
+    On TPU for v3-capable shapes the render runs re/im-native end to
+    end: the canonical Threefry draws go straight into f32 lattices
+    (:func:`_stage_p1_reim`) and through the Pallas-CT transform stages
+    (:func:`finish_staged_reim`) — same realization as the complex v1/v2
+    path (identical draws; FFT kernels agree to ~1e-6 relative), ~2x
+    faster and ~4 GiB lower peak at the 1024^3 HBM ceiling.
+    RF_STAGED_PIPELINE=v1/v2 pins the complex path.
     """
+    shape = tuple(shape)
     dtype_name = str(sigmas_xzy.dtype)
-    p1 = _stage_p1(tuple(shape), float(spacing), dtype_name)
-    kx, ky, kz = _grid.kvectors(tuple(shape), float(spacing), sigmas_xzy.dtype)
+    kx, ky, kz = _grid.kvectors(shape, float(spacing), sigmas_xzy.dtype)
+    if _use_v3(shape):
+        p1 = _stage_p1_reim(shape, float(spacing), dtype_name)
+        re, im = p1(key, sigmas_xzy, smoothing_length, kx, kz, ky)
+        return finish_staged_reim(re, im, weights, shape, spacing, dtype_name)
+    p1 = _stage_p1(shape, float(spacing), dtype_name)
     c = p1(key, sigmas_xzy, smoothing_length, kx, kz, ky)
     return finish_staged(c, weights, shape, spacing, dtype_name)
 

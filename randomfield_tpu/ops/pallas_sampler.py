@@ -62,6 +62,7 @@ from randomfield_tpu.ops import transform as _transform
 __all__ = [
     "sample_spectrum_pallas",
     "sample_spectrum_pallas_reim",
+    "scale_spectrum_pallas_reim",
     "make_sigma_table",
     "SigmaTable",
 ]
@@ -199,6 +200,42 @@ def can_bin_sample(shape, nbins, layout="xzy"):
     return n1_tiles == 1
 
 
+def _interp_sigma_tile(lk, ksq, lk0_ref, inv_dlk_ref, stab_ref,
+                       m_seg, width, n_knots, blk1, d2t):
+    """sigma(|k|) for one VMEM tile: linear interp over the uniform
+    log10-k table.
+
+    The table is stored as m overlapping width-wide segment rows
+    (width == d2t == the lane count — Mosaic's lane gather reads within
+    one row): a static loop selects each mode's segment with one in-row
+    lane gather per segment.  The DC entry (ksq = 0) is guarded through
+    a positive dummy in ``lk`` by the caller and zeroed here
+    (sigma(0) = 0: zero-mean field).
+    """
+    t = (lk - lk0_ref[0]) * inv_dlk_ref[0]
+    t = jnp.clip(t, 0.0, float(n_knots - 1))
+    i0 = jnp.minimum(t.astype(jnp.int32), n_knots - 2)
+    frac = t - i0.astype(jnp.float32)
+    if m_seg == 1:
+        tab = jnp.broadcast_to(stab_ref[0][None, :], (blk1, d2t))
+        s0 = jnp.take_along_axis(tab, i0, axis=1)
+        s1 = jnp.take_along_axis(tab, i0 + 1, axis=1)
+    else:
+        seg = i0 // (width - 1)
+        loc0 = i0 - seg * (width - 1)  # in [0, w-2]; loc0+1 stays in-row
+        s0 = jnp.zeros((blk1, d2t), jnp.float32)
+        s1 = jnp.zeros((blk1, d2t), jnp.float32)
+        for k in range(m_seg):
+            tab_k = jnp.broadcast_to(stab_ref[k][None, :], (blk1, d2t))
+            g0 = jnp.take_along_axis(tab_k, loc0, axis=1)
+            g1 = jnp.take_along_axis(tab_k, loc0 + 1, axis=1)
+            in_k = seg == k
+            s0 = jnp.where(in_k, g0, s0)
+            s1 = jnp.where(in_k, g1, s1)
+    sig = s0 * (1.0 - frac) + s1 * frac
+    return jnp.where(ksq > 0, sig, 0.0)
+
+
 def _make_kernel(shape, spacing, layout, bins=None):
     """Kernel closure for a (d0, d1, d2) half-spectrum tile row.
 
@@ -261,35 +298,13 @@ def _make_kernel(shape, spacing, layout, bins=None):
             k2 = (dk / ny) * _signed_index(a2, ny).astype(jnp.float32)
         ksq = kx * kx + k1 * k1 + k2 * k2
 
-        # sigma(|k|): linear interp over the uniform log10-k VMEM table.
-        # log10(|k|) = 0.5 * ln(ksq) / ln(10); guard the DC tile entry
-        # (ksq = 0) through a positive dummy and zero its amplitude below.
-        # The table is stored as m overlapping width-wide segment rows
-        # (width == d2t == the lane count): a static loop selects each
-        # mode's segment with one in-row lane gather per segment.
+        # sigma(|k|) via the shared in-VMEM table interp; lk is reused by
+        # the binned variant's affine bin index below
         lk = _HALF_INV_LN10 * jnp.log(jnp.where(ksq > 0, ksq, 1.0))
-        t = (lk - lk0_ref[0]) * inv_dlk_ref[0]
-        t = jnp.clip(t, 0.0, float(n_knots - 1))
-        i0 = jnp.minimum(t.astype(jnp.int32), n_knots - 2)
-        frac = t - i0.astype(jnp.float32)
-        if m_seg == 1:
-            tab = jnp.broadcast_to(stab_ref[0][None, :], (blk1, d2t))
-            s0 = jnp.take_along_axis(tab, i0, axis=1)
-            s1 = jnp.take_along_axis(tab, i0 + 1, axis=1)
-        else:
-            seg = i0 // (width - 1)
-            loc0 = i0 - seg * (width - 1)  # in [0, w-2]; loc0+1 stays in-row
-            s0 = jnp.zeros((blk1, d2t), jnp.float32)
-            s1 = jnp.zeros((blk1, d2t), jnp.float32)
-            for k in range(m_seg):
-                tab_k = jnp.broadcast_to(stab_ref[k][None, :], (blk1, d2t))
-                g0 = jnp.take_along_axis(tab_k, loc0, axis=1)
-                g1 = jnp.take_along_axis(tab_k, loc0 + 1, axis=1)
-                in_k = seg == k
-                s0 = jnp.where(in_k, g0, s0)
-                s1 = jnp.where(in_k, g1, s1)
-        sig = s0 * (1.0 - frac) + s1 * frac
-        sig = jnp.where(ksq > 0, sig, 0.0)  # sigma(0) = 0 (zero-mean field)
+        sig = _interp_sigma_tile(
+            lk, ksq, lk0_ref, inv_dlk_ref, stab_ref,
+            m_seg, width, n_knots, blk1, d2t,
+        )
 
         # Box-Muller from two independent uint32 lattices
         b1 = pltpu.bitcast(pltpu.prng_random_bits((blk1, d2t)), jnp.uint32)
@@ -444,6 +459,111 @@ def _sample_jit_reim(seed, smoothing_length, lk0, inv_dlk, stab, shape,
         re = re.at[:, p, :].set(fre)
         im = im.at[:, p, :].set(fim)
     return re, im
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "spacing", "interpret"),
+    donate_argnums=(0, 1),
+)
+def _scale_jit_reim(re, im, smoothing_length, lk0, inv_dlk, stab, shape,
+                    spacing, interpret):
+    """Multiply (re, im) 'xzy' lattices by sigma(|k|) * filter, in place.
+
+    The sigma-interp half of the sampling kernel without the PRNG: used
+    by the Threefry staged pipeline, whose draws come from jax.random
+    (the canonical chunked stream) rather than the hardware PRNG.  The
+    kernel's HBM traffic is one read + one aliased write per lattice —
+    no materialized sigma grid exists (the round-3 Threefry staged path
+    kept a 2 GiB resident (nx, nzh, ny) grid at 1024^3 and read it every
+    render).  PRNG-free, so Mosaic interpret mode exercises the real
+    arithmetic on CPU (unlike the sampling kernels, whose interpreted
+    prng_random_bits is stubbed to zeros).
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    d1, d2, d2t, blk1, n1_tiles, n2_tiles = _tile_geometry(shape, "xzy")
+    m_seg, width, n_knots = _segment_rows(shape, "xzy")
+    dk = _TWO_PI / spacing
+
+    def kernel(smooth_ref, lk0_ref, inv_dlk_ref, stab_ref, re_ref, im_ref,
+               ore_ref, oim_ref):
+        i = pl.program_id(0)
+        j1 = pl.program_id(1)
+        j2 = pl.program_id(2)
+        a1 = jax.lax.broadcasted_iota(jnp.int32, (blk1, d2t), 0) + j1 * blk1
+        a2 = jax.lax.broadcasted_iota(jnp.int32, (blk1, d2t), 1) + j2 * d2t
+        kx = (dk / nx) * _signed_index(i, nx).astype(jnp.float32)
+        k1 = (dk / nz) * a1.astype(jnp.float32)  # rfft axis: 0..nzh-1
+        k2 = (dk / ny) * _signed_index(a2, ny).astype(jnp.float32)
+        ksq = kx * kx + k1 * k1 + k2 * k2
+        lk = _HALF_INV_LN10 * jnp.log(jnp.where(ksq > 0, ksq, 1.0))
+        sig = _interp_sigma_tile(
+            lk, ksq, lk0_ref, inv_dlk_ref, stab_ref,
+            m_seg, width, n_knots, blk1, d2t,
+        )
+        s = smooth_ref[0]
+
+        @pl.when(s == 0.0)
+        def _():
+            ore_ref[0] = sig * re_ref[0]
+            oim_ref[0] = sig * im_ref[0]
+
+        @pl.when(s != 0.0)
+        def _():
+            amp = sig * jnp.exp(-0.5 * ksq * s * s)
+            ore_ref[0] = amp * re_ref[0]
+            oim_ref[0] = amp * im_ref[0]
+
+    out = jax.ShapeDtypeStruct((nx, d1, d2), stab.dtype)
+    row = pl.BlockSpec(
+        (1, blk1, d2t), lambda i, j1, j2: (i, j1, j2), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nx, n1_tiles, n2_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            row,
+            row,
+        ],
+        out_specs=(row, row),
+        out_shape=(out, out),
+        input_output_aliases={4: 0, 5: 1},
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray([smoothing_length], stab.dtype).ravel(),
+        jnp.asarray([lk0], stab.dtype).ravel(),
+        jnp.asarray([inv_dlk], stab.dtype).ravel(),
+        stab,
+        re,
+        im,
+    )
+
+
+def scale_spectrum_pallas_reim(re, im, table, shape, spacing,
+                               smoothing_length=0.0, interpret=False):
+    """sigma(|k|) * Gaussian-filter scale of 'xzy' re/im lattices.
+
+    ``re``/``im`` are DONATED (the kernel writes through aliased
+    buffers).  ``table`` is a :class:`SigmaTable` built with
+    layout='xzy'.  Reference parity: powertools' tabulate_sigmas
+    interpolation + filter_modes applied as one in-place pass.
+    """
+    lk0, dlk, stab = table
+    stab = jnp.asarray(stab)
+    m, d2, _ = _segment_rows(shape, "xzy")
+    if stab.shape != (m, d2):
+        raise ValueError(
+            f"sigma table shape {stab.shape} != required {(m, d2)} for "
+            f"shape {shape}, layout 'xzy'"
+        )
+    return _scale_jit_reim(
+        re, im, smoothing_length, float(lk0), 1.0 / float(dlk), stab,
+        tuple(int(s) for s in shape), float(spacing), bool(interpret)
+    )
 
 
 def sample_spectrum_pallas_reim(seed, table, shape, spacing,
