@@ -79,6 +79,20 @@ def unit_draws(key, shape, dtype=jnp.float32):
     the same realization (to f32 rounding — sigma scaling and
     symmetrization are applied in different orders).
     """
+    re, im = unit_draws_reim(key, shape, dtype)
+    return jnp.stack([re, im])
+
+
+def unit_draws_reim(key, shape, dtype=jnp.float32):
+    """:func:`unit_draws` as separate (nx, ny, nzh) re/im arrays.
+
+    Identical values; the stacked (2, ...) array and its two full-size
+    transposes are never materialized — each chunk's (kz, y) -> (y, kz)
+    swap happens on the small chunk and the chunk axis merges into x by
+    a plain reshape.  At 1024^3 this is the difference between ~17 GB
+    of draw intermediates (OOM on a 16 GB chip) and the 4.2 GB the two
+    lattices themselves occupy (the 1-device-mesh render case).
+    """
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     chunks = canonical_chunks(nx)
@@ -88,11 +102,12 @@ def unit_draws(key, shape, dtype=jnp.float32):
         d = jax.random.normal(
             jax.random.fold_in(key, i), (2, cx, nzh, ny), dtype
         )
-        return jnp.transpose(d, (0, 1, 3, 2))  # (2, cx, ny, nzh)
+        d = jnp.transpose(d, (0, 1, 3, 2))  # (2, cx, ny, nzh)
+        return d[0], d[1]
 
     idx = jnp.arange(chunks, dtype=jnp.uint32)
-    d = jax.vmap(one)(idx)  # (chunks, 2, cx, ny, nzh)
-    return jnp.transpose(d, (1, 0, 2, 3, 4)).reshape(2, nx, ny, nzh)
+    re, im = jax.lax.map(one, idx)  # 2 x (chunks, cx, ny, nzh)
+    return re.reshape(nx, ny, nzh), im.reshape(nx, ny, nzh)
 
 # Per-axis size bound of the nested sampler: signed lattice indices are
 # packed into 10-bit two's-complement fields of a 30-bit counter word,

@@ -298,6 +298,23 @@ def symmetrize_with_shape(c, nz, scale_self_conjugate=True):
     return c
 
 
+def symmetrize_with_shape_reim(re, im, nz, scale_self_conjugate=True):
+    """:func:`symmetrize_with_shape` on separate re/im lattices.
+
+    Same plane math via :func:`_symmetrize_plane_reim`; no complex array
+    is formed (the re/im-native mesh render path — at the 1-device
+    1024^3 ceiling the complex pack alone is a 4.3 GB allocation).
+    """
+    planes = _grid.self_conjugate_kz_planes(nz)
+    for p in planes:
+        fre, fim = _symmetrize_plane_reim(
+            re[..., :, :, p], im[..., :, :, p], scale_self_conjugate
+        )
+        re = re.at[..., :, :, p].set(fre)
+        im = im.at[..., :, :, p].set(fim)
+    return re, im
+
+
 def is_hermitian(c, nz=None, rtol=1e-5, atol=1e-6):
     """True if the packed spectrum corresponds to a real field.
 

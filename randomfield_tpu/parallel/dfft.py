@@ -36,7 +36,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from randomfield_tpu.ops import transform as _transform
 from randomfield_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 
-__all__ = ["irfftn_slab", "rfftn_slab", "can_pallas_slab"]
+__all__ = ["irfftn_slab", "irfftn_slab_reim", "rfftn_slab",
+           "can_pallas_slab"]
 
 _B = jax.lax.optimization_barrier
 
@@ -227,50 +228,109 @@ def _irfftn_slab_pallas(c, shape, mesh: Mesh, batched, weights):
          else jnp.asarray(weights, jnp.float32))
 
     def local(cl, wl):
-        lead = cl.shape[:off]
-        re = jnp.real(cl)
-        im = jnp.imag(cl)
-        # x-pass on the minor axis: (.., nx, nyl, nzh) -> (.., nyl, nzh, nx)
-        perm = tuple(range(off)) + (off + 1, off + 2, off)
-        tre = _B(jnp.transpose(re, perm))
-        tim = _B(jnp.transpose(im, perm))
-        # natural x order (reorder=True): the all-to-all splits natural
-        # contiguous x slabs
-        gre, gim = pf.ifft_minor_pallas_reim(tre, tim, interpret=interp)
-        if n_space > 1:
-            gre = jax.lax.all_to_all(
-                gre, SPACE_AXIS, split_axis=off + 2, concat_axis=off,
-                tiled=True,
-            )
-            gim = jax.lax.all_to_all(
-                gim, SPACE_AXIS, split_axis=off + 2, concat_axis=off,
-                tiled=True,
-            )
-        # now (.., ny, nzh, nxl); y-pass needs y minor
-        nxl = gre.shape[off + 2]
-        perm2 = tuple(range(off)) + (off + 1, off + 2, off)
-        tre = _B(jnp.transpose(gre, perm2))  # (.., nzh, nxl, ny)
-        tim = _B(jnp.transpose(gim, perm2))
-        gre, gim = pf.ifft_minor_pallas_reim(
-            tre, tim, reorder=False, interpret=interp
+        return _slab_pallas_local(
+            jnp.real(cl), jnp.imag(cl), wl, shape, n_space, off, ay, interp
         )
-
-        def close(g):
-            # y digit fix (c, d) -> (d, c) + kz-minor rotation in ONE
-            # transpose (engine/staged.py:_stages_v5 close)
-            g5 = g.reshape(*lead, nzh, nxl, ay, 128)
-            permc = tuple(range(off)) + (off + 1, off + 3, off + 2, off)
-            return _B(jnp.transpose(g5, permc).reshape(*lead, nxl, ny, nzh))
-
-        cr = close(gre).reshape(-1, ny, nzh)
-        ci = close(gim).reshape(-1, ny, nzh)
-        f = pf.irfft_tail_pallas(cr, ci, nz, wl, interpret=interp)
-        return f.reshape(*lead, nxl, ny, nz)
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=(in_spec, P(None)), out_specs=out_spec,
         check_vma=False,
     )(c, w)
+
+
+def irfftn_slab_reim(re, im, shape, mesh: Mesh, batched=False, weights=None):
+    """:func:`irfftn_slab` (Hermitian inputs) on separate re/im lattices.
+
+    The complex pack is never formed — the sampler's re/im outputs feed
+    the shard-local Pallas schedule directly (at the 1-device 1024^3
+    ceiling the pack + its split inside the transform cost 8.6 GB of
+    pure copies).  Falls back to packing per shard + the native
+    minor-axis path on shapes/platforms the kernels don't cover.
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    n_space = mesh.shape[SPACE_AXIS]
+    _check_divisible(shape, n_space)
+    in_spec, out_spec = _specs(mesh, batched, k_axis=1, x_axis=0)
+    off = 1 if batched else 0
+    w = (jnp.ones((nz,), jnp.float32) if weights is None
+         else jnp.asarray(weights, jnp.float32))
+    if use_pallas_local(shape):
+        interp = _pallas_interpret()
+        ay = ny // 128
+
+        def local(rel, iml, wl):
+            return _slab_pallas_local(
+                rel, iml, wl, shape, n_space, off, ay, interp
+            )
+
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(in_spec, in_spec, P(None)),
+            out_specs=out_spec, check_vma=False,
+        )(re, im, w)
+
+    def local(rel, iml, wl):
+        cl = jax.lax.complex(rel, iml)
+        cl = _ifft_axis(cl, cl.ndim - 3)
+        if n_space > 1:
+            cl = jax.lax.all_to_all(
+                cl, SPACE_AXIS, split_axis=off, concat_axis=off + 1, tiled=True
+            )
+        cl = _ifft_axis(cl, cl.ndim - 2)
+        out = _irfft_last(cl, nz, True)
+        if weights is not None:
+            out = out * wl[None, None, :].astype(out.dtype)
+        return out
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(in_spec, in_spec, P(None)),
+        out_specs=out_spec, check_vma=False,
+    )(re, im, w)
+
+
+def _slab_pallas_local(re, im, wl, shape, n_space, off, ay, interp):
+    """Shard-local body of the Pallas slab inverse (re/im in, field out)."""
+    from randomfield_tpu.ops import pallas_fft as pf
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    lead = re.shape[:off]
+    # x-pass on the minor axis: (.., nx, nyl, nzh) -> (.., nyl, nzh, nx)
+    perm = tuple(range(off)) + (off + 1, off + 2, off)
+    tre = _B(jnp.transpose(re, perm))
+    tim = _B(jnp.transpose(im, perm))
+    # natural x order (reorder=True): the all-to-all splits natural
+    # contiguous x slabs
+    gre, gim = pf.ifft_minor_pallas_reim(tre, tim, interpret=interp)
+    if n_space > 1:
+        gre = jax.lax.all_to_all(
+            gre, SPACE_AXIS, split_axis=off + 2, concat_axis=off,
+            tiled=True,
+        )
+        gim = jax.lax.all_to_all(
+            gim, SPACE_AXIS, split_axis=off + 2, concat_axis=off,
+            tiled=True,
+        )
+    # now (.., ny, nzh, nxl); y-pass needs y minor
+    nxl = gre.shape[off + 2]
+    perm2 = tuple(range(off)) + (off + 1, off + 2, off)
+    tre = _B(jnp.transpose(gre, perm2))  # (.., nzh, nxl, ny)
+    tim = _B(jnp.transpose(gim, perm2))
+    gre, gim = pf.ifft_minor_pallas_reim(
+        tre, tim, reorder=False, interpret=interp
+    )
+
+    def close(g):
+        # y digit fix (c, d) -> (d, c) + kz-minor rotation in ONE
+        # transpose (engine/staged.py:_stages_v5 close)
+        g5 = g.reshape(*lead, nzh, nxl, ay, 128)
+        permc = tuple(range(off)) + (off + 1, off + 3, off + 2, off)
+        return _B(jnp.transpose(g5, permc).reshape(*lead, nxl, ny, nzh))
+
+    cr = close(gre).reshape(-1, ny, nzh)
+    ci = close(gim).reshape(-1, ny, nzh)
+    f = pf.irfft_tail_pallas(cr, ci, nz, wl, interpret=interp)
+    return f.reshape(*lead, nxl, ny, nz)
 
 
 def rfftn_slab(x, shape, mesh: Mesh, batched=False):

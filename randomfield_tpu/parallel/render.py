@@ -109,15 +109,18 @@ def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
     # identical per-mode values to the single-device fused and staged
     # pipelines, and — partitionable Threefry — identical under ANY
     # sharding, so the sharded render still equals the unsharded one
+    reim_sharding = NamedSharding(
+        mesh, P(*(draws_sharding.spec[:1] + draws_sharding.spec[2:]))
+        if batched else P(*draws_sharding.spec[1:])
+    )
     if batched:
-        draws = jax.vmap(
-            lambda k: _sample.unit_draws(k, shape, dtype)
+        re, im = jax.vmap(
+            lambda k: _sample.unit_draws_reim(k, shape, dtype)
         )(key)
     else:
-        draws = _sample.unit_draws(key, shape, dtype)
-    draws = jax.lax.with_sharding_constraint(draws, draws_sharding)
-    re = draws[..., 0, :, :, :] if batched else draws[0]
-    im = draws[..., 1, :, :, :] if batched else draws[1]
+        re, im = _sample.unit_draws_reim(key, shape, dtype)
+    re = jax.lax.with_sharding_constraint(re, reim_sharding)
+    im = jax.lax.with_sharding_constraint(im, reim_sharding)
     z = jax.lax.complex(re, im) * jnp.asarray(_INV_SQRT2, dtype)
     z = _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
     if fixed:
@@ -140,6 +143,61 @@ def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
     return jax.lax.with_sharding_constraint(c, spec_sharding)
 
 
+def _sampled_spectrum_reim(key, lk_tab, val_tab, smoothing_length, shape,
+                           spacing, mesh, batched, log_values, dtype,
+                           sigmas=None):
+    """:func:`_sampled_spectrum` on separate re/im lattices (slab meshes).
+
+    Identical draws (canonical chunked stream) and identical per-mode
+    scaling — symmetrization happens on the raw draws and every scaling
+    (1/sqrt2, sigma, filter) is a function of |k| alone, so it commutes
+    with the Hermitian projection bit-for-bit up to multiply ordering.
+    The complex pack is never formed: combined with
+    dfft.irfftn_slab_reim this is what fits a 1024^3 render on a single
+    16 GB device mesh (the complex path peaks ~8.6 GB higher).
+    """
+    from randomfield_tpu.ops import sample as _sample
+
+    nx, ny, nz = shape
+    draws_sharding, spec_sharding, _ = _mesh_specs(mesh, batched)
+    reim_sharding = NamedSharding(
+        mesh, P(*(draws_sharding.spec[:1] + draws_sharding.spec[2:]))
+        if batched else P(*draws_sharding.spec[1:])
+    )
+    if batched:
+        re, im = jax.vmap(
+            lambda k: _sample.unit_draws_reim(k, shape, dtype)
+        )(key)
+    else:
+        re, im = _sample.unit_draws_reim(key, shape, dtype)
+    re = jax.lax.with_sharding_constraint(re, reim_sharding)
+    im = jax.lax.with_sharding_constraint(im, reim_sharding)
+    re, im = _transform.symmetrize_with_shape_reim(
+        re, im, nz, scale_self_conjugate=True
+    )
+    if sigmas is None:
+        sig = _power.sigma_inline(
+            shape, spacing, lk_tab, val_tab, log_values, dtype, layout="xyz"
+        )
+    else:
+        sig = sigmas
+    sig = jax.lax.with_sharding_constraint(
+        sig, spec_sharding if not batched
+        else NamedSharding(mesh, P(*spec_sharding.spec[1:]))
+    )
+    amp = _power.filter_modes(
+        sig * jnp.asarray(_INV_SQRT2, dtype), shape, spacing, smoothing_length
+    )
+    re = jax.lax.with_sharding_constraint(re * amp, spec_sharding)
+    im = jax.lax.with_sharding_constraint(im * amp, spec_sharding)
+    return re, im
+
+
+def _use_reim_mesh(mesh, shape) -> bool:
+    """Slab meshes with Pallas-capable local shapes render re/im-native."""
+    return (not _pencil.is_pencil_mesh(mesh)) and dfft.use_pallas_local(shape)
+
+
 def _inverse(c, shape, mesh, batched, weights=None):
     """Distributed Hermitian inverse; optional fused (nz,) z-weights.
 
@@ -157,10 +215,23 @@ def _inverse(c, shape, mesh, batched, weights=None):
                             assume_hermitian=True, weights=weights)
 
 
-@functools.lru_cache(maxsize=32)
 def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
                         log_values=False, dtype_name="float32",
                         fixed=False, flip=False):
+    # thin uncached shim: the re/im-vs-complex choice depends on
+    # RF_MESH_PALLAS/platform at call time, so it must be part of the
+    # compile cache key (env flips between tests would otherwise return
+    # stale programs)
+    return _make_sharded_render(
+        mesh, shape, spacing, from_seed, log_values, dtype_name, fixed,
+        flip, _use_reim_mesh(mesh, shape),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
+                         log_values=False, dtype_name="float32",
+                         fixed=False, flip=False, reim=False):
     """Compile a single-realization spatially-sharded render for a mesh.
 
     The returned fn takes ``(key, lk_tab, val_tab, weights,
@@ -181,6 +252,14 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
     def fn(key, lk_tab, val_tab, sig, weights, smoothing_length):
         if from_seed:
             key = jax.random.key(key)
+        if not fixed and reim:
+            re, im = _sampled_spectrum_reim(
+                key, lk_tab, val_tab, smoothing_length, shape, spacing,
+                mesh, False, log_values, dtype, sigmas=sig,
+            )
+            return dfft.irfftn_slab_reim(
+                re, im, shape, mesh, batched=False, weights=weights
+            )
         c = _sampled_spectrum(
             key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
             False, log_values, dtype, fixed, flip, sigmas=sig,
@@ -190,10 +269,19 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
     return jax.jit(fn, out_shardings=out)
 
 
-@functools.lru_cache(maxsize=32)
 def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
                               log_values=False, dtype_name="float32",
                               fixed=False, flip=False):
+    return _make_sharded_render_batch(
+        mesh, shape, spacing, from_seed, log_values, dtype_name, fixed,
+        flip, _use_reim_mesh(mesh, shape),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
+                               log_values=False, dtype_name="float32",
+                               fixed=False, flip=False, reim=False):
     """Compile a seed-batched render: batch over 'data', spatial sharding."""
     dtype = jnp.dtype(dtype_name)
     _, _, out = _mesh_specs(mesh, batched=True)
@@ -201,6 +289,14 @@ def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
     def fn(keys, lk_tab, val_tab, sig, weights, smoothing_length):
         if from_seed:
             keys = jax.vmap(jax.random.key)(keys)
+        if not fixed and reim:
+            re, im = _sampled_spectrum_reim(
+                keys, lk_tab, val_tab, smoothing_length, shape, spacing,
+                mesh, True, log_values, dtype, sigmas=sig,
+            )
+            return dfft.irfftn_slab_reim(
+                re, im, shape, mesh, batched=True, weights=weights
+            )
         c = _sampled_spectrum(
             keys, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
             True, log_values, dtype, fixed, flip, sigmas=sig,

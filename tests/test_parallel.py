@@ -218,3 +218,29 @@ def test_irfftn_slab_pallas_matches_native(space, batched, monkeypatch):
                                atol=2e-5 * scale, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(native),
                                atol=2e-5 * scale, rtol=2e-4)
+
+
+def test_mesh_render_reim_pallas_matches_single_device(monkeypatch):
+    """Generator mesh renders through the re/im-native Pallas slab path
+    (RF_MESH_PALLAS=1, Mosaic interpreter on CPU) must equal the
+    single-device fused render: same canonical Threefry stream, FFT
+    kernels agree to ~1e-6."""
+    import randomfield_tpu as rf
+    from randomfield_tpu.parallel import render as prender
+
+    monkeypatch.setenv("RF_MESH_PALLAS", "1")
+    shape = (128, 128, 256)
+    mesh = _mesh(1, 4)
+    assert prender._use_reim_mesh(mesh, shape)
+    gm = rf.Generator(*shape, grid_spacing=8.0, mesh=mesh)
+    g0 = rf.Generator(*shape, grid_spacing=8.0, pipeline="fused")
+    for seed, sm in ((3, 0.0), (5, 16.0)):
+        got = np.asarray(gm.generate_delta_field(seed, smoothing_length=sm))
+        ref = np.asarray(g0.generate_delta_field(seed, smoothing_length=sm))
+        scale = np.abs(ref).std()
+        np.testing.assert_allclose(got, ref, atol=5e-4 * scale, rtol=5e-4)
+    # batched
+    got = np.asarray(gm.generate_delta_fields([3, 9]))
+    ref = np.asarray(g0.generate_delta_fields([3, 9]))
+    scale = np.abs(ref).std()
+    np.testing.assert_allclose(got, ref, atol=5e-4 * scale, rtol=5e-4)
