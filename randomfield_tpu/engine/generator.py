@@ -344,10 +344,15 @@ class Generator:
         if sampler not in ("threefry", "pallas", "nested"):
             raise ValueError(f"unknown sampler {sampler!r}")
         if sampler == "pallas" and mesh is not None:
-            raise ValueError(
-                "sampler='pallas' is single-device; mesh mode samples with "
-                "the partitionable Threefry stream"
-            )
+            from randomfield_tpu.parallel.render import can_mesh_pallas
+
+            if not can_mesh_pallas(mesh, self.scene.shape):
+                raise ValueError(
+                    "sampler='pallas' on a mesh needs a slab mesh with a "
+                    "Pallas-transformable shape and ny divisible by "
+                    "128 * space (parallel/render.py:can_mesh_pallas); "
+                    "use sampler='threefry' otherwise"
+                )
         if sampler == "nested":
             from randomfield_tpu.ops.sample import NESTED_MAX_DIM
 
@@ -369,7 +374,7 @@ class Generator:
                     f"{self.scene.shape}"
                 )
             self.pipeline = "fused"
-        if sampler == "pallas":
+        if sampler == "pallas" and mesh is None:
             # ONE Pallas family at every grid size: the hardware stream's
             # tile geometry depends on (shape, layout), so letting 'auto'
             # pick layout 'xyz' below the staged threshold and 'xzy' above
@@ -377,7 +382,10 @@ class Generator:
             # round-3 Threefry auto trap.  Pallas scenes therefore always
             # run the (x, kz, y) staged machinery (one fused program where
             # shapes allow — engine/staged.py:render_v3); the ``pipeline``
-            # argument is ignored for this sampler.
+            # argument is ignored for this sampler.  (Mesh-pallas scenes
+            # keep the mesh pipeline and sample the SAME global xzy
+            # stream per shard — parallel/render.py:
+            # make_sharded_render_pallas.)
             self.pipeline = "staged"
         layout = "xzy" if self.pipeline == "staged" else "xyz"
         self.sampler = sampler
@@ -412,12 +420,14 @@ class Generator:
         if sampler == "pallas" or self._staged_threefry_v3:
             # the fused/scale kernels interpolate sigma(k) from a small
             # uniform log10-k table in VMEM — no sigma grid is stored or
-            # read
+            # read.  Always the 'xzy' table: every Pallas sampling/scale
+            # path (staged single-device, mesh shards, threefry scale)
+            # works in the (x, kz, y) order.
             from randomfield_tpu.ops.pallas_sampler import make_sigma_table
 
             self._pallas_table = make_sigma_table(
                 self._aux["power"], self.scene.shape, self.scene.grid_spacing,
-                interpolation, layout=layout,
+                interpolation, layout="xzy",
             )
         self._table_host = _power.table_arrays_host(
             self._aux["power"], interpolation, dtype
@@ -547,7 +557,19 @@ class Generator:
         PER RENDER when inlined (round-4 measurement).  One half-spectrum
         f32 shard per device is the price; at 2048^3 over 16 devices that
         is ~1.1 GB/device — proportionate, unlike the round-2 replicated
-        placement this layer once had."""
+        placement this layer once had.
+
+        Every mesh program that samples the partitionable Threefry
+        stream reads this — so it doubles as the chokepoint rejecting
+        those programs on hardware-sampler scenes, whose renders belong
+        to a different realization family."""
+        if self.sampler == "pallas":
+            raise ValueError(
+                "mesh scenes with sampler='pallas' support plain renders "
+                "only (the hardware stream is its own realization "
+                "family); build the Generator with sampler='threefry' "
+                "for derived fields, estimators and constrained renders"
+            )
         return self.sigmas
 
     def predicted_variance(self, smoothing_length=0.0, apply_lightcone=False):
@@ -629,8 +651,37 @@ class Generator:
         Returns the (nx, ny, nz) real density contrast field delta(x) as a
         device array.  Fixed seed => bit-identical field.
         """
+        return self._generate_delta_field(
+            seed, smoothing_length, apply_lightcone
+        )
+
+    def _mesh_pallas_render(self, seed, smoothing_length, apply_lightcone):
+        """One mesh render on the hardware-PRNG sampler.
+
+        Bit-identical to the single-device ``sampler='pallas'`` render
+        of the same seed at any shard count (parallel/render.py:
+        make_sharded_render_pallas samples each shard's slice of the
+        global xzy stream by global tile id)."""
+        from randomfield_tpu.parallel.render import make_sharded_render_pallas
+
+        fn = make_sharded_render_pallas(
+            self.mesh, self.scene.shape, self.scene.grid_spacing,
+            dtype_name=str(self._dtype),
+        )
+        lk0, dlk, stab = self._pallas_table
+        return fn(
+            int(seed) & 0x7FFFFFFF, self._smoothing(smoothing_length),
+            lk0, 1.0 / dlk, jnp.asarray(stab),
+            self._weights(apply_lightcone),
+        )
+
+    def _generate_delta_field(self, seed, smoothing_length, apply_lightcone):
         t0 = time.perf_counter()
         if self.mesh is not None:
+            if self.sampler == "pallas":
+                out = self._mesh_pallas_render(seed, smoothing_length,
+                                               apply_lightcone)
+                return self._maybe_verbose(out, seed, t0)
             from randomfield_tpu.parallel.render import make_sharded_render
 
             fn = make_sharded_render(

@@ -236,12 +236,22 @@ def _interp_sigma_tile(lk, ksq, lk0_ref, inv_dlk_ref, stab_ref,
     return jnp.where(ksq > 0, sig, 0.0)
 
 
-def _make_kernel(shape, spacing, layout, bins=None):
+def _make_kernel(shape, spacing, layout, bins=None, shard_lanes=None):
     """Kernel closure for a (d0, d1, d2) half-spectrum tile row.
 
     ``layout`` maps array axes to physical axes: 'xyz' = (x, y, kz) with
     kz packed on the minor axis; 'xzy' = (x, kz, y) (the staged
     pipeline's padding-free order).
+
+    ``shard_lanes`` (xzy, bins=None only): emit a SHARD of the global
+    stream — the kernel covers only ``shard_lanes`` lanes of the y axis
+    starting at a runtime lane-tile offset (an extra SMEM scalar ref
+    after the table), but seeds tiles by their GLOBAL ids and computes k
+    from global indices.  Tile geometry (blk1, n1/n2 tile counts) stays
+    that of the full ``shape``, so the union of all shards is
+    bit-identical to the single-device 'xzy' stream for any shard count
+    with shard_lanes % 128 == 0 — the mesh sampler equals the
+    single-device ``sampler='pallas'`` realization exactly.
 
     ``bins=(nbins, le0, inv_dle)`` switches the kernel from writing the
     re/im lattices to accumulating the binned power statistics of the
@@ -265,6 +275,14 @@ def _make_kernel(shape, spacing, layout, bins=None):
     nzh = nz // 2 + 1
     d1, d2, d2t, blk1, n1_tiles, n2_tiles = _tile_geometry(shape, layout)
     m_seg, width, n_knots = _segment_rows(shape, layout)
+    if shard_lanes is not None:
+        if layout != "xzy" or bins is not None:
+            raise ValueError("shard sampling is xzy/bins-free only")
+        if d2t != 128 or shard_lanes % 128 != 0:
+            raise ValueError(
+                f"shard sampling needs 128-lane tiles; got d2t={d2t}, "
+                f"shard_lanes={shard_lanes}"
+            )
     if bins is not None:
         if layout != "xzy":
             raise ValueError("binned sampling is staged-only (layout 'xzy')")
@@ -281,8 +299,12 @@ def _make_kernel(shape, spacing, layout, bins=None):
         i = pl.program_id(0)
         j1 = pl.program_id(1)
         j2 = pl.program_id(2)
+        if shard_lanes is not None:
+            j2off_ref, *out_refs = out_refs
+            j2 = j2 + j2off_ref[0]
         # hardware seeding accepts at most 2 values: fold the 3-D tile
-        # coordinate into one stream index
+        # coordinate into one stream index (GLOBAL coordinates in shard
+        # mode — shard unions reproduce the single-device stream)
         pltpu.prng_seed(seed_ref[0], (i * n1_tiles + j1) * n2_tiles + j2)
 
         # |k|^2 for this tile: axis 0 index is i, axes 1-2 via iota (+ tile
@@ -540,6 +562,53 @@ def _scale_jit_reim(re, im, smoothing_length, lk0, inv_dlk, stab, shape,
         stab,
         re,
         im,
+    )
+
+
+def sample_shard_pallas_reim(seed, smoothing_length, lk0, inv_dlk, stab,
+                             tile_offset, shape, spacing, shard_lanes,
+                             interpret=False):
+    """One shard of the global 'xzy' hardware-PRNG sampled spectrum.
+
+    Returns UNSYMMETRIZED (nx, nzh, shard_lanes) re/im f32 lattices
+    covering y lanes [tile_offset*128, tile_offset*128 + shard_lanes):
+    draws, sigma interp and filter are the sampling kernel's, seeded and
+    indexed by GLOBAL tile coordinates, so concatenating every shard
+    along y is bit-identical to ``sample_spectrum_pallas_reim`` minus
+    its Hermitian fixup (which the mesh caller applies at the jit level
+    — the conjugate-partner flips are cross-shard collectives).
+    ``tile_offset`` is a runtime scalar (128-lane tile units): inside
+    shard_map it comes from ``jax.lax.axis_index``.
+    """
+    nx, ny, nz = shape
+    kernel, (_, d1, _, blk1, d2t, n1_tiles, _) = _make_kernel(
+        shape, spacing, "xzy", shard_lanes=int(shard_lanes)
+    )
+    out = jax.ShapeDtypeStruct((nx, d1, int(shard_lanes)), stab.dtype)
+    row = pl.BlockSpec(
+        (1, blk1, d2t), lambda i, j1, j2: (i, j1, j2), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nx, n1_tiles, int(shard_lanes) // 128),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(row, row),
+        out_shape=(out, out),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(smoothing_length, stab.dtype).reshape(1),
+        jnp.asarray(lk0, stab.dtype).reshape(1),
+        jnp.asarray(inv_dlk, stab.dtype).reshape(1),
+        stab,
+        jnp.asarray(tile_offset, jnp.int32).reshape(1),
     )
 
 

@@ -315,6 +315,22 @@ def symmetrize_with_shape_reim(re, im, nz, scale_self_conjugate=True):
     return re, im
 
 
+def symmetrize_xzy_reim(re, im, nz, scale_self_conjugate=True):
+    """Hermitian projection of 'xzy'-layout (.., nx, nzh, ny) re/im.
+
+    The kz planes sit on axis -2; each (nx, ny) plane gets the same
+    :func:`_symmetrize_plane_reim` math as the packed-minor layouts.
+    """
+    planes = _grid.self_conjugate_kz_planes(nz)
+    for p in planes:
+        fre, fim = _symmetrize_plane_reim(
+            re[..., p, :], im[..., p, :], scale_self_conjugate
+        )
+        re = re.at[..., p, :].set(fre)
+        im = im.at[..., p, :].set(fim)
+    return re, im
+
+
 def is_hermitian(c, nz=None, rtol=1e-5, atol=1e-6):
     """True if the packed spectrum corresponds to a real field.
 

@@ -288,32 +288,81 @@ def irfftn_slab_reim(re, im, shape, mesh: Mesh, batched=False, weights=None):
     )(re, im, w)
 
 
-def _slab_pallas_local(re, im, wl, shape, n_space, off, ay, interp):
-    """Shard-local body of the Pallas slab inverse (re/im in, field out)."""
+def irfftn_slab_reim_xzy(re, im, shape, mesh: Mesh, batched=False,
+                         weights=None):
+    """Hermitian slab inverse from 'xzy'-layout re/im lattices.
+
+    ``re``/``im``: (.., nx, nzh, ny) sharded along y (the Pallas mesh
+    sampler's output layout — no re-layout pass between sampling and
+    transform).  Pallas-capable shapes only (callers gate on
+    :func:`can_pallas_slab`).  Returns the field sharded along x.
+    """
+    nx, ny, nz = shape
+    n_space = mesh.shape[SPACE_AXIS]
+    _check_divisible(shape, n_space)
+    if not can_pallas_slab(shape):
+        raise ValueError(f"shape {shape} not Pallas-transformable")
+    off = 1 if batched else 0
+    data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
+    in_spec = (P(data, None, None, SPACE_AXIS) if batched
+               else P(None, None, SPACE_AXIS))
+    _, out_spec = _specs(mesh, batched, k_axis=1, x_axis=0)
+    interp = _pallas_interpret()
+    ay = ny // 128
+    w = (jnp.ones((nz,), jnp.float32) if weights is None
+         else jnp.asarray(weights, jnp.float32))
+
+    def local(rel, iml, wl):
+        return _slab_pallas_local(
+            rel, iml, wl, shape, n_space, off, ay, interp, xzy=True
+        )
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(in_spec, in_spec, P(None)),
+        out_specs=out_spec, check_vma=False,
+    )(re, im, w)
+
+
+def _slab_pallas_local(re, im, wl, shape, n_space, off, ay, interp,
+                       xzy=False):
+    """Shard-local body of the Pallas slab inverse (re/im in, field out).
+
+    ``xzy=False``: input (.., nx, nyl, nzh) — the canonical slab
+    spectrum layout.  ``xzy=True``: input (.., nx, nzh, nyl) — the
+    staged sampler's padding-free order (the mesh Pallas-sampler path
+    feeds its kernel output straight in; only the all-to-all concat
+    axis and one transpose differ, the kernels and the closing
+    digit-fix/tail are shared).
+    """
     from randomfield_tpu.ops import pallas_fft as pf
 
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     lead = re.shape[:off]
-    # x-pass on the minor axis: (.., nx, nyl, nzh) -> (.., nyl, nzh, nx)
+    # x-pass on the minor axis:
+    #   xyz: (.., nx, nyl, nzh) -> (.., nyl, nzh, nx)
+    #   xzy: (.., nx, nzh, nyl) -> (.., nzh, nyl, nx)
     perm = tuple(range(off)) + (off + 1, off + 2, off)
     tre = _B(jnp.transpose(re, perm))
     tim = _B(jnp.transpose(im, perm))
     # natural x order (reorder=True): the all-to-all splits natural
     # contiguous x slabs
     gre, gim = pf.ifft_minor_pallas_reim(tre, tim, interpret=interp)
+    concat = off + 1 if xzy else off
     if n_space > 1:
         gre = jax.lax.all_to_all(
-            gre, SPACE_AXIS, split_axis=off + 2, concat_axis=off,
+            gre, SPACE_AXIS, split_axis=off + 2, concat_axis=concat,
             tiled=True,
         )
         gim = jax.lax.all_to_all(
-            gim, SPACE_AXIS, split_axis=off + 2, concat_axis=off,
+            gim, SPACE_AXIS, split_axis=off + 2, concat_axis=concat,
             tiled=True,
         )
-    # now (.., ny, nzh, nxl); y-pass needs y minor
+    # now xyz: (.., ny, nzh, nxl) / xzy: (.., nzh, ny, nxl); the y-pass
+    # needs (.., nzh, nxl, ny)
     nxl = gre.shape[off + 2]
-    perm2 = tuple(range(off)) + (off + 1, off + 2, off)
+    perm2 = (tuple(range(off)) + (off, off + 2, off + 1) if xzy
+             else tuple(range(off)) + (off + 1, off + 2, off))
     tre = _B(jnp.transpose(gre, perm2))  # (.., nzh, nxl, ny)
     tim = _B(jnp.transpose(gim, perm2))
     gre, gim = pf.ifft_minor_pallas_reim(

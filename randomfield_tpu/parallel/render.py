@@ -306,6 +306,84 @@ def _make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
     return jax.jit(fn, out_shardings=out)
 
 
+def can_mesh_pallas(mesh, shape) -> bool:
+    """True when the hardware-PRNG sampler can run on this mesh/shape.
+
+    Slab meshes whose y axis splits into whole 128-lane tiles per space
+    shard, with Pallas-transformable local shapes.  (Pencil meshes shard
+    ky over 'spx' the same way but their sampler wiring is not built
+    yet.)"""
+    if _pencil.is_pencil_mesh(mesh):
+        return False
+    n_space = mesh.shape[SPACE_AXIS]
+    nx, ny, nz = shape
+    return dfft.can_pallas_slab(shape) and ny % (128 * n_space) == 0
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_render_pallas(mesh: Mesh, shape, spacing,
+                               dtype_name="float32"):
+    """Mesh render on the hardware-PRNG Pallas sampler (slab meshes).
+
+    Per space shard the sampling kernel emits its y-slice of the GLOBAL
+    'xzy' stream (ops/pallas_sampler.py:sample_shard_pallas_reim —
+    global tile ids and k indices), the Hermitian fixup runs at the jit
+    level (cross-shard conjugate flips lower to collective permutes),
+    and the transform is the xzy-input Pallas slab schedule.  The
+    realization is bit-identical to the single-device
+    ``sampler='pallas'`` render of the same seed on ANY shard count —
+    one hardware-stream family per (seed, shape), mesh or not.
+
+    The returned fn takes ``(seed_i32, smoothing, lk0, inv_dlk, stab,
+    weights)`` — SigmaTable pieces as runtime args (layout 'xzy').
+    """
+    from randomfield_tpu.ops import pallas_sampler as _ps
+    from randomfield_tpu.parallel.dfft import _pallas_interpret
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    n_space = mesh.shape[SPACE_AXIS]
+    if not can_mesh_pallas(mesh, shape):
+        raise ValueError(
+            f"mesh-pallas sampling needs a slab mesh, Pallas-capable "
+            f"shape and ny % (128 * space) == 0; got {shape} on "
+            f"{dict(mesh.shape)}"
+        )
+    nyl = ny // n_space
+    interp = _pallas_interpret()
+    _, _, out = _mesh_specs(mesh, batched=False)
+    spec_sharding = NamedSharding(mesh, P(None, None, SPACE_AXIS))
+
+    def sample_local(seed, sm, lk0, inv_dlk, stab):
+        toff = jax.lax.axis_index(SPACE_AXIS) * (nyl // 128)
+        return _ps.sample_shard_pallas_reim(
+            seed[0], sm[0], lk0[0], inv_dlk[0], stab, toff,
+            shape, spacing, nyl, interpret=interp,
+        )
+
+    def fn(seed, smoothing_length, lk0, inv_dlk, stab, weights):
+        re, im = jax.shard_map(
+            sample_local, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(spec_sharding.spec, spec_sharding.spec),
+            check_vma=False,
+        )(
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(smoothing_length, jnp.float32).reshape(1),
+            jnp.asarray(lk0, jnp.float32).reshape(1),
+            jnp.asarray(inv_dlk, jnp.float32).reshape(1),
+            stab,
+        )
+        re = jax.lax.with_sharding_constraint(re, spec_sharding)
+        im = jax.lax.with_sharding_constraint(im, spec_sharding)
+        re, im = _transform.symmetrize_xzy_reim(re, im, nz)
+        return dfft.irfftn_slab_reim_xzy(
+            re, im, shape, mesh, batched=False, weights=weights
+        )
+
+    return jax.jit(fn, out_shardings=out)
+
+
 @functools.lru_cache(maxsize=64)
 def make_sharded_derived(mesh: Mesh, shape, spacing, kind, component,
                          from_seed=False, log_values=False,

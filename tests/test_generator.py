@@ -128,12 +128,20 @@ def test_invalid_pipeline_rejected_even_with_mesh():
                      pipeline="fused").pipeline == "fused"
 
 
-def test_pallas_sampler_rejected_with_mesh():
+def test_pallas_sampler_mesh_capability_gate():
     from randomfield_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(data=2, space=4)
-    with pytest.raises(ValueError, match="single-device"):
+    # incapable shape (ny not a multiple of 128 * space) still raises
+    with pytest.raises(ValueError, match="can_mesh_pallas"):
         Generator(8, 8, 8, grid_spacing=8.0, mesh=mesh, sampler="pallas")
+    # pencil meshes have no hardware-sampler wiring
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    pmesh = make_pencil_mesh(data=2, spx=2, spy=2)
+    with pytest.raises(ValueError, match="can_mesh_pallas"):
+        Generator(128, 256, 256, grid_spacing=8.0, mesh=pmesh,
+                  sampler="pallas")
 
 
 def test_predicted_variance_matches_oracle():

@@ -244,3 +244,45 @@ def test_mesh_render_reim_pallas_matches_single_device(monkeypatch):
     ref = np.asarray(g0.generate_delta_fields([3, 9]))
     scale = np.abs(ref).std()
     np.testing.assert_allclose(got, ref, atol=5e-4 * scale, rtol=5e-4)
+
+
+def test_mesh_pallas_render_matches_single_device_kernel():
+    """Mesh hardware-sampler render (interpret mode on CPU: stubbed
+    PRNG, real sigma-interp/index/symmetrize/transform arithmetic) must
+    equal the single-device xzy sampling kernel + numpy inverse."""
+    import randomfield_tpu as rf
+    from randomfield_tpu.ops.pallas_sampler import (
+        make_sigma_table, sample_spectrum_pallas_reim,
+    )
+
+    shape = (128, 256, 256)
+    mesh = _mesh(1, 2)
+    g = rf.Generator(*shape, grid_spacing=8.0, mesh=mesh, sampler="pallas")
+    got = np.asarray(
+        g.generate_delta_field(seed=5, apply_lightcone=False)
+    )
+
+    tab = make_sigma_table(g._aux["power"], shape, 8.0, layout="xzy")
+    re, im = sample_spectrum_pallas_reim(5, tab, shape, 8.0, interpret=True)
+    c = np.asarray(re) + 1j * np.asarray(im)         # (nx, nzh, ny)
+    c = np.transpose(c, (0, 2, 1))                   # (nx, ny, nzh)
+    ref = np.fft.irfftn(c, s=shape, axes=(0, 1, 2), norm="forward")
+    scale = max(np.abs(ref).std(), 1e-12)
+    np.testing.assert_allclose(got, ref, atol=5e-4 * scale, rtol=5e-4)
+
+    # smoothing + lightcone weights ride the same program
+    got2 = np.asarray(
+        g.generate_delta_field(seed=5, smoothing_length=16.0)
+    )
+    assert np.isfinite(got2).all()
+    # lightcone z-weights ride the fused c2r tail
+    w = np.asarray(g.growth_function, np.float32)
+    gotw = np.asarray(g.generate_delta_field(seed=5, apply_lightcone=True))
+    np.testing.assert_allclose(
+        gotw, ref * w[None, None, :], atol=5e-4 * scale, rtol=5e-4
+    )
+    # derived/estimator programs reject the hardware-sampler family
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threefry"):
+        g.sample_power(seed=1, nbins=8)
