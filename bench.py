@@ -210,6 +210,35 @@ def time_sample_power(n=1024, batch=8, iters=3):
     return statistics.median(ts), ts
 
 
+def time_mesh_render(n=512, iters=5):
+    """Per-chip throughput of the DISTRIBUTED render path on one chip.
+
+    A 1-device ('data','space') slab mesh running the mesh-pallas
+    program (shard sampling of the global xzy stream + the re/im Pallas
+    slab schedule + collective Hermitian fixup).  With one device the
+    collectives are degenerate, so this measures the per-chip cost of
+    the scale-out path — the round-3 gap vs the single-chip pipeline
+    was ~4x; the round-4 target is <= 1.3x.
+    """
+    import randomfield_tpu as rf
+    from randomfield_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=1, space=1)
+    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n, sampler="pallas",
+                     mesh=mesh)
+    d = g.generate_delta_field(0)
+    _ = float(d[0, 0, 0])
+    ts = []
+    for i in range(iters):
+        del d
+        t0 = time.perf_counter()
+        d = g.generate_delta_field(i + 1)
+        _ = float(d[0, 0, 0])
+        ts.append(time.perf_counter() - t0)
+    log(f"  {n}^3 mesh(1,1) pallas: {[round(t * 1e3) for t in ts]} ms")
+    return statistics.median(ts), ts
+
+
 def pallas_gate():
     """Standing per-round hardware check of the Pallas sampler stream."""
     import contextlib
@@ -219,11 +248,14 @@ def pallas_gate():
         from validate_pallas_sampler import run_checks
 
         # the gate prints its verdict lines; keep stdout pure (the JSON
-        # contract is "ONE line on stdout") by routing them to stderr
+        # contract is "ONE line on stdout") by routing them to stderr.
+        # 2000 seeds per layout (tol ~ 0.19 per mode, percent-level
+        # pooled shells, Box-Muller moment bands) accumulate on device
+        # through one scan program — seconds of hardware time.
         with contextlib.redirect_stdout(sys.stderr):
-            run_checks(n_seeds=100, shape=(16, 16, 16), layout="xyz")
-            run_checks(n_seeds=50, shape=(16, 16, 16), layout="xzy")
-        return {"ok": True}
+            r_xyz = run_checks(n_seeds=2000, shape=(16, 16, 16), layout="xyz")
+            r_xzy = run_checks(n_seeds=2000, shape=(16, 16, 16), layout="xzy")
+        return {"ok": True, "xyz": r_xyz, "xzy": r_xzy}
     except Exception as e:  # never fail the bench contract on the gate
         log(f"  pallas gate FAILED: {type(e).__name__}: {str(e)[:200]}")
         return {"ok": False, "error": f"{type(e).__name__}: {str(e)[:200]}"}
@@ -419,6 +451,20 @@ def main():
     except Exception as e:
         detail["tpu_512_batch4"] = {"error": type(e).__name__}
         log(f"  batch failed: {type(e).__name__}: {str(e)[:120]}")
+
+    try:
+        log("Mesh path per-chip throughput (1-device slab mesh):")
+        dt, ts = time_mesh_render(512)
+        ratio = (dt / detail["tpu_512"]["median_s"]
+                 if "tpu_512" in detail and "median_s" in detail["tpu_512"]
+                 else None)
+        detail["tpu_512_mesh"] = dict(
+            _stats(ts), gcells_per_s=round(512**3 / dt / 1e9, 2),
+            vs_single_chip=round(ratio, 3) if ratio else None,
+        )
+    except Exception as e:
+        detail["tpu_512_mesh"] = {"error": type(e).__name__}
+        log(f"  mesh render failed: {type(e).__name__}: {str(e)[:120]}")
 
     if headline_n == 1024:
         try:
