@@ -283,12 +283,8 @@ def main(argv=None):
     if (args.minkowski or args.peaks) and args.sample_power:
         p.error("--minkowski/--peaks need rendered fields; drop "
                 "--sample-power")
-    if args.xi:
-        if not args.stats:
-            p.error("--xi prints alongside --stats; add --stats")
-        if args.pencil:
-            p.error("--xi is unsupported on a pencil mesh (xi(r) runs "
-                    "distributed on slab meshes only); use --mesh")
+    if args.xi and not args.stats:
+        p.error("--xi prints alongside --stats; add --stats")
     ny = args.ny or args.nx
     nz = args.nz or args.nx
     if args.catalog:

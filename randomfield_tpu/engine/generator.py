@@ -1187,12 +1187,14 @@ class Generator:
         Zero in expectation for the Gaussian fields this Generator
         renders; nonzero for the nonlinear model generators (lognormal,
         Zel'dovich/2LPT) — see validate/bispectrum.py for conventions.
-        Single-device estimator (holds nbins shell fields in memory).
+        Mesh scenes run the distributed shell estimator (shell fields
+        stay sharded; nbins/P of the grid per device).
         """
         from randomfield_tpu.validate import bispectrum
 
         return bispectrum.calculate_bispectrum(
-            delta, self.scene.grid_spacing, nbins, kmin=kmin, kmax=kmax
+            delta, self.scene.grid_spacing, nbins, kmin=kmin, kmax=kmax,
+            mesh=self.mesh,
         )
 
     def sample_power(self, seed=0, smoothing_length=0.0, nbins=32):

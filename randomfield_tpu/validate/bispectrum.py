@@ -115,7 +115,89 @@ def _triangle_counts(shape, spacing, edges, triples):
     )
 
 
-def calculate_bispectrum(delta, spacing, nbins=8, kmin=None, kmax=None):
+@functools.lru_cache(maxsize=8)
+def _make_mesh_triple_sums(mesh, shape, spacing, edges, triples,
+                           with_field):
+    """Distributed shell synthesis + triple reductions on a mesh.
+
+    Same estimator as :func:`_triple_sums` with the transforms swapped
+    for the distributed slab/pencil ones: every shell field is sharded
+    (nbins simultaneous fields cost nbins/P of the grid per device),
+    the masks shard with the spectrum, and the grid sums lower to
+    psums — the full spectrum and the shell fields are never gathered.
+    ``with_field=False`` compiles the geometry denominator (unit
+    shells).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel import pencil as _pencil
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS, field_sharding
+
+    is_pencil = _pencil.is_pencil_mesh(mesh)
+    if is_pencil:
+        spec_sharding = NamedSharding(
+            mesh, P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS)
+        )
+        in_sharding = _pencil.pencil_field_sharding(mesh)
+    else:
+        spec_sharding = NamedSharding(mesh, P(None, SPACE_AXIS, None))
+        in_sharding = field_sharding(mesh)
+
+    def _forward(delta):
+        if is_pencil:
+            return _pencil.rfftn_pencil(delta, shape, mesh)
+        return dfft.rfftn_slab(delta, shape, mesh)
+
+    def _shell(spec):
+        if is_pencil:
+            return _pencil.irfftn_pencil(
+                spec, shape, mesh, assume_hermitian=True,
+                input_layout="state1",
+            )
+        return dfft.irfftn_slab(spec, shape, mesh, assume_hermitian=True)
+
+    def fn(delta):
+        kmag = jax.lax.with_sharding_constraint(
+            _grid.kmag(shape, spacing, jnp.float32), spec_sharding
+        )
+        sp3 = jnp.asarray(float(spacing) ** 3, jnp.complex64)
+        c = None if not with_field else _forward(delta) * sp3
+        shells = []
+        for b in range(len(edges) - 1):
+            mask = (kmag >= edges[b]) & (kmag < edges[b + 1]) & (kmag > 0)
+            if c is None:
+                spec = mask.astype(jnp.complex64)
+            else:
+                spec = jnp.where(mask, c, jnp.zeros((), c.dtype))
+            shells.append(_shell(spec))
+        sums = []
+        prod_cache = {}
+        for (i, j, l) in triples:
+            if (i, j) not in prod_cache:
+                prod_cache[(i, j)] = shells[i] * shells[j]
+            s = jnp.sum(
+                jnp.sum(prod_cache[(i, j)] * shells[l], axis=(1, 2)), axis=0
+            )
+            sums.append(s)
+        return jnp.stack(sums)
+
+    if with_field:
+        return jax.jit(fn, in_shardings=in_sharding)
+    return jax.jit(functools.partial(fn, None))
+
+
+@functools.lru_cache(maxsize=8)
+def _mesh_triangle_counts(mesh, shape, spacing, edges, triples):
+    """Geometry denominator computed on the mesh (sharded unit shells)."""
+    fn = _make_mesh_triple_sums(
+        mesh, shape, spacing, edges, triples, with_field=False
+    )
+    return np.asarray(fn(), np.float64)
+
+
+def calculate_bispectrum(delta, spacing, nbins=8, kmin=None, kmax=None,
+                         mesh=None):
     """Binned bispectrum of a real-space field.
 
     Returns ``(k_centers, triples, bispec, ntri)``:
@@ -131,6 +213,12 @@ def calculate_bispectrum(delta, spacing, nbins=8, kmin=None, kmax=None):
     Triples whose shells admit no closed triad are dropped.  For a
     Gaussian field the expectation is 0 for every triple; see
     ``reduced_bispectrum`` for the dimensionless Q.
+
+    With ``mesh`` (a ('data','space') slab mesh or a 2-D pencil mesh,
+    ``delta`` sharded accordingly) the shell synthesis runs through the
+    distributed transforms and the reductions psum — the spectrum and
+    shell fields stay sharded; parity vs the single-device estimator is
+    asserted in tests/test_bispectrum.py.
     """
     delta = jnp.asarray(delta)
     shape = tuple(int(n) for n in delta.shape)
@@ -139,10 +227,17 @@ def calculate_bispectrum(delta, spacing, nbins=8, kmin=None, kmax=None):
     tkey = tuple(map(tuple, triples.tolist()))
     volume = shape[0] * shape[1] * shape[2] * float(spacing) ** 3
     ncells = shape[0] * shape[1] * shape[2]
-    num = np.asarray(
-        _triple_sums(delta, shape, float(spacing), ekey, tkey), np.float64
-    )
-    den = _triangle_counts(shape, float(spacing), ekey, tkey)
+    if mesh is not None:
+        fn = _make_mesh_triple_sums(
+            mesh, shape, float(spacing), ekey, tkey, with_field=True
+        )
+        num = np.asarray(fn(delta), np.float64)
+        den = _mesh_triangle_counts(mesh, shape, float(spacing), ekey, tkey)
+    else:
+        num = np.asarray(
+            _triple_sums(delta, shape, float(spacing), ekey, tkey), np.float64
+        )
+        den = _triangle_counts(shape, float(spacing), ekey, tkey)
     ntri = den / ncells
     keep = ntri > 0.5  # shells with no closed triad
     # numerator shells carry no 1/V synthesis factor (irfftn is the

@@ -83,7 +83,47 @@ def _smooth_jit(delta, shape, spacing, R, window):
     return _transform.spectrum_to_field(c * w, spacing, shape)
 
 
-def smooth_field(delta, spacing, R, window="gaussian"):
+@functools.lru_cache(maxsize=16)
+def _make_smooth_mesh(mesh, shape, spacing, R, window):
+    """Distributed smoothing: sharded forward FFT, window multiply on
+    the sharded spectrum, distributed inverse.  The window is even in k,
+    so the product stays Hermitian and rides the half-pack c2r tail."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel import pencil as _pencil
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+
+    is_pencil = _pencil.is_pencil_mesh(mesh)
+    spec_sharding = NamedSharding(
+        mesh, P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS) if is_pencil
+        else P(None, SPACE_AXIS, None)
+    )
+    ncells = shape[0] * shape[1] * shape[2]
+
+    @jax.jit
+    def fn(delta):
+        w = jax.lax.with_sharding_constraint(
+            _window_grid(shape, spacing, R, window, delta.dtype),
+            spec_sharding,
+        )
+        if is_pencil:
+            c = _pencil.rfftn_pencil(delta, shape, mesh)
+            out = _pencil.irfftn_pencil(
+                c * w, shape, mesh, assume_hermitian=True,
+                input_layout="state1",
+            )
+        else:
+            c = dfft.rfftn_slab(delta, shape, mesh)
+            out = dfft.irfftn_slab(
+                c * w, shape, mesh, assume_hermitian=True
+            )
+        return out / ncells
+
+    return fn
+
+
+def smooth_field(delta, spacing, R, window="gaussian", mesh=None):
     """Smooth a field on scale ``R`` (Mpc/h) by a spectrum multiply.
 
     ``window='gaussian'`` applies ``exp(-(kR)^2/2)`` (the
@@ -91,8 +131,16 @@ def smooth_field(delta, spacing, R, window="gaussian"):
     ``'tophat'`` the spherical top-hat ``3 (sin x - x cos x)/x^3``,
     x = kR (the sigma(R) window — equivalent to
     :func:`randomfield_tpu.models.voids.tophat_smooth`).
+
+    With ``mesh`` the transforms run distributed (slab or pencil) and
+    ``delta`` stays sharded end to end.
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
+    if mesh is not None:
+        fn = _make_smooth_mesh(
+            mesh, shape, float(spacing), float(R), str(window)
+        )
+        return fn(jnp.asarray(delta))
     return _smooth_jit(
         jnp.asarray(delta), shape, float(spacing), float(R), str(window)
     )
@@ -113,20 +161,22 @@ def white_mark(delta_R, p=2.0, delta_s=0.25):
 
 
 def marked_field(delta, spacing, R=10.0, p=2.0, delta_s=0.25,
-                 window="gaussian"):
+                 window="gaussian", mesh=None):
     """``m(x) * delta(x)`` with the White mark of the R-smoothed field."""
-    dr = smooth_field(delta, spacing, R, window)
+    dr = smooth_field(delta, spacing, R, window, mesh=mesh)
     return white_mark(dr, p, delta_s) * jnp.asarray(delta)
 
 
-def linear_marked_field(delta, spacing, eps, R=10.0, window="gaussian"):
+def linear_marked_field(delta, spacing, eps, R=10.0, window="gaussian",
+                        mesh=None):
     """``(1 + eps * delta_R) * delta`` — the exactly-predictable mark."""
-    dr = smooth_field(delta, spacing, R, window)
+    dr = smooth_field(delta, spacing, R, window, mesh=mesh)
     return (1.0 + float(eps) * dr) * jnp.asarray(delta)
 
 
 def calculate_marked_power(delta, spacing, nbins=32, R=10.0, p=2.0,
-                           delta_s=0.25, window="gaussian", mark=None):
+                           delta_s=0.25, window="gaussian", mark=None,
+                           mesh=None):
     """Marked power spectrum: P(k) of ``m * delta``.
 
     ``mark`` overrides the White mark with any callable
@@ -134,12 +184,14 @@ def calculate_marked_power(delta, spacing, nbins=32, R=10.0, p=2.0,
     ``(k_mean, p_marked, n_modes)`` like
     :func:`randomfield_tpu.validate.stats.calculate_power` (whose
     binning this rides); the field mean only touches the excluded DC
-    mode.  Single-device validation-scale tool.
+    mode.  With ``mesh`` the smoothing transforms and the estimator run
+    distributed (slab or pencil) — the field, its smoothed companion
+    and the marked product stay sharded.
     """
-    dr = smooth_field(delta, spacing, R, window)
+    dr = smooth_field(delta, spacing, R, window, mesh=mesh)
     m = white_mark(dr, p, delta_s) if mark is None else mark(dr)
     return _stats.calculate_power(
-        m * jnp.asarray(delta), spacing, nbins=nbins
+        m * jnp.asarray(delta), spacing, nbins=nbins, mesh=mesh
     )
 
 

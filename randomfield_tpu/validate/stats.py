@@ -1618,6 +1618,68 @@ def _make_sharded_xi(mesh, shape, spacing, nbins):
     return fn
 
 
+@functools.lru_cache(maxsize=16)
+def _make_pencil_xi(mesh, shape, spacing, nbins):
+    """Distributed xi(r) on a 2-D pencil mesh: pencil transforms with
+    the xi grid sharded (x over 'spx', y over 'spy'), shard-local
+    minimum-image r binning from sliced axis vectors, one psum over
+    both spatial axes."""
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.parallel import pencil as _pencil
+
+    nx, ny, nz = shape
+    px = mesh.shape[_pencil.SPX_AXIS]
+    py = mesh.shape[_pencil.SPY_AXIS]
+    nx_loc, ny_loc = nx // px, ny // py
+    volume = nx * ny * nz * spacing**3
+    edges = _r_bin_setup(shape, spacing, nbins)
+    ax = _min_image_axes(shape, spacing)
+
+    def _local_bins(xil):
+        jx = jax.lax.axis_index(_pencil.SPX_AXIS)
+        jy = jax.lax.axis_index(_pencil.SPY_AXIS)
+        ax_l = jax.lax.dynamic_slice(
+            jnp.asarray(ax[0], xil.dtype), (jx * nx_loc,), (nx_loc,)
+        )
+        ay_l = jax.lax.dynamic_slice(
+            jnp.asarray(ax[1], xil.dtype), (jy * ny_loc,), (ny_loc,)
+        )
+        rmag = jnp.sqrt(
+            (ax_l * ax_l)[:, None, None]
+            + (ay_l * ay_l)[None, :, None]
+            + jnp.asarray(ax[2] ** 2, xil.dtype)[None, None, :]
+        )
+        counts, psum_, rsum = _masked_bins(
+            rmag, 1.0, xil, jnp.asarray(edges, xil.dtype), nbins,
+            per_slab=True,
+        )
+        return jax.lax.psum(
+            jnp.stack([counts, psum_, rsum]),
+            (_pencil.SPX_AXIS, _pencil.SPY_AXIS),
+        )
+
+    @jax.jit
+    def fn(delta):
+        c = _pencil.rfftn_pencil(delta, shape, mesh)  # state 1
+        scale = jnp.asarray((spacing**3) ** 2 / volume, jnp.float32)
+        p = (c.real**2 + c.imag**2) * scale
+        p = p.at[0, 0, 0].set(0.0)
+        xi = _pencil.irfftn_pencil(
+            (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64),
+            shape, mesh, assume_hermitian=True, input_layout="state1",
+        )
+        bins = jax.shard_map(
+            _local_bins, mesh=mesh,
+            in_specs=P(_pencil.SPX_AXIS, _pencil.SPY_AXIS, None),
+            out_specs=P(),
+            check_vma=False,
+        )(xi)
+        return bins[0], bins[1], bins[2]
+
+    return fn
+
+
 def calculate_correlation(delta, spacing, nbins=24, mesh=None):
     """Measured isotropic two-point correlation xi(r) of a field.
 
@@ -1630,31 +1692,32 @@ def calculate_correlation(delta, spacing, nbins=24, mesh=None):
 
     Single-device by default (the full xi grid plus the minimum-image
     radius grid are materialized — fine through 512^3).  With ``mesh``
-    (a ('data','space') slab mesh whose 'space' axis shards the field
-    along x) both transforms run distributed and the r binning is
-    shard-local with a psum — xi scales to the same grids as the
-    sharded renders (pencil meshes: reshard to a slab mesh first).
-    The companion theory curve on the SAME discrete modes and bins is
-    :func:`predicted_correlation`; the continuum-integral counterpart is
+    (a ('data','space') slab mesh sharding along x, or a 2-D pencil
+    mesh sharding x/y) both transforms run distributed and the r
+    binning is shard-local with a psum — xi scales to the same grids
+    as the sharded renders.  The companion theory curve on the SAME
+    discrete modes and bins is :func:`predicted_correlation`; the
+    continuum-integral counterpart is
     :func:`randomfield_tpu.ops.power.power_to_correlation`.
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
     if mesh is not None:
         from randomfield_tpu.parallel.mesh import SPACE_AXIS
+        from randomfield_tpu.parallel.multihost import replicated_to_host
         from randomfield_tpu.parallel.pencil import is_pencil_mesh
 
         if is_pencil_mesh(mesh):
-            raise ValueError(
-                "xi(r) on a pencil mesh is unsupported: reshard the field "
-                "to a ('data','space') slab mesh first"
+            fn = _make_pencil_xi(mesh, shape, float(spacing), int(nbins))
+            counts, psum, rsum = fn(delta)
+            return _xi_host(
+                replicated_to_host(counts), replicated_to_host(psum),
+                replicated_to_host(rsum),
             )
         if mesh.shape.get(SPACE_AXIS, 1) > 1 or not getattr(
             delta, "is_fully_addressable", True
         ):
             fn = _make_sharded_xi(mesh, shape, float(spacing), int(nbins))
             counts, psum, rsum = fn(delta)
-            from randomfield_tpu.parallel.multihost import replicated_to_host
-
             return _xi_host(
                 replicated_to_host(counts), replicated_to_host(psum),
                 replicated_to_host(rsum),

@@ -137,18 +137,138 @@ def _bins_to_host(counts, psum, ksum):
         return ksum / counts, psum / counts, counts
 
 
-def density_velocity_correlation(delta, velocity, spacing, nbins=24):
+def _signed_axis_vectors(shape, spacing):
+    """Per-axis SIGNED minimum-image displacement vectors (numpy)."""
+    out = []
+    for n in shape:
+        i = np.arange(n)
+        out.append(
+            (np.where(i <= n // 2, i, i - n) * float(spacing)).astype(
+                np.float32
+            )
+        )
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def _make_mesh_psi(mesh, shape, spacing, nbins):
+    """Distributed psi_r(r): sharded forward transforms + per-mode
+    crosses + sharded inverses, then shard-local r-hat projection and
+    binning with one psum.  Slab and pencil meshes; nothing (fields,
+    spectra, the projection grids) is ever gathered — the r-hat
+    components are rebuilt per shard from sliced axis vectors.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel import pencil as _pencil
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+
+    nx, ny, nz = shape
+    volume = nx * ny * nz * spacing**3
+    is_pencil = _pencil.is_pencil_mesh(mesh)
+    sx, sy, sz = _signed_axis_vectors(shape, spacing)
+    edges = _r_bin_setup(shape, spacing, nbins)
+    if is_pencil:
+        px = mesh.shape[_pencil.SPX_AXIS]
+        py = mesh.shape[_pencil.SPY_AXIS]
+        nx_loc, ny_loc = nx // px, ny // py
+        in_spec = P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS, None)
+        psum_axes = (_pencil.SPX_AXIS, _pencil.SPY_AXIS)
+    else:
+        n_space = mesh.shape[SPACE_AXIS]
+        nx_loc, ny_loc = nx // n_space, ny
+        in_spec = P(None, SPACE_AXIS, None, None)
+        psum_axes = SPACE_AXIS
+
+    def _local_bins(psil):
+        # psil: (3, nx_loc, ny_loc, nz)
+        jx = (jax.lax.axis_index(_pencil.SPX_AXIS) if is_pencil
+              else jax.lax.axis_index(SPACE_AXIS))
+        sx_l = jax.lax.dynamic_slice(
+            jnp.asarray(sx), (jx * nx_loc,), (nx_loc,)
+        )
+        if is_pencil:
+            jy = jax.lax.axis_index(_pencil.SPY_AXIS)
+            sy_l = jax.lax.dynamic_slice(
+                jnp.asarray(sy), (jy * ny_loc,), (ny_loc,)
+            )
+        else:
+            sy_l = jnp.asarray(sy)
+        sz_l = jnp.asarray(sz)
+        r2 = (
+            (sx_l * sx_l)[:, None, None]
+            + (sy_l * sy_l)[None, :, None]
+            + (sz_l * sz_l)[None, None, :]
+        )
+        rmag = jnp.sqrt(r2)
+        inv = jnp.where(rmag > 0, 1.0 / jnp.where(rmag > 0, rmag, 1.0), 0.0)
+        psi_r = (
+            psil[0] * sx_l[:, None, None]
+            + psil[1] * sy_l[None, :, None]
+            + psil[2] * sz_l[None, None, :]
+        ) * inv
+        counts, psum_, rsum = _masked_bins(
+            rmag, 1.0, psi_r, jnp.asarray(edges, psi_r.dtype), nbins,
+            per_slab=True,
+        )
+        return jax.lax.psum(jnp.stack([counts, psum_, rsum]), psum_axes)
+
+    def _forward(x):
+        if is_pencil:
+            return _pencil.rfftn_pencil(x, shape, mesh)
+        return dfft.rfftn_slab(x, shape, mesh)
+
+    def _inverse(c):
+        if is_pencil:
+            return _pencil.irfftn_pencil(
+                c, shape, mesh, assume_hermitian=True,
+                input_layout="state1",
+            )
+        return dfft.irfftn_slab(c, shape, mesh, assume_hermitian=True)
+
+    @jax.jit
+    def fn(delta, velocity):
+        # rfftn here is the plain mode sum; the two field_to_spectrum
+        # a^3 factors and the two 1/V synthesis factors of the
+        # single-device path combine to sp^6 / V^2
+        scale = jnp.asarray(spacing**6 / volume**2, jnp.complex64)
+        c_d = _forward(delta)
+        psi = []
+        for j in range(3):
+            g = jnp.conj(c_d) * _forward(velocity[j]) * scale
+            psi.append(_inverse(g))
+        bins = jax.shard_map(
+            _local_bins, mesh=mesh, in_specs=in_spec, out_specs=P(),
+            check_vma=False,
+        )(jnp.stack(psi))
+        return bins[0], bins[1], bins[2]
+
+    return fn
+
+
+def density_velocity_correlation(delta, velocity, spacing, nbins=24,
+                                 mesh=None):
     """Measured psi_r(r) = <delta(x) v_r(x + r)> in |r| shells.
 
     ``velocity``: (3, nx, ny, nz) km/s (e.g.
     ``Generator.generate_velocity(seed)`` for the same seed as
     ``delta``, or ops.derived.delta_to_velocity).  Returns ``(r_mean,
     psi_r, counts)`` — psi_r in km/s, negative for infall.
+
+    With ``mesh`` (slab or pencil; fields sharded accordingly) the
+    transforms run distributed and the projection/binning is
+    shard-local with one psum — parity vs the single-device estimator
+    asserted in tests/test_velocity.py.
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
     if velocity.shape != (3, *shape):
         raise ValueError(
             f"velocity must have shape (3, *{shape}), got {velocity.shape}")
+    if mesh is not None:
+        fn = _make_mesh_psi(mesh, shape, float(spacing), int(nbins))
+        out = fn(jnp.asarray(delta), jnp.asarray(velocity))
+        return _bins_to_host(*out)
     cr, ci = _cross_spectra(delta, velocity, shape, float(spacing))
     out = _binned_psi_from_cross(cr, ci, shape, float(spacing), int(nbins))
     return _bins_to_host(*out)
@@ -217,16 +337,24 @@ def predicted_density_velocity_correlation(power, shape, spacing,
     return _bins_to_host(*out)
 
 
-def pairwise_velocity(delta, velocity, spacing, nbins=24):
+def pairwise_velocity(delta, velocity, spacing, nbins=24, mesh=None):
     """Measured linear-order mean pairwise velocity v12(r) [km/s].
 
     v12 = 2 psi_r / (1 + xi) with psi_r and xi measured from the same
     fields in the same |r| shells.  Returns ``(r_mean, v12, counts)``;
-    negative = infall.
+    negative = infall.  ``mesh``: run both two-point measurements
+    distributed (slab or pencil for psi_r; xi(r) supports slab — see
+    validate/stats.py:calculate_correlation).
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
     r, psi, counts = density_velocity_correlation(delta, velocity, spacing,
-                                                  nbins)
+                                                  nbins, mesh=mesh)
+    if mesh is not None:
+        from randomfield_tpu.validate.stats import calculate_correlation
+
+        xi = calculate_correlation(delta, spacing, nbins, mesh=mesh)[1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return r, 2.0 * psi / (1.0 + xi), counts
     p = _mode_power(delta, shape, float(spacing))
     p = p.at[0, 0, 0].set(0.0)
     cx, xs, _ = _binned_xi_from_power_grid(p, shape, float(spacing),

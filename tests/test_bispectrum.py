@@ -288,3 +288,35 @@ def test_tree_bispectrum_mc_gate():
     amp = np.sum(mean * pred / sem**2) / wsum
     amp_err = 1.0 / np.sqrt(wsum)
     assert abs(amp - 1.0) < max(5.0 * amp_err, 0.05), (amp, amp_err)
+
+
+def test_mesh_bispectrum_matches_single_device():
+    """Slab + pencil distributed bispectrum equals the single-device
+    estimator (same bins/triads; sharded shell synthesis + psums)."""
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    shape, spacing = (16, 16, 16), 4.0
+    g = Generator(*shape, grid_spacing=spacing)
+    delta = g.generate_delta_field(seed=3)
+    k0, t0, b0, n0 = calculate_bispectrum(delta, spacing, nbins=4)
+    for mesh in (make_mesh(data=1, space=4),
+                 make_pencil_mesh(data=1, spx=2, spy=2)):
+        k1, t1, b1, n1 = calculate_bispectrum(
+            delta, spacing, nbins=4, mesh=mesh
+        )
+        np.testing.assert_array_equal(t1, t0)
+        np.testing.assert_allclose(n1, n0, rtol=1e-4, atol=0.1)
+        np.testing.assert_allclose(
+            b1, b0, rtol=5e-4, atol=1e-4 * np.abs(b0).max()
+        )
+
+
+def test_generator_mesh_bispectrum_runs():
+    from randomfield_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=1, space=2)
+    g = Generator(16, 16, 16, grid_spacing=4.0, mesh=mesh)
+    d = g.generate_delta_field(seed=1)
+    k, t, b, n = g.calculate_bispectrum(d, nbins=3)
+    assert np.isfinite(b).all() and (n > 0).all()

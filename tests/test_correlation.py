@@ -235,14 +235,8 @@ def test_mesh_correlation_matches_single_device():
         np.testing.assert_allclose(r, r0, rtol=1e-5)
         m = c0 > 0
         np.testing.assert_allclose(xi[m], xi0[m], rtol=5e-3, atol=5e-6)
-    # pencil meshes are rejected loudly
-    from randomfield_tpu.parallel.pencil import make_pencil_mesh
-    import pytest as _pytest
-
-    pm = make_pencil_mesh(data=1, spx=2, spy=2)
-    with _pytest.raises(ValueError, match="pencil"):
-        stats.calculate_correlation(np.zeros((8, 8, 8), np.float32), 1.0,
-                                    mesh=pm)
+    # pencil meshes run their own distributed path (round-4 change);
+    # parity is asserted in test_pencil_correlation_matches_single_device
 
 
 def test_spherical_bessels_against_legendre_integral():
@@ -306,3 +300,22 @@ def test_theory_multipoles_match_grid_expectation():
                                atol=0.03 * scale, rtol=0.3)
     np.testing.assert_allclose(xi_th[2], xi_grid[2][m],
                                atol=0.08 * scale, rtol=0.0)
+
+
+def test_pencil_correlation_matches_single_device():
+    from randomfield_tpu import Generator
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+    from randomfield_tpu.validate.stats import calculate_correlation
+
+    shape, spacing = (16, 16, 16), 4.0
+    g = Generator(*shape, grid_spacing=spacing)
+    delta = g.generate_delta_field(seed=6)
+    r0, xi0, n0 = calculate_correlation(delta, spacing, nbins=10)
+    mesh = make_pencil_mesh(data=1, spx=2, spy=2)
+    r1, xi1, n1 = calculate_correlation(delta, spacing, nbins=10, mesh=mesh)
+    np.testing.assert_allclose(n1, n0, rtol=1e-6)
+    m = n0 > 0
+    np.testing.assert_allclose(r1[m], r0[m], rtol=1e-5)
+    np.testing.assert_allclose(
+        xi1[m], xi0[m], rtol=5e-4, atol=1e-4 * np.nanmax(np.abs(xi0))
+    )

@@ -140,3 +140,24 @@ def test_white_marked_power_runs_and_differs():
         delta, spacing, nbins=10, mark=lambda dr: jnp.ones_like(dr)
     )
     np.testing.assert_array_equal(pc, pp)
+
+
+def test_mesh_marked_power_matches_single_device():
+    """Distributed marked P(k) (slab + pencil smoothing + estimator)
+    equals the single-device one."""
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    shape, spacing = (16, 16, 16), 4.0
+    g = Generator(*shape, grid_spacing=spacing)
+    delta = g.generate_delta_field(seed=4, apply_lightcone=False)
+    k0, p0, n0 = marked.calculate_marked_power(delta, spacing, nbins=8)
+    for mesh in (make_mesh(data=1, space=4),
+                 make_pencil_mesh(data=1, spx=2, spy=2)):
+        k1, p1, n1 = marked.calculate_marked_power(
+            delta, spacing, nbins=8, mesh=mesh
+        )
+        np.testing.assert_allclose(n1, n0, rtol=1e-6)
+        m = n0 > 0
+        np.testing.assert_allclose(k1[m], k0[m], rtol=1e-5)
+        np.testing.assert_allclose(p1[m], p0[m], rtol=1e-3)

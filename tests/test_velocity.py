@@ -44,7 +44,12 @@ def test_seed_direct_velocity_matches_prediction_statistically():
     nbins = 10
     g = Generator(*shape, spacing, power="eh98")
     psis = []
-    for seed in range(10):
+    # 60 seeds: the outer bins are dominated by the box's few largest
+    # modes, so small ensembles land correlated multi-bin excursions
+    # (the round-4 canonical-stream change re-drew the ensemble and the
+    # old 10-seed sample sat at ~1.1x the allowance; 60 seeds measure
+    # z < 1 in every bin)
+    for seed in range(60):
         d = g.generate_delta_field(seed, apply_lightcone=False)
         v = g.generate_velocity(seed)
         _, psi, counts = vv.density_velocity_correlation(d, v, spacing,
@@ -121,3 +126,33 @@ def test_continuum_limit_big_box():
     np.testing.assert_allclose(psi[good], psi_cont,
                                rtol=0.12, atol=0.02 * np.abs(psi_cont).max())
     assert np.all(v12_cont < 0)
+
+
+def test_mesh_psi_matches_single_device():
+    """Distributed psi_r / v12 (slab + pencil) equal the single-device
+    estimator on the same fields."""
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    shape, spacing = (16, 16, 16), 4.0
+    g = Generator(*shape, grid_spacing=spacing)
+    delta = g.generate_delta_field(seed=2, apply_lightcone=False)
+    vel = g.generate_velocity(seed=2)
+    r0, psi0, c0 = vv.density_velocity_correlation(delta, vel, spacing)
+    rv0, v0, _ = vv.pairwise_velocity(delta, vel, spacing)
+    for mesh in (make_mesh(data=1, space=4),
+                 make_pencil_mesh(data=1, spx=2, spy=2)):
+        r1, psi1, c1 = vv.density_velocity_correlation(
+            delta, vel, spacing, mesh=mesh
+        )
+        np.testing.assert_allclose(c1, c0, rtol=1e-6)
+        m = c0 > 0
+        np.testing.assert_allclose(r1[m], r0[m], rtol=1e-5)
+        np.testing.assert_allclose(
+            psi1[m], psi0[m], rtol=5e-4,
+            atol=1e-4 * np.nanmax(np.abs(psi0)),
+        )
+        rv1, v1, _ = vv.pairwise_velocity(delta, vel, spacing, mesh=mesh)
+        np.testing.assert_allclose(
+            v1[m], v0[m], rtol=5e-4, atol=1e-4 * np.nanmax(np.abs(v0))
+        )
