@@ -210,7 +210,8 @@ def shot_noise(weights, volume, counts=True):
 
 
 def catalog_power(positions, spacing, shape=None, weights=1.0, nbins=32,
-                  window="cic", subtract_shot_noise=None, interlaced=False):
+                  window="cic", subtract_shot_noise=None, interlaced=False,
+                  mesh=None):
     """P(k) of a particle catalog: paint, deconvolve, bin, de-noise.
 
     Paints with ``window``, estimates P(k) with that window deconvolved
@@ -239,6 +240,33 @@ def catalog_power(positions, spacing, shape=None, weights=1.0, nbins=32,
     shape = tuple(int(s) for s in shape)
     if subtract_shot_noise is None:
         subtract_shot_noise = jnp.ndim(weights) > 0
+    if mesh is not None:
+        # pod path: sharded painting (parallel/paint.py) + the sharded
+        # deconvolving estimator — the grid never gathers.  Interlacing
+        # needs the half-cell-shifted second grid phase-aligned per
+        # mode; not wired for meshes yet.
+        if interlaced:
+            raise ValueError("interlaced=True is single-device; drop mesh=")
+        from randomfield_tpu.parallel.paint import paint_sharded
+
+        delta, _ = paint_sharded(
+            np.asarray(positions).reshape(3, -1), shape, float(spacing),
+            mesh, weights=np.broadcast_to(
+                np.asarray(weights, np.float32),
+                np.asarray(positions).reshape(3, -1).shape[1:],
+            ), window=window,
+        )
+        k, p, n = _stats.calculate_power(
+            delta, float(spacing), nbins=int(nbins), window=window,
+            mesh=mesh,
+        )
+        if subtract_shot_noise:
+            w = (weights if jnp.ndim(weights)
+                 else jnp.full(np.asarray(positions).reshape(3, -1).shape[1:],
+                               weights))
+            volume = shape[0] * shape[1] * shape[2] * float(spacing) ** 3
+            p = p - shot_noise(np.asarray(w), volume)
+        return k, p, n
     delta, _ = paint(positions, shape, float(spacing), weights, window)
     delta2 = None
     if interlaced:

@@ -37,8 +37,10 @@ The 2015 reference package has no survey estimator layer (SURVEY.md
 section 0: clustering estimators are framework-side capability
 expansion); this module pairs with validate/stats.py's mask
 pseudo-P(k) (known window deconvolution) by handling the
-catalog-level workflow instead.  Single-device validation-scale tool,
-like all catalog painting (models/zeldovich.py).
+catalog-level workflow instead.  With ``mesh=`` the painting shards
+over the slab x axis (parallel/paint.py) and the estimator runs
+distributed with window deconvolution — the survey grid never gathers;
+interlacing remains single-device.
 """
 
 from __future__ import annotations
@@ -106,7 +108,8 @@ def _prep_catalog(positions, weights, nbar, p0, name, counts=False):
 
 def _fkp_field(data, randoms, spacing, shape, data_weights, randoms_weights,
                nbar_data, nbar_randoms, p0, window, shift=0.0,
-               data_are_counts=False, randoms_are_counts=False):
+               data_are_counts=False, randoms_are_counts=False,
+               mesh=None):
     """Paint and normalize the FKP fluctuation field; returns the
     scaled grid plus (alpha, i22, shot terms).  A ``*_are_counts``
     catalog holds per-cell Poisson COUNTS at lattice positions
@@ -144,10 +147,24 @@ def _fkp_field(data, randoms, spacing, shape, data_weights, randoms_weights,
     if shift:
         pos_d = pos_d + shift
         pos_r = pos_r + shift
-    d_mass = _paint(pos_d, jnp.asarray(w_d, dtype), shape, spacing,
-                    orders[window])
-    r_mass = _paint(pos_r, jnp.asarray(w_r, dtype), shape, spacing,
-                    orders[window])
+    if mesh is not None:
+        # pod path: both catalogs paint sharded (parallel/paint.py);
+        # the mass grid is (1 + delta) * mean by that painter's contract
+        from randomfield_tpu.parallel.paint import paint_sharded
+
+        dd, dm = paint_sharded(np.asarray(pos_d), shape, spacing, mesh,
+                               weights=np.asarray(w_d, np.float32),
+                               window=window)
+        rd, rm = paint_sharded(np.asarray(pos_r), shape, spacing, mesh,
+                               weights=np.asarray(w_r, np.float32),
+                               window=window)
+        d_mass = (dd + 1.0) * dtype.type(dm)
+        r_mass = (rd + 1.0) * dtype.type(rm)
+    else:
+        d_mass = _paint(pos_d, jnp.asarray(w_d, dtype), shape, spacing,
+                        orders[window])
+        r_mass = _paint(pos_r, jnp.asarray(w_r, dtype), shape, spacing,
+                        orders[window])
     # calculate_power computes |V_cell DFT(f)|^2 / V; the FKP spectrum
     # is |DFT(D - alpha R)|^2 / I22, so scale by sqrt(V) / (V_cell
     # sqrt(I22))
@@ -166,7 +183,7 @@ def fkp_power(data, randoms, spacing, shape, data_weights=1.0,
               randoms_weights=1.0, nbar_data=None, nbar_randoms=None,
               p0=0.0, nbins=32, window="cic", interlaced=False,
               randoms_are_poisson=True, data_are_counts=False,
-              randoms_are_counts=False):
+              randoms_are_counts=False, mesh=None):
     """FKP P(k) of a survey catalog against a randoms catalog.
 
     ``data``/``randoms``: (3, N) positions [Mpc/h] on the periodic
@@ -183,11 +200,13 @@ def fkp_power(data, randoms, spacing, shape, data_weights=1.0,
     """
     from randomfield_tpu.validate import stats as _stats
 
+    if mesh is not None and interlaced:
+        raise ValueError("interlaced=True is single-device; drop mesh=")
     kw = dict(data_are_counts=data_are_counts,
               randoms_are_counts=randoms_are_counts)
     f, alpha, i22, shot_d, shot_r = _fkp_field(
         data, randoms, spacing, shape, data_weights, randoms_weights,
-        nbar_data, nbar_randoms, p0, window, **kw)
+        nbar_data, nbar_randoms, p0, window, mesh=mesh, **kw)
     f2 = None
     if interlaced:
         f2 = _fkp_field(
@@ -195,7 +214,8 @@ def fkp_power(data, randoms, spacing, shape, data_weights=1.0,
             nbar_data, nbar_randoms, p0, window, shift=float(spacing) / 2.0,
             **kw)[0]
     k, p, n = _stats.calculate_power(f, float(spacing), nbins=int(nbins),
-                                     window=window, interlaced_with=f2)
+                                     window=window, interlaced_with=f2,
+                                     mesh=mesh)
     shot = _shot(i22, shot_d, shot_r, alpha, randoms_are_poisson)
     return FKPPower(k, p - shot, n, shot, alpha, i22)
 

@@ -305,10 +305,10 @@ def calculate_power(delta, spacing, nbins=32, mesh=None, window=None,
         raise ValueError(
             f"unknown window {window!r}: expected None, 'ngp', 'cic' or 'tsc'"
         )
-    if (window is not None or interlaced_with is not None) and mesh is not None:
+    if interlaced_with is not None and mesh is not None:
         raise ValueError(
-            "window deconvolution / interlacing is single-device (catalog "
-            "painting is a validation-scale tool); drop mesh= or window="
+            "interlacing is single-device (pass the two painted grids "
+            "unsharded); window deconvolution DOES compose with mesh="
         )
     if interlaced_with is not None:
         counts, psum, ksum = _binned(
@@ -316,11 +316,16 @@ def calculate_power(delta, spacing, nbins=32, mesh=None, window=None,
             _WINDOW_ORDERS[window], jnp.asarray(interlaced_with),
         )
         return _bins_to_host(counts, psum, ksum)
+    worder = _WINDOW_ORDERS[window] or 0
     if mesh is not None and is_pencil_mesh(mesh):
-        fn = _make_pencil_binned(mesh, shape, float(spacing), int(nbins))
+        fn = _make_pencil_binned(
+            mesh, shape, float(spacing), int(nbins), order=worder
+        )
         counts, psum, ksum = fn(delta)
     elif mesh is not None and mesh.shape.get(SPACE_AXIS, 1) > 1:
-        fn = _make_sharded_binned(mesh, shape, float(spacing), int(nbins))
+        fn = _make_sharded_binned(
+            mesh, shape, float(spacing), int(nbins), order=worder
+        )
         counts, psum, ksum = fn(delta)
     elif (
         window is None
@@ -657,8 +662,13 @@ def _make_sharded_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
     return fn
 
 
+def _sinc_half(k, spacing):
+    x = np.asarray(k, np.float64) * (spacing / 2.0)
+    return np.where(x != 0, np.sin(x) / np.where(x != 0, x, 1.0), 1.0)
+
+
 @functools.lru_cache(maxsize=16)
-def _make_sharded_binned(mesh, shape, spacing, nbins):
+def _make_sharded_binned(mesh, shape, spacing, nbins, order=0):
     from jax.sharding import PartitionSpec as P
 
     from randomfield_tpu.parallel import dfft
@@ -672,6 +682,13 @@ def _make_sharded_binned(mesh, shape, spacing, nbins):
     ny_loc = ny // n_space
     edges, mult = _bin_setup(shape, spacing, nbins)
     kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+    # mass-assignment deconvolution (order = NGP 1 / CIC 2 / TSC 3):
+    # the separable sinc factors slice exactly like the k vectors, so
+    # deconvolution costs one shard-local multiply — no gathered window
+    # grid (the single-device path's _assignment_window)
+    wx = _sinc_half(kx, spacing) ** order
+    wy = _sinc_half(ky, spacing) ** order
+    wz = _sinc_half(kz, spacing) ** order
 
     def _local_bins(cl):
         # cl: (nx, ny/P, nzh) local block of the packed spectrum
@@ -683,6 +700,16 @@ def _make_sharded_binned(mesh, shape, spacing, nbins):
             + jnp.asarray(kz * kz)[None, None, :]
         ).astype(cl.real.dtype)
         p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        if order:
+            wy_l = jax.lax.dynamic_slice(
+                jnp.asarray(wy), (j * ny_loc,), (ny_loc,)
+            )
+            w2 = (
+                jnp.asarray(wx)[:, None, None]
+                * wy_l[None, :, None]
+                * jnp.asarray(wz)[None, None, :]
+            ) ** 2
+            p = p / w2.astype(p.dtype)
         counts, psum_, ksum = _masked_bins(
             jnp.broadcast_to(km, p.shape), jnp.asarray(mult)[None, None, :],
             p, jnp.asarray(edges, p.dtype), nbins, per_slab=True,
@@ -902,7 +929,7 @@ def _make_pencil_wedges(mesh, shape, spacing, nbins, nmu, los_axis):
 
 
 @functools.lru_cache(maxsize=16)
-def _make_pencil_binned(mesh, shape, spacing, nbins):
+def _make_pencil_binned(mesh, shape, spacing, nbins, order=0):
     """Pencil-mesh P(k): distributed forward FFT + shard-local binning.
 
     The spectrum comes back in pencil state 1 (ky over 'spx', kz over
@@ -931,6 +958,10 @@ def _make_pencil_binned(mesh, shape, spacing, nbins):
     kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
     kz_p = np.zeros(nzp, kz.dtype)
     kz_p[:nzh] = kz
+    wx = _sinc_half(kx, spacing) ** order
+    wy = _sinc_half(ky, spacing) ** order
+    wz_p = np.ones(nzp, np.float64)
+    wz_p[:nzh] = _sinc_half(kz, spacing) ** order
 
     def _local_bins(cl):
         j = jax.lax.axis_index(_pencil.SPX_AXIS)
@@ -946,6 +977,19 @@ def _make_pencil_binned(mesh, shape, spacing, nbins):
             + (kz_l * kz_l)[None, None, :]
         ).astype(cl.real.dtype)
         p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        if order:
+            wy_l = jax.lax.dynamic_slice(
+                jnp.asarray(wy), (j * ny_loc,), (ny_loc,)
+            )
+            wz_l = jax.lax.dynamic_slice(
+                jnp.asarray(wz_p), (m * nz_loc,), (nz_loc,)
+            )
+            w2 = (
+                jnp.asarray(wx)[:, None, None]
+                * wy_l[None, :, None]
+                * wz_l[None, None, :]
+            ) ** 2
+            p = p / w2.astype(p.dtype)
         counts, psum_, ksum = _masked_bins(
             jnp.broadcast_to(km, p.shape), mult_l[None, None, :], p,
             jnp.asarray(edges, p.dtype), nbins, per_slab=True,

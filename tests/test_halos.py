@@ -138,11 +138,16 @@ def test_cross_bin_power_tracks_b1_b2():
     p_hat = np.mean(acc, axis=0)
     _, p_exp, cnt = hg.predicted_halo_power(0, bin_index2=1, nbins=nbins)
     good = cnt > 8
-    sig = p_exp * np.sqrt(2.0 / (nseeds * np.maximum(cnt, 1)))
-    # shot noise in each auto channel leaks into the cross ESTIMATOR's
-    # variance (not its mean): generous 6 sigma + 15%
+    # allowance from the EMPIRICAL per-seed scatter: the b ~ 2 tracer is
+    # exp(2 g) — far too heavy-tailed for the Gaussian mode-count sigma
+    # (which underestimates the estimator std several-fold and made this
+    # gate stream-draw roulette), and shot noise in each auto channel
+    # leaks into the cross estimator's variance too
+    sem = np.std(acc, axis=0, ddof=1) / np.sqrt(nseeds)
     resid = np.abs(p_hat[good] - p_exp[good])
-    assert np.all(resid < 6 * sig[good] + 0.15 * np.abs(p_exp[good]))
+    assert np.all(resid < 5 * sem[good] + 0.05 * np.abs(p_exp[good])), (
+        resid / (5 * sem[good] + 0.05 * np.abs(p_exp[good]))
+    )
 
 
 def test_combined_catalog_power_matches_prediction():
