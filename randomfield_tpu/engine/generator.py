@@ -272,7 +272,11 @@ def _as_key(seed):
     return jax.random.key(int(seed))
 
 
-class Generator:
+from randomfield_tpu.engine.constrained_api import ConstrainedMixin
+from randomfield_tpu.engine.measure import MeasurementMixin
+
+
+class Generator(MeasurementMixin, ConstrainedMixin):
     """Generate 3-D Gaussian random density fields with a given P(k).
 
     Parameters (mirroring randomfield/generate.py:Generator.__init__):
@@ -1004,95 +1008,6 @@ class Generator:
             nested=self._nested,
         )
 
-    def calculate_power(self, delta, nbins=32):
-        """Realized binned P(k) of a rendered field (validation helper)."""
-        from randomfield_tpu.validate import stats
-
-        return stats.calculate_power(
-            delta, self.scene.grid_spacing, nbins, mesh=self.mesh
-        )
-
-    def calculate_minkowski(self, delta, nbins=24, nu_max=3.0,
-                            sigma0=None):
-        """Minkowski functional densities (v0..v3) of a rendered field.
-
-        Morphological validation beyond two-point statistics: spectral
-        derivatives + threshold binning (validate/minkowski.py); gate
-        against :meth:`predicted_minkowski`.  Pass ``sigma0`` (e.g. the
-        predicted one) so the threshold units are noise-free.  Mesh
-        scenes run the fully distributed program (slab AND pencil).
-        Returns ``(nu, v0, v1, v2, v3)``.
-        """
-        from randomfield_tpu.validate import minkowski as _mk
-
-        return _mk.minkowski_functionals(
-            delta, self.scene.grid_spacing, nbins=nbins, nu_max=nu_max,
-            sigma0=sigma0, mesh=self.mesh,
-        )
-
-    def predicted_minkowski(self, nu, smoothing_length=0.0):
-        """Exact Gaussian expectations of :meth:`calculate_minkowski`.
-
-        Tomita closed forms with the band-limited spectral moments
-        (sigma0, sigma1) computed from this scene's discrete modes with
-        the same interpolation / smoothing / Nyquist-zeroed gradient
-        vectors as the render and the estimator.  Returns
-        ``(v0, v1, v2, v3)`` at thresholds ``nu``.
-        """
-        from randomfield_tpu.validate import minkowski as _mk
-
-        s0sq, s1sq = _mk.spectral_moments(
-            self._aux["power"], self.scene.shape, self.scene.grid_spacing,
-            smoothing_length=smoothing_length,
-            interpolation=self.scene.interpolation,
-        )
-        return _mk.gaussian_minkowski(nu, s0sq, s1sq)
-
-    def calculate_peaks(self, delta, nbins=14, nu_min=-2.0, nu_max=5.0,
-                        sigma0=None):
-        """Lattice peak counts of a rendered field, binned by height.
-
-        BBKS validation axis: local maxima of the 27-cube, heights in
-        units of ``sigma0`` (pass the predicted one when gating against
-        :meth:`predicted_peaks`).  Mesh scenes run fully distributed
-        (rolled-max halo exchanges over the spatial axes; slab AND
-        pencil).  Render with ``smoothing_length`` of ~3+ cells so
-        lattice maxima track continuum maxima (validate/peaks.py).
-        Returns ``(nu_centers, counts, total)``.
-        """
-        from randomfield_tpu.validate import peaks as _pk
-
-        return _pk.peak_statistics(
-            delta, self.scene.grid_spacing, nbins=nbins, nu_min=nu_min,
-            nu_max=nu_max, sigma0=sigma0, mesh=self.mesh,
-        )
-
-    def predicted_peaks(self, nbins=14, nu_min=-2.0, nu_max=5.0,
-                        smoothing_length=0.0):
-        """BBKS expectations of :meth:`calculate_peaks`.
-
-        Exact differential peak density (BBKS 1986 eqs. 4.3-4.5, A15)
-        with spectral moments sigma0/sigma1/sigma2 from this scene's
-        discrete modes (full |k|^{2j} weights — matched to neighbor
-        comparison, see validate/peaks.py).  Returns ``(nu_centers,
-        expected_counts, expected_total)``; the total integrates the
-        closed form over ALL heights, not just the binned range.
-        """
-        from randomfield_tpu.validate import peaks as _pk
-
-        moments = _pk.bbks_moments(
-            self._aux["power"], self.scene.shape, self.scene.grid_spacing,
-            smoothing_length=smoothing_length,
-            interpolation=self.scene.interpolation,
-        )
-        edges = np.linspace(float(nu_min), float(nu_max), int(nbins) + 1)
-        volume = (
-            float(np.prod(self.scene.shape))
-            * float(self.scene.grid_spacing) ** 3
-        )
-        counts, total = _pk.bbks_expected_counts(edges, volume, *moments)
-        return 0.5 * (edges[:-1] + edges[1:]), counts, total
-
     def generate_nongaussian_field(self, seed, fnl, kind="field",
                                    smoothing_length=0.0):
         """Local-f_NL non-Gaussian realization (models/nongaussian.py).
@@ -1108,93 +1023,6 @@ class Generator:
 
         return _ng.generate_local_ng_field(
             self, seed, fnl, kind=kind, smoothing_length=smoothing_length
-        )
-
-    def predicted_ng_bispectrum(self, fnl, kind="field",
-                                smoothing_length=0.0, nbins=8,
-                                kmin=None, kmax=None):
-        """Exact binned tree-level bispectrum of a local-f_NL render.
-
-        Same bins/triads as :meth:`calculate_bispectrum`; returns
-        ``(k_centers, triples, B_pred, ntri)``.
-        """
-        from randomfield_tpu.models import nongaussian as _ng
-
-        return _ng.predicted_ng_bispectrum(
-            self._aux["power"], self.scene.shape, self.scene.grid_spacing,
-            fnl, kind=kind, cosmology=self.cosmology,
-            smoothing_length=smoothing_length, nbins=nbins, kmin=kmin,
-            kmax=kmax, interpolation=self.scene.interpolation,
-        )
-
-    def calculate_stacked_profile(self, delta, weight, nbins=24):
-        """Mean field value in radial shells around weighted positions.
-
-        One FFT cross-correlation + the xi(r) minimum-image binning
-        (validate/profiles.py).  ``weight`` is any non-negative
-        selection field on the grid (height-band mask, peak indicator,
-        tracer counts).  Returns ``(r_mean, profile, n_cells)``.
-        """
-        from randomfield_tpu.validate import profiles as _pf
-
-        return _pf.stacked_profile(
-            delta, weight, self.scene.grid_spacing, nbins=nbins
-        )
-
-    def calculate_peak_profile(self, delta, nu_min=1.0, nu_max=None,
-                               nbins=24, smoothing_length=0.0):
-        """Stacked profile around lattice peaks in a height band.
-
-        ``smoothing_length`` must match the render so the normalizing
-        spectral moments are the field's own.  Returns ``(r_mean,
-        profile, n_peaks, nu_bar, x_bar)``; feed the measured
-        ``nu_bar``/``x_bar`` to :meth:`predicted_peak_profile`.
-        """
-        from randomfield_tpu.validate import peaks as _pk
-        from randomfield_tpu.validate import profiles as _pf
-
-        moments = _pk.bbks_moments(
-            self._aux["power"], self.scene.shape, self.scene.grid_spacing,
-            smoothing_length=smoothing_length,
-            interpolation=self.scene.interpolation,
-        )
-        return _pf.peak_profile(
-            delta, self.scene.grid_spacing, moments, nu_min=nu_min,
-            nu_max=nu_max, nbins=nbins,
-        )
-
-    def predicted_peak_profile(self, nu_bar, x_bar=None, nbins=24,
-                               smoothing_length=0.0):
-        """Exact Gaussian expectation of a stacked profile.
-
-        ``x_bar=None``: the value-selected conditional mean
-        ``nu_bar sigma0 psi(r)`` (exact for any height-band mask).
-        With ``x_bar``: the BBKS angle-averaged peak profile with the
-        curvature term.  Binned identically to the estimator.  Returns
-        ``(r_mean, profile)``.
-        """
-        from randomfield_tpu.validate import profiles as _pf
-
-        return _pf.predicted_peak_profile(
-            self._aux["power"], self.scene.shape, self.scene.grid_spacing,
-            nu_bar, x_bar=x_bar, smoothing_length=smoothing_length,
-            nbins=nbins, interpolation=self.scene.interpolation,
-        )
-
-    def calculate_bispectrum(self, delta, nbins=8, kmin=None, kmax=None):
-        """Binned bispectrum of a rendered field (third-order gate).
-
-        Zero in expectation for the Gaussian fields this Generator
-        renders; nonzero for the nonlinear model generators (lognormal,
-        Zel'dovich/2LPT) — see validate/bispectrum.py for conventions.
-        Mesh scenes run the distributed shell estimator (shell fields
-        stay sharded; nbins/P of the grid per device).
-        """
-        from randomfield_tpu.validate import bispectrum
-
-        return bispectrum.calculate_bispectrum(
-            delta, self.scene.grid_spacing, nbins, kmin=kmin, kmax=kmax,
-            mesh=self.mesh,
         )
 
     def sample_power(self, seed=0, smoothing_length=0.0, nbins=32):
@@ -1555,438 +1383,3 @@ class Generator:
         return self._derived_from_kernel(
             seed, "kaiser", int(los_axis), (b, fv), smoothing_length
         )
-
-    def predicted_kaiser_multipoles(self, z=0.0, bias=1.0, f=None,
-                                    los_axis=2, nbins=32, ells=(0, 2, 4),
-                                    smoothing_length=0.0):
-        """Exact per-bin expectation of a Kaiser render's P_ell(k).
-
-        Interpolates P onto this grid's discrete modes (same
-        interpolation and smoothing as the render), applies
-        ``(b + f mu^2)^2`` per mode, and bins with exactly the Legendre
-        weights, bins and masks of ``calculate_power_multipoles``
-        (validate/stats.py:bin_power_multipoles_grid) — so
-        measured-vs-predicted residuals on
-        :meth:`generate_kaiser_field` renders are pure sample noise,
-        including incomplete-shell mu-coverage effects the continuum
-        Kaiser formula misses.  Returns ``(k_mean, p_ell, n_modes)``
-        with ``p_ell`` shaped ``(len(ells), nbins)``.
-        """
-        from randomfield_tpu.validate import stats as _stats
-
-        pgrid = self._kaiser_pgrid(z, bias, f, los_axis, smoothing_length)
-        return _stats.bin_power_multipoles_grid(
-            pgrid, self.scene.shape, self.scene.grid_spacing,
-            nbins=nbins, ells=ells, los_axis=int(los_axis),
-        )
-
-    def _kaiser_pgrid(self, z, bias, f, los_axis, smoothing_length):
-        """Per-mode ``(b + f mu^2)^2 P(k)`` expectation half-grid with
-        the render's interpolation and smoothing."""
-        b, fv = self._kaiser_bf(z, bias, f)
-        shape, sp = self.scene.shape, self.scene.grid_spacing
-        kmag = _grid.kmag(shape, sp, jnp.float32)
-        pgrid = _power.interpolate_power(
-            self.power, kmag, self.scene.interpolation
-        )
-        pgrid = jnp.where(kmag > 0, pgrid, 0.0)
-        if smoothing_length:
-            pgrid = pgrid * jnp.exp(-(kmag * float(smoothing_length)) ** 2)
-        kv = _grid.kvectors(shape, sp)
-        k_los = jnp.asarray(kv[int(los_axis)], jnp.float32)
-        bcast = [None, None, None]
-        bcast[int(los_axis)] = slice(None)
-        k2 = kmag * kmag
-        inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
-        mu2 = (k_los * k_los)[tuple(bcast)] * inv
-        return pgrid * (b + fv * mu2) ** 2
-
-    def predicted_kaiser_multipole_covariance(self, z=0.0, bias=1.0,
-                                              f=None, los_axis=2, nbins=32,
-                                              ells=(0, 2, 4),
-                                              smoothing_length=0.0):
-        """Exact Gaussian covariance blocks of a Kaiser render's P_ell.
-
-        Companion of :meth:`predicted_kaiser_multipoles`: the same
-        per-mode expectation grid pushed through
-        ``validate.ensemble.predicted_multipole_covariance`` — the
-        (nbins, nells, nells) within-bin covariance across multipoles
-        of :meth:`generate_kaiser_field` +
-        ``calculate_power_multipoles`` estimates, exact mode by mode
-        for this grid (survey-forecast normal-equations input; see
-        also models/fisher.py for the derivative side).
-        """
-        from randomfield_tpu.validate import ensemble as _ensemble
-
-        pgrid = self._kaiser_pgrid(z, bias, f, los_axis, smoothing_length)
-        return _ensemble.predicted_multipole_covariance(
-            pgrid, self.scene.shape, self.scene.grid_spacing,
-            nbins=nbins, ells=ells, los_axis=int(los_axis),
-        )
-
-    def predicted_kaiser_wedges(self, z=0.0, bias=1.0, f=None, los_axis=2,
-                                nbins=32, nmu=4, smoothing_length=0.0):
-        """Exact per-bin expectation of a Kaiser render's P(k, mu) wedges.
-
-        The clustering-wedge companion of
-        :meth:`predicted_kaiser_multipoles`: the same per-mode
-        ``(b + f mu^2)^2 P(k)`` expectation binned with exactly the
-        joint (|k|, |mu|) bins, multiplicities and masks of
-        ``validate.stats.calculate_power_wedges`` — residuals on
-        :meth:`generate_kaiser_field` renders are pure sample noise.
-        Returns ``(k_mean, p, n_modes)`` with ``p``/``n_modes`` shaped
-        ``(nbins, nmu)``.
-        """
-        from randomfield_tpu.validate import stats as _stats
-
-        pgrid = self._kaiser_pgrid(z, bias, f, los_axis, smoothing_length)
-        return _stats.bin_power_wedges_grid(
-            pgrid, self.scene.shape, self.scene.grid_spacing,
-            nbins=nbins, nmu=nmu, los_axis=int(los_axis),
-        )
-
-    # ---- constrained realizations / data-conditioned sampling ---------------
-    def _require_constrainable(self, what, allow_mesh=False):
-        if self.mesh is not None:
-            if allow_mesh:
-                return
-            raise ValueError(
-                f"{what} needs a single-device fused scene with a "
-                "materialized sigma grid (sampler='threefry' or 'nested', "
-                "pipeline='fused', mesh=None)"
-            )
-        if (self.state.sigmas is None or self._layout != "xyz"
-                or self.sampler == "pallas"):
-            raise ValueError(
-                f"{what} needs a single-device fused scene with a "
-                "materialized sigma grid (sampler='threefry' or 'nested', "
-                "pipeline='fused', mesh=None)"
-            )
-
-    def _packed_constraints(self, constraints):
-        from randomfield_tpu.models import constrained as _con
-
-        return _con.pack_constraints(
-            constraints, self.scene.shape, self.scene.grid_spacing,
-            self._dtype,
-        )
-
-    def constraint_matrix(self, constraints, smoothing_length=0.0):
-        """The M x M covariance matrix of the constraint functionals.
-
-        xi_ij = <Gamma_i Gamma_j> under this scene's P(k) (and optional
-        render smoothing) — host float64.  Inspect its conditioning
-        before trusting a large constraint set (models/constrained.py).
-        """
-        from randomfield_tpu.models import constrained as _con
-
-        self._require_constrainable("constraint_matrix", allow_mesh=True)
-        pos, scales, _ = self._packed_constraints(constraints)
-        gram = self._constraint_gram_cached(
-            pos, scales, float(smoothing_length)
-        )
-        from randomfield_tpu.parallel.multihost import replicated_to_host
-
-        return np.asarray(replicated_to_host(gram), np.float64)
-
-    def generate_constrained_field(self, seed, constraints,
-                                   smoothing_length=0.0,
-                                   apply_lightcone=False):
-        """Hoffman-Ribak constrained realization of this scene (snapshot).
-
-        Each constraint pins the Gaussian-smoothed field value at a
-        comoving position EXACTLY (per realization, not just on average)
-        while the field everywhere else keeps the correct conditional
-        ensemble statistics: ``constraints`` is an iterable of
-        ``(position, value, scale)`` tuples or dicts — see
-        models/constrained.py:pack_constraints.  Constraints are defined
-        on the unweighted snapshot; ``apply_lightcone=True`` scales the
-        planes AFTER constraining (the pinned values then hold on the
-        pre-weighting field).  One fused program: sample -> measure ->
-        M x M solve -> spectral correction -> inverse transform.
-        """
-        from randomfield_tpu.models import constrained as _con
-
-        self._require_constrainable("generate_constrained_field",
-                                    allow_mesh=True)
-        pos, scales, values = self._packed_constraints(constraints)
-        gram = self._constraint_gram_cached(
-            pos, scales, float(smoothing_length)
-        )
-        if self.mesh is not None:
-            return self._constrained_mesh(
-                seed, gram, pos, scales, values, smoothing_length,
-                apply_lightcone, mean_only=False,
-            )
-        return _con.constrained_render(
-            _as_key(seed), self.state.sigmas,
-            self._weights(apply_lightcone), gram, pos, scales, values,
-            smoothing_length, self.scene.shape, self.scene.grid_spacing,
-            nested=self._nested,
-        )
-
-    def constrained_mean_field(self, constraints, smoothing_length=0.0,
-                               apply_lightcone=False):
-        """The conditional MEAN field given the constraints (no seed).
-
-        The ensemble average of :meth:`generate_constrained_field` over
-        seeds; satisfies every constraint exactly itself.
-        """
-        from randomfield_tpu.models import constrained as _con
-
-        self._require_constrainable("constrained_mean_field",
-                                    allow_mesh=True)
-        pos, scales, values = self._packed_constraints(constraints)
-        gram = self._constraint_gram_cached(
-            pos, scales, float(smoothing_length)
-        )
-        if self.mesh is not None:
-            return self._constrained_mesh(
-                0, gram, pos, scales, values, smoothing_length,
-                apply_lightcone, mean_only=True,
-            )
-        return _con.constrained_mean(
-            self.state.sigmas, self._weights(apply_lightcone), gram, pos,
-            scales, values, smoothing_length, self.scene.shape,
-            self.scene.grid_spacing,
-        )
-
-    def _constrained_mesh(self, seed, gram, pos, scales, values,
-                          smoothing_length, apply_lightcone, mean_only):
-        """Dispatch the compiled mesh-native constrained program."""
-        from randomfield_tpu.models import constrained as _con
-
-        fn = _con.make_sharded_constrained(
-            self.mesh, self.scene.shape, self.scene.grid_spacing,
-            int(pos.shape[0]), from_seed=self._multiprocess,
-            log_values=self._table_host[2], dtype_name=str(self._dtype),
-            mean_only=bool(mean_only),
-        )
-        lk, val = self._table_args()
-        if self._multiprocess:
-            pos = np.asarray(pos, np.float32)
-            scales = np.asarray(scales, np.float32)
-            values = np.asarray(values, np.float32)
-        return fn(
-            self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-            lk, val, self._mesh_sigmas(), gram, pos, scales, values,
-            self._weights(apply_lightcone),
-            self._smoothing(smoothing_length),
-        )
-
-    def _constraint_gram_cached(self, pos, scales, smoothing_length):
-        """Gram matrices are seed-independent: cache per constraint set."""
-        from randomfield_tpu.models import constrained as _con
-
-        key = (
-            np.asarray(pos, np.float64).tobytes(),
-            np.asarray(scales, np.float64).tobytes(),
-            float(smoothing_length),
-        )
-        cache = getattr(self, "_gram_cache", None)
-        if cache is None:
-            cache = self._gram_cache = {}
-        if key not in cache:
-            if self.mesh is not None:
-                fn = _con.make_sharded_constraint_gram(
-                    self.mesh, self.scene.shape, self.scene.grid_spacing,
-                    int(pos.shape[0]), log_values=self._table_host[2],
-                    dtype_name=str(self._dtype),
-                )
-                lk, val = self._table_args()
-                if self._multiprocess:
-                    pos = np.asarray(pos, np.float32)
-                    scales = np.asarray(scales, np.float32)
-                cache[key] = fn(
-                    lk, val, self._mesh_sigmas(), pos, scales,
-                    self._smoothing(smoothing_length),
-                )
-            else:
-                cache[key] = _con.constraint_gram(
-                    self.state.sigmas, pos, scales, smoothing_length,
-                    self.scene.shape, self.scene.grid_spacing,
-                )
-        return cache[key]
-
-    def measure_constraints(self, delta, constraints):
-        """Evaluate constraint functionals on a rendered field (host f64).
-
-        Validation path independent of the constrained render's internal
-        measurement (forward transform + packed-mode sum).
-        """
-        from randomfield_tpu.models import constrained as _con
-
-        self._require_constrainable("measure_constraints", allow_mesh=True)
-        pos, scales, _ = self._packed_constraints(constraints)
-        if self.mesh is not None:
-            from randomfield_tpu.parallel.multihost import replicated_to_host
-
-            fn = _con.make_sharded_measure(
-                self.mesh, self.scene.shape, self.scene.grid_spacing,
-                int(pos.shape[0]), dtype_name=str(self._dtype),
-            )
-            if self._multiprocess:
-                pos = np.asarray(pos, np.float32)
-                scales = np.asarray(scales, np.float32)
-            out = fn(delta, pos, scales)
-            return np.asarray(replicated_to_host(out), np.float64)
-        out = _con.measure_constraints(
-            jnp.asarray(delta, self._dtype), pos, scales,
-            self.scene.shape, self.scene.grid_spacing,
-        )
-        return np.asarray(out, np.float64)
-
-    def _noise_args(self, noise_power):
-        """(tabulated, noise_a, noise_b) program inputs for mesh programs.
-
-        Scalar white noise is pre-normalized to P_n/V on the host so the
-        traced program never recompiles on a value change; tables pass
-        their (log10 k, P_n) arrays like the signal spectrum.
-        """
-        if np.isscalar(noise_power) or getattr(noise_power, "ndim", 1) == 0:
-            nx, ny, nz = self.scene.shape
-            volume = nx * ny * nz * float(self.scene.grid_spacing) ** 3
-            nvar = float(noise_power) / volume
-            dt = np.dtype(str(self._dtype))
-            return False, np.asarray(nvar, dt), np.zeros((), dt)
-        table = _power.validate_power(noise_power)
-        dt = np.dtype(str(self._dtype))
-        return (
-            True,
-            np.log10(table.k).astype(dt),
-            np.asarray(table.Pk, dt),
-        )
-
-    def wiener_filter(self, data, noise_power):
-        """Minimum-variance reconstruction of a noisy observation of one
-        realization: per-mode filter sigma^2 / (sigma^2 + P_n/V).
-
-        ``noise_power``: physical noise power ((Mpc/h)^3) — scalar white
-        noise (per-voxel std s <=> s^2 spacing^3) or a (k, P_n) table.
-        On mesh scenes the whole reconstruction (forward transform,
-        filter, inverse) is distributed; ``data`` may be a sharded
-        global array (e.g. a mesh render) or host numpy.
-        """
-        from randomfield_tpu.models import constrained as _con
-
-        self._require_constrainable("wiener_filter", allow_mesh=True)
-        if self.mesh is not None:
-            tabulated, na, nb = self._noise_args(noise_power)
-            fn = _con.make_sharded_wiener(
-                self.mesh, self.scene.shape, self.scene.grid_spacing,
-                noise_tabulated=tabulated, log_values=self._table_host[2],
-                dtype_name=str(self._dtype),
-            )
-            lk, val = self._table_args()
-            return fn(data, lk, val, self._mesh_sigmas(), na, nb)
-        return _con.wiener_filter(
-            data, self.state.sigmas, noise_power, self.scene.shape,
-            self.scene.grid_spacing,
-        )
-
-    def generate_posterior_field(self, seed, data, noise_power):
-        """One exact sample of P(field | data) for full-grid noisy data.
-
-        ``delta_r + WF(data - delta_r - n_r)`` — the mean over seeds is
-        :meth:`wiener_filter`'s reconstruction and the scatter is the
-        exact posterior covariance (models/constrained.py).  Mesh
-        scenes run the fully distributed program; identical Threefry
-        draws make the sharded sample equal the single-device one.
-        """
-        from randomfield_tpu.models import constrained as _con
-
-        self._require_constrainable("generate_posterior_field",
-                                    allow_mesh=True)
-        if self.mesh is not None:
-            tabulated, na, nb = self._noise_args(noise_power)
-            fn = _con.make_sharded_posterior(
-                self.mesh, self.scene.shape, self.scene.grid_spacing,
-                from_seed=self._multiprocess, noise_tabulated=tabulated,
-                log_values=self._table_host[2],
-                dtype_name=str(self._dtype),
-            )
-            lk, val = self._table_args()
-            return fn(
-                self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-                data, lk, val, self._mesh_sigmas(), na, nb,
-            )
-        return _con.posterior_render(
-            _as_key(seed), data, self.state.sigmas, noise_power,
-            self.scene.shape, self.scene.grid_spacing,
-        )
-
-    def predicted_posterior_mse(self, noise_power):
-        """Exact expected mean-square error of :meth:`wiener_filter`."""
-        from randomfield_tpu.models import constrained as _con
-
-        self._require_constrainable("predicted_posterior_mse",
-                                    allow_mesh=True)
-        if self.mesh is not None:
-            from randomfield_tpu.parallel.multihost import replicated_to_host
-
-            tabulated, na, nb = self._noise_args(noise_power)
-            fn = _con.make_sharded_posterior_mse(
-                self.mesh, self.scene.shape, self.scene.grid_spacing,
-                noise_tabulated=tabulated, log_values=self._table_host[2],
-                dtype_name=str(self._dtype),
-            )
-            lk, val = self._table_args()
-            return float(replicated_to_host(
-                fn(lk, val, self._mesh_sigmas(), na, nb)
-            ))
-        return _con.predicted_posterior_mse(
-            self.state.sigmas, noise_power, self.scene.shape,
-            self.scene.grid_spacing,
-        )
-
-    def predicted_derived_power(self, kind="delta", component=2, z=0.0,
-                                nbins=32, smoothing_length=0.0):
-        """Exact per-bin expectation of a derived field's auto-spectrum.
-
-        ``kind``: 'delta' (the input P(k) itself on this grid's modes),
-        'potential' (``pref^2 / k^4 P``, the Poisson prefactor of
-        :meth:`generate_potential`), 'displacement' (``k_i^2/k^4 P`` for
-        ``component`` i, order 1), or 'velocity' (the displacement
-        expectation times ``(a H f / h)^2``).  Uses the SAME
-        Nyquist-zeroed gradient vectors, interpolation, smoothing and
-        estimator bins as the render + :meth:`calculate_power` pair, so
-        measured-vs-predicted residuals are pure sample noise.  Returns
-        ``(k_mean, p, n_modes)``.
-        """
-        from randomfield_tpu.ops import derived as _derived
-        from randomfield_tpu.validate import stats as _stats
-
-        kinds = ("delta", "potential", "displacement", "velocity")
-        if kind not in kinds:
-            raise ValueError(f"kind must be one of {kinds}, got {kind!r}")
-        shape, sp = self.scene.shape, self.scene.grid_spacing
-        kmag = _grid.kmag(shape, sp, jnp.float32)
-        pgrid = _power.interpolate_power(
-            self.power, kmag, self.scene.interpolation
-        )
-        pgrid = jnp.where(kmag > 0, pgrid, 0.0)
-        if smoothing_length:
-            pgrid = pgrid * jnp.exp(-(kmag * float(smoothing_length)) ** 2)
-        if kind != "delta":
-            k2 = kmag * kmag
-            inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
-            if kind == "potential":
-                pref = (-1.5 * self.cosmology.Om0 * (1.0 + float(z))
-                        / _derived.D_H_MPC_H**2)
-                pgrid = pgrid * (pref * inv) ** 2
-            else:
-                gx, gy, gz = _derived._layout_k(
-                    shape, sp, jnp.float32, "xyz", grad=True
-                )
-                kvec = (gx, gy, gz)[int(component)]
-                bcast = [None, None, None]
-                bcast[int(component)] = slice(None)
-                pref = 1.0
-                if kind == "velocity":
-                    a = 1.0 / (1.0 + float(z))
-                    H = self.cosmology.H0 * float(self.cosmology.efunc(float(z)))
-                    pref = a * H * float(self.cosmology.growth_rate(float(z))) \
-                        / self.cosmology.h
-                pgrid = pgrid * (pref * kvec[tuple(bcast)] * inv) ** 2
-        return _stats.bin_power_grid(pgrid, shape, sp, nbins=nbins)
-
