@@ -36,8 +36,16 @@ import pathlib
 import statistics
 import sys
 import time
+import warnings
 
 import numpy as np
+
+# benign donation-aliasing notices from small warm-up programs are
+# noise in the driver artifact (docs/performance.md documents the real
+# donation behavior at size)
+warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable"
+)
 
 _REPO = pathlib.Path(__file__).resolve().parent
 _CPU_BASELINE_PATH = _REPO / "CPU_BASELINE.json"
