@@ -941,6 +941,28 @@ class Generator(MeasurementMixin, ConstrainedMixin):
             from randomfield_tpu.engine import staged as _staged
 
             seeds_arr = np.asarray(seeds)
+            if self.mesh is not None:
+                # one data-parallel program: seeds shard over 'data',
+                # each row lax.maps the same global-stream shard
+                # sampler — per-seed fields bit-identical to singles
+                from randomfield_tpu.parallel.render import (
+                    make_sharded_render_pallas_batch,
+                )
+
+                fn = make_sharded_render_pallas_batch(
+                    self.mesh, self.scene.shape, self.scene.grid_spacing,
+                    dtype_name=str(self._dtype),
+                )
+                lk0, dlk, stab = self._pallas_table
+                return fn(
+                    np.asarray(
+                        [int(s) & 0x7FFFFFFF for s in seeds_arr.ravel()],
+                        np.int32,
+                    ),
+                    self._smoothing(smoothing_length),
+                    lk0, 1.0 / dlk, jnp.asarray(stab),
+                    self._weights(apply_lightcone),
+                )
             if (
                 self.pipeline == "staged" and self._layout == "xzy"
                 and self.mesh is None

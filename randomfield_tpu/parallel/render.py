@@ -384,6 +384,69 @@ def make_sharded_render_pallas(mesh: Mesh, shape, spacing,
     return jax.jit(fn, out_shardings=out)
 
 
+@functools.lru_cache(maxsize=32)
+def make_sharded_render_pallas_batch(mesh: Mesh, shape, spacing,
+                                     dtype_name="float32"):
+    """Seed-batched mesh render on the hardware-PRNG sampler.
+
+    Seeds shard over 'data' (each data row lax.maps its local seeds
+    through the same shard sampler as the single-seed program), space
+    shards sample/transform exactly as
+    :func:`make_sharded_render_pallas` — per-seed fields are
+    bit-identical to single renders.  The returned fn takes
+    ``(seeds_i32, smoothing, lk0, inv_dlk, stab, weights)``.
+    """
+    from randomfield_tpu.ops import pallas_sampler as _ps
+    from randomfield_tpu.parallel.dfft import _pallas_interpret
+
+    nx, ny, nz = shape
+    n_space = mesh.shape[SPACE_AXIS]
+    if not can_mesh_pallas(mesh, shape):
+        raise ValueError(
+            f"mesh-pallas sampling needs a slab mesh, Pallas-capable "
+            f"shape and ny % (128 * space) == 0; got {shape} on "
+            f"{dict(mesh.shape)}"
+        )
+    nyl = ny // n_space
+    interp = _pallas_interpret()
+    data = DATA_AXIS if DATA_AXIS in mesh.shape else None
+    _, _, out = _mesh_specs(mesh, batched=True)
+    spec_sharding = NamedSharding(mesh, P(data, None, None, SPACE_AXIS))
+
+    def sample_local(seeds, sm, lk0, inv_dlk, stab):
+        toff = jax.lax.axis_index(SPACE_AXIS) * (nyl // 128)
+
+        def one(s):
+            return _ps.sample_shard_pallas_reim(
+                s, sm[0], lk0[0], inv_dlk[0], stab, toff,
+                shape, spacing, nyl, interpret=interp,
+            )
+
+        return jax.lax.map(one, seeds)
+
+    def fn(seeds, smoothing_length, lk0, inv_dlk, stab, weights):
+        re, im = jax.shard_map(
+            sample_local, mesh=mesh,
+            in_specs=(P(data), P(), P(), P(), P()),
+            out_specs=(spec_sharding.spec, spec_sharding.spec),
+            check_vma=False,
+        )(
+            jnp.asarray(seeds, jnp.int32),
+            jnp.asarray(smoothing_length, jnp.float32).reshape(1),
+            jnp.asarray(lk0, jnp.float32).reshape(1),
+            jnp.asarray(inv_dlk, jnp.float32).reshape(1),
+            stab,
+        )
+        re = jax.lax.with_sharding_constraint(re, spec_sharding)
+        im = jax.lax.with_sharding_constraint(im, spec_sharding)
+        re, im = _transform.symmetrize_xzy_reim(re, im, nz)
+        return dfft.irfftn_slab_reim_xzy(
+            re, im, shape, mesh, batched=True, weights=weights
+        )
+
+    return jax.jit(fn, out_shardings=out)
+
+
 @functools.lru_cache(maxsize=64)
 def make_sharded_derived(mesh: Mesh, shape, spacing, kind, component,
                          from_seed=False, log_values=False,

@@ -286,3 +286,17 @@ def test_mesh_pallas_render_matches_single_device_kernel():
 
     with _pytest.raises(ValueError, match="threefry"):
         g.sample_power(seed=1, nbins=8)
+
+
+def test_mesh_pallas_batch_matches_singles():
+    """The data-parallel batched mesh-pallas program gives per-seed
+    fields identical to single renders (same global-stream tiles)."""
+    import randomfield_tpu as rf
+
+    shape = (128, 256, 256)
+    mesh = _mesh(2, 2)
+    g = rf.Generator(*shape, grid_spacing=8.0, mesh=mesh, sampler="pallas")
+    batch = np.asarray(g.generate_delta_fields([3, 9]))
+    for i, s in enumerate((3, 9)):
+        single = np.asarray(g.generate_delta_field(seed=s))
+        np.testing.assert_array_equal(batch[i], single)
