@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "ifft_minor_pallas",
     "ifft_minor_pallas_reim",
+    "fft_minor_pallas_reim",
     "ifft_sublane_pallas_reim",
     "can_pallas_fft",
 ]
@@ -189,6 +190,21 @@ def ifft_minor_pallas_reim(xre, xim, interpret=False, reorder=True):
         reorder=bool(reorder),
     )
     return gre.reshape(*lead, n), gim.reshape(*lead, n)
+
+
+def fft_minor_pallas_reim(xre, xim, interpret=False, reorder=True):
+    """Unnormalized minor-axis FORWARD FFT on separate re/im lattices.
+
+    The conjugation identity ``DFT(x) = conj(IDFT(conj(x)))`` run
+    through the inverse CT kernels: negate the imaginary lattice in and
+    out (both negations fuse into adjacent elementwise ops — no extra
+    HBM pass).  Exact forward DFT, no scaling, same shape rules as
+    :func:`ifft_minor_pallas_reim`.
+    """
+    gre, gim = ifft_minor_pallas_reim(
+        xre, -xim, interpret=interpret, reorder=reorder
+    )
+    return gre, -gim
 
 
 def _make_sublane_kernel(n: int, blkl: int):

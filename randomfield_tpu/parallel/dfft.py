@@ -387,12 +387,25 @@ def rfftn_slab(x, shape, mesh: Mesh, batched=False):
 
     ``x``: real field sharded along x over 'space'; returns the packed
     half-spectrum sharded along ky.  Inverse layout of :func:`irfftn_slab`.
+
+    Local transforms: the two complex passes run the Pallas CT kernels
+    (forward via the conjugation identity,
+    ops/pallas_fft.py:fft_minor_pallas_reim) on capable shapes/TPU —
+    one transpose per pass on re/im lattices instead of the native
+    path's transpose pairs around each complex FFT; the r2c head stays
+    the native minor-axis kernel.  RF_MESH_PALLAS overrides as in
+    :func:`irfftn_slab`.
     """
     nx, ny, nz = shape
     n_space = mesh.shape[SPACE_AXIS]
     _check_divisible(shape, n_space)
     out_spec, in_spec = _specs(mesh, batched, k_axis=1, x_axis=0)
     off = 1 if batched else 0
+    if use_pallas_local(shape):
+        return jax.shard_map(
+            lambda xl: _slab_pallas_forward_local(xl, shape, n_space, off),
+            mesh=mesh, in_specs=in_spec, out_specs=out_spec, check_vma=False,
+        )(x)
 
     def local(xl):
         cl = _rfft_last(xl)
@@ -406,3 +419,42 @@ def rfftn_slab(x, shape, mesh: Mesh, batched=False):
     return jax.shard_map(
         local, mesh=mesh, in_specs=in_spec, out_specs=out_spec, check_vma=False
     )(x)
+
+
+def _slab_pallas_forward_local(xl, shape, n_space, off):
+    """Shard-local body of the Pallas forward slab transform.
+
+    Schedule (mirror of :func:`_slab_pallas_local`):
+
+        head    native r2c on the minor kz axis, split re/im
+        y-pass  transpose to y minor + forward CT kernel (natural out)
+        a2a     split y -> concat x (the slab collective)
+        x-pass  transpose to x minor + forward CT kernel (natural out)
+        close   ONE transpose back to (.., nx, nyl, nzh), re-pack
+    """
+    from randomfield_tpu.ops import pallas_fft as pf
+
+    interp = _pallas_interpret()
+    cl = _rfft_last(xl)  # (.., nxl, ny, nzh)
+    re = jnp.real(cl)
+    im = jnp.imag(cl)
+    permy = tuple(range(off)) + (off, off + 2, off + 1)
+    tre = _B(jnp.transpose(re, permy))  # (.., nxl, nzh, ny)
+    tim = _B(jnp.transpose(im, permy))
+    gre, gim = pf.fft_minor_pallas_reim(tre, tim, interpret=interp)
+    if n_space > 1:
+        gre = jax.lax.all_to_all(
+            gre, SPACE_AXIS, split_axis=off + 2, concat_axis=off, tiled=True
+        )
+        gim = jax.lax.all_to_all(
+            gim, SPACE_AXIS, split_axis=off + 2, concat_axis=off, tiled=True
+        )
+    # now (.., nx, nzh, nyl); x-pass needs x minor
+    permx = tuple(range(off)) + (off + 1, off + 2, off)
+    tre = _B(jnp.transpose(gre, permx))  # (.., nzh, nyl, nx)
+    tim = _B(jnp.transpose(gim, permx))
+    gre, gim = pf.fft_minor_pallas_reim(tre, tim, interpret=interp)
+    permc = tuple(range(off)) + (off + 2, off + 1, off)
+    cre = _B(jnp.transpose(gre, permc))  # (.., nx, nyl, nzh)
+    cim = _B(jnp.transpose(gim, permc))
+    return jax.lax.complex(cre, cim)

@@ -329,6 +329,10 @@ def rfftn_pencil(x, shape, mesh: Mesh, batched=False, keep_pad=False):
     spectrum (the distributed P(k) estimator) avoid an uneven re-shard
     followed by a re-pad.
     """
+    from randomfield_tpu.parallel.dfft import (
+        _pallas_interpret, use_pallas_local,
+    )
+
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     px, py = mesh.shape[SPX_AXIS], mesh.shape[SPY_AXIS]
@@ -336,6 +340,9 @@ def rfftn_pencil(x, shape, mesh: Mesh, batched=False, keep_pad=False):
     pad = _kz_pad(nzh, py)
     off = 1 if batched else 0
     data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
+    pallas = use_pallas_local(shape)
+    interp = _pallas_interpret() if pallas else False
+    _Bar = jax.lax.optimization_barrier
 
     def local(xl):
         # state 3: (nx/px, ny/py, nz) — z fully local: r2c, pad kz
@@ -358,6 +365,55 @@ def rfftn_pencil(x, shape, mesh: Mesh, batched=False, keep_pad=False):
             )
         # state 1: (nx, ny/px, kzp/py) — x fully local
         return _fft_axis(cl, cl.ndim - 3)
+
+    def local_pallas(xl):
+        # same schedule on re/im lattices with the forward CT kernels
+        # (conjugation identity, ops/pallas_fft.py): one transpose per
+        # complex pass instead of the native transpose pairs
+        from randomfield_tpu.ops import pallas_fft as pf
+
+        cl = _fft_axis(xl, xl.ndim - 1)[..., :nzh]
+        if pad:
+            widths = [(0, 0)] * cl.ndim
+            widths[-1] = (0, pad)
+            cl = jnp.pad(cl, widths)
+        re = jnp.real(cl)
+        im = jnp.imag(cl)
+        if py > 1:
+            re = jax.lax.all_to_all(
+                re, SPY_AXIS, split_axis=off + 2, concat_axis=off + 1,
+                tiled=True,
+            )
+            im = jax.lax.all_to_all(
+                im, SPY_AXIS, split_axis=off + 2, concat_axis=off + 1,
+                tiled=True,
+            )
+        # state 2: (.., nxp, ny, kzpp) -> y minor
+        permy = tuple(range(off)) + (off, off + 2, off + 1)
+        tre = _Bar(jnp.transpose(re, permy))  # (.., nxp, kzpp, ny)
+        tim = _Bar(jnp.transpose(im, permy))
+        gre, gim = pf.fft_minor_pallas_reim(tre, tim, interpret=interp)
+        if px > 1:
+            gre = jax.lax.all_to_all(
+                gre, SPX_AXIS, split_axis=off + 2, concat_axis=off,
+                tiled=True,
+            )
+            gim = jax.lax.all_to_all(
+                gim, SPX_AXIS, split_axis=off + 2, concat_axis=off,
+                tiled=True,
+            )
+        # state 1: (.., nx, kzpp, nyp) -> x minor
+        permx = tuple(range(off)) + (off + 1, off + 2, off)
+        tre = _Bar(jnp.transpose(gre, permx))  # (.., kzpp, nyp, nx)
+        tim = _Bar(jnp.transpose(gim, permx))
+        gre, gim = pf.fft_minor_pallas_reim(tre, tim, interpret=interp)
+        permc = tuple(range(off)) + (off + 2, off + 1, off)
+        cre = _Bar(jnp.transpose(gre, permc))  # (.., nx, nyp, kzpp)
+        cim = _Bar(jnp.transpose(gim, permc))
+        return jax.lax.complex(cre, cim)
+
+    if pallas:
+        local = local_pallas
 
     in_spec = (P(data, SPX_AXIS, SPY_AXIS, None) if batched
                else P(SPX_AXIS, SPY_AXIS, None))

@@ -300,3 +300,27 @@ def test_mesh_pallas_batch_matches_singles():
     for i, s in enumerate((3, 9)):
         single = np.asarray(g.generate_delta_field(seed=s))
         np.testing.assert_array_equal(batch[i], single)
+
+
+@pytest.mark.parametrize("space", [1, 4])
+def test_rfftn_slab_pallas_matches_native(space, monkeypatch):
+    """Forward Pallas slab path (conjugation-identity CT kernels,
+    Mosaic interpreter on CPU) equals the native path and numpy."""
+    monkeypatch.setenv("RF_MESH_PALLAS", "1")
+    mesh = _mesh(1, space)
+    shape = (128, 128, 256)
+    rng = np.random.RandomState(11)
+    x = rng.normal(size=shape).astype(np.float32)
+    ref = np.fft.rfftn(x)
+    out = jax.jit(
+        lambda x: dfft.rfftn_slab(x, shape, mesh)
+    )(jnp.asarray(x))
+    monkeypatch.setenv("RF_MESH_PALLAS", "0")
+    native = jax.jit(
+        lambda x: dfft.rfftn_slab(x, shape, mesh)
+    )(jnp.asarray(x))
+    scale = np.abs(ref).std()
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               atol=3e-5 * scale, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(native),
+                               atol=3e-5 * scale, rtol=3e-4)

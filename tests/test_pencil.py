@@ -263,3 +263,27 @@ def test_irfftn_pencil_pallas_matches_native(monkeypatch):
         np.asarray(native), ref * wz[None, None, :],
         atol=2e-5 * scale, rtol=2e-4,
     )
+
+
+def test_rfftn_pencil_pallas_matches_native(monkeypatch):
+    """Forward Pallas pencil path equals the native path and numpy."""
+    from randomfield_tpu.parallel import pencil as pc
+
+    monkeypatch.setenv("RF_MESH_PALLAS", "1")
+    shape = (128, 128, 256)
+    mesh = pc.make_pencil_mesh(data=1, spx=2, spy=2)
+    rng = np.random.RandomState(13)
+    x = rng.normal(size=shape).astype(np.float32)
+    ref = np.fft.rfftn(x)
+    out = jax.jit(
+        lambda x: pc.rfftn_pencil(x, shape, mesh)
+    )(jnp.asarray(x))
+    monkeypatch.setenv("RF_MESH_PALLAS", "0")
+    native = jax.jit(
+        lambda x: pc.rfftn_pencil(x, shape, mesh)
+    )(jnp.asarray(x))
+    scale = np.abs(ref).std()
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               atol=3e-5 * scale, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(native),
+                               atol=3e-5 * scale, rtol=3e-4)
