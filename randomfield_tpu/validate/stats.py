@@ -1400,8 +1400,104 @@ def _binned_xi_multipoles_from_field(delta, shape, spacing, nbins, ells,
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _make_mesh_xi_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
+    """Distributed xi_ell(s): sharded forward -> per-mode power ->
+    sharded inverse -> shard-local minimum-image (r, mu) binning with
+    (2l+1) L_l weights + one psum.  Slab and pencil meshes."""
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel import pencil as _pencil
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+
+    nx, ny, nz = shape
+    is_pencil = _pencil.is_pencil_mesh(mesh)
+    volume = nx * ny * nz * spacing**3
+    edges = _r_bin_setup(shape, spacing, nbins)
+    ax = _min_image_axes(shape, spacing)
+    if is_pencil:
+        px = mesh.shape[_pencil.SPX_AXIS]
+        py = mesh.shape[_pencil.SPY_AXIS]
+        nx_loc, ny_loc = nx // px, ny // py
+        in_spec = P(_pencil.SPX_AXIS, _pencil.SPY_AXIS, None)
+        psum_axes = (_pencil.SPX_AXIS, _pencil.SPY_AXIS)
+    else:
+        n_space = mesh.shape[SPACE_AXIS]
+        nx_loc, ny_loc = nx // n_space, ny
+        in_spec = P(SPACE_AXIS, None, None)
+        psum_axes = SPACE_AXIS
+
+    def _local_bins(xil):
+        jx = (jax.lax.axis_index(_pencil.SPX_AXIS) if is_pencil
+              else jax.lax.axis_index(SPACE_AXIS))
+        ax_l = jax.lax.dynamic_slice(
+            jnp.asarray(ax[0], xil.dtype), (jx * nx_loc,), (nx_loc,)
+        )
+        if is_pencil:
+            jy = jax.lax.axis_index(_pencil.SPY_AXIS)
+            ay_l = jax.lax.dynamic_slice(
+                jnp.asarray(ax[1], xil.dtype), (jy * ny_loc,), (ny_loc,)
+            )
+        else:
+            ay_l = jnp.asarray(ax[1], xil.dtype)
+        az_l = jnp.asarray(ax[2], xil.dtype)
+        d2 = [
+            (ax_l * ax_l)[:, None, None],
+            (ay_l * ay_l)[None, :, None],
+            (az_l * az_l)[None, None, :],
+        ]
+        r2 = d2[0] + d2[1] + d2[2]
+        rmag = jnp.sqrt(r2)
+        mu2 = jnp.where(
+            r2 > 0, d2[los_axis] / jnp.where(r2 > 0, r2, 1.0), 0.0
+        )
+        out = []
+        counts = rsum = None
+        for ell in ells:
+            w_ell = (2.0 * ell + 1.0) * _LEGENDRE_EVEN[ell](mu2)
+            c, ps, ks = _masked_bins(
+                jnp.broadcast_to(rmag, xil.shape), 1.0, xil * w_ell,
+                jnp.asarray(edges, xil.dtype), nbins, per_slab=True,
+            )
+            out.append(ps)
+            if counts is None:
+                counts, rsum = c, ks
+        return jax.lax.psum(
+            jnp.stack([counts, rsum] + out), psum_axes
+        )
+
+    @jax.jit
+    def fn(delta):
+        scale = jnp.asarray((spacing**3) ** 2 / volume, jnp.float32)
+        if is_pencil:
+            c = _pencil.rfftn_pencil(delta, shape, mesh)
+            p = (c.real**2 + c.imag**2) * scale
+            p = p.at[0, 0, 0].set(0.0)
+            xi = _pencil.irfftn_pencil(
+                (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64),
+                shape, mesh, assume_hermitian=True, input_layout="state1",
+            )
+        else:
+            c = dfft.rfftn_slab(delta, shape, mesh)
+            p = (c.real**2 + c.imag**2) * scale
+            p = p.at[0, 0, 0].set(0.0)
+            xi = dfft.irfftn_slab(
+                (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64),
+                shape, mesh,
+            )
+        bins = jax.shard_map(
+            _local_bins, mesh=mesh, in_specs=in_spec, out_specs=P(),
+            check_vma=False,
+        )(xi)
+        return bins[0], bins[2:], bins[1]
+
+    return fn
+
+
 def calculate_correlation_multipoles(delta, spacing, nbins=24,
-                                     ells=(0, 2, 4), los_axis=2):
+                                     ells=(0, 2, 4), los_axis=2,
+                                     mesh=None):
     """Correlation-function multipoles xi_ell(s) along a plane-parallel LOS.
 
     ``xi_ell(s) = (2 ell + 1) < L_ell(mu) xi(s, mu) >_s-bin`` with
@@ -1415,8 +1511,9 @@ def calculate_correlation_multipoles(delta, spacing, nbins=24,
     ``(len(ells), nbins)``; ``ells=(0,)`` reproduces
     :func:`calculate_correlation` bin for bin.  The exact estimator
     expectation for a power table (optionally Kaiser-distorted) is
-    :func:`predicted_correlation_multipoles`.  Single-device
-    validation-scale tool, like the other xi estimators.
+    :func:`predicted_correlation_multipoles`.  With ``mesh`` (slab or
+    pencil) the transforms run distributed and the (r, mu) binning is
+    shard-local with one psum.
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
     ells = tuple(int(e) for e in ells)
@@ -1426,6 +1523,17 @@ def calculate_correlation_multipoles(delta, spacing, nbins=24,
                 f"ell={e} unsupported: even multipoles 0/2/4 only (odd "
                 "ones vanish for an autocorrelation)"
             )
+    if mesh is not None:
+        from randomfield_tpu.parallel.multihost import replicated_to_host
+
+        fn = _make_mesh_xi_multipoles(
+            mesh, shape, float(spacing), int(nbins), ells, int(los_axis)
+        )
+        counts, psums, rsum = fn(jnp.asarray(delta))
+        return _xi_host(
+            replicated_to_host(counts), replicated_to_host(psums),
+            replicated_to_host(rsum),
+        )
     counts, psums, rsum = _binned_xi_multipoles_from_field(
         jnp.asarray(delta), shape, float(spacing), int(nbins), ells,
         int(los_axis)

@@ -319,3 +319,29 @@ def test_pencil_correlation_matches_single_device():
     np.testing.assert_allclose(
         xi1[m], xi0[m], rtol=5e-4, atol=1e-4 * np.nanmax(np.abs(xi0))
     )
+
+
+def test_mesh_correlation_multipoles_match_single_device():
+    from randomfield_tpu import Generator
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+    from randomfield_tpu.validate.stats import (
+        calculate_correlation_multipoles,
+    )
+
+    shape, spacing = (16, 16, 16), 4.0
+    g = Generator(*shape, grid_spacing=spacing)
+    delta = g.generate_kaiser_field(seed=3, bias=1.5)
+    r0, xi0, n0 = calculate_correlation_multipoles(delta, spacing, nbins=8)
+    for mesh in (make_mesh(data=1, space=4),
+                 make_pencil_mesh(data=1, spx=2, spy=2)):
+        r1, xi1, n1 = calculate_correlation_multipoles(
+            delta, spacing, nbins=8, mesh=mesh
+        )
+        np.testing.assert_allclose(n1, n0, rtol=1e-6)
+        m = n0 > 0
+        np.testing.assert_allclose(r1[m], r0[m], rtol=1e-5)
+        np.testing.assert_allclose(
+            xi1[:, m], xi0[:, m], rtol=5e-4,
+            atol=1e-4 * np.nanmax(np.abs(xi0)),
+        )
