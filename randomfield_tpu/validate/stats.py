@@ -1105,7 +1105,88 @@ def _binned_cross(delta1, delta2, shape, spacing, nbins):
     )
 
 
-def calculate_cross_power(delta1, delta2, spacing, nbins=32):
+@functools.lru_cache(maxsize=16)
+def _make_mesh_cross(mesh, shape, spacing, nbins):
+    """Distributed cross-spectrum binning (slab + pencil): two sharded
+    forward transforms, shard-local Re(c1 conj(c2)) binning, one psum."""
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel import pencil as _pencil
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    volume = nx * ny * nz * spacing**3
+    is_pencil = _pencil.is_pencil_mesh(mesh)
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+    if is_pencil:
+        px = mesh.shape[_pencil.SPX_AXIS]
+        py = mesh.shape[_pencil.SPY_AXIS]
+        ny_loc = ny // px
+        nzp = nzh + (-nzh) % py
+        nz_loc = nzp // py
+        mult_p = np.zeros(nzp, np.float32)
+        mult_p[:nzh] = mult
+        kz_p = np.zeros(nzp, kz.dtype)
+        kz_p[:nzh] = kz
+        in_spec = P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS)
+        psum_axes = (_pencil.SPX_AXIS, _pencil.SPY_AXIS)
+    else:
+        n_space = mesh.shape[SPACE_AXIS]
+        ny_loc = ny // n_space
+        in_spec = P(None, SPACE_AXIS, None)
+        psum_axes = SPACE_AXIS
+
+    def _local_bins(c1, c2):
+        jy = (jax.lax.axis_index(_pencil.SPX_AXIS) if is_pencil
+              else jax.lax.axis_index(SPACE_AXIS))
+        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (jy * ny_loc,),
+                                     (ny_loc,))
+        if is_pencil:
+            jz = jax.lax.axis_index(_pencil.SPY_AXIS)
+            kz_l = jax.lax.dynamic_slice(
+                jnp.asarray(kz_p), (jz * nz_loc,), (nz_loc,)
+            )
+            mult_l = jax.lax.dynamic_slice(
+                jnp.asarray(mult_p), (jz * nz_loc,), (nz_loc,)
+            )[None, None, :]
+        else:
+            kz_l = jnp.asarray(kz)
+            mult_l = jnp.asarray(mult)[None, None, :]
+        km = jnp.sqrt(
+            jnp.asarray(kx * kx)[:, None, None]
+            + (ky_l * ky_l)[None, :, None]
+            + (kz_l * kz_l)[None, None, :]
+        ).astype(c1.real.dtype)
+        p = (c1.real * c2.real + c1.imag * c2.imag) * (
+            (spacing**3) ** 2 / volume
+        )
+        counts, psum_, ksum = _masked_bins(
+            jnp.broadcast_to(km, p.shape), mult_l, p,
+            jnp.asarray(edges, p.dtype), nbins, per_slab=True,
+        )
+        return jax.lax.psum(jnp.stack([counts, psum_, ksum]), psum_axes)
+
+    @jax.jit
+    def fn(d1, d2):
+        if is_pencil:
+            c1 = _pencil.rfftn_pencil(d1, shape, mesh, keep_pad=True)
+            c2 = _pencil.rfftn_pencil(d2, shape, mesh, keep_pad=True)
+        else:
+            c1 = dfft.rfftn_slab(d1, shape, mesh)
+            c2 = dfft.rfftn_slab(d2, shape, mesh)
+        bins = jax.shard_map(
+            _local_bins, mesh=mesh, in_specs=(in_spec, in_spec),
+            out_specs=P(), check_vma=False,
+        )(c1, c2)
+        return bins[0], bins[1], bins[2]
+
+    return fn
+
+
+def calculate_cross_power(delta1, delta2, spacing, nbins=32, mesh=None):
     """Binned cross-spectrum ``Re<c1 c2*>/V`` of two co-gridded fields.
 
     Same bins, multiplicities and conventions as
@@ -1114,7 +1195,8 @@ def calculate_cross_power(delta1, delta2, spacing, nbins=32):
     fields and is dropped.  The standard use is tracer-matter
     cross-spectra of mock catalogs built from one realization (e.g.
     :meth:`randomfield_tpu.models.lognormal.LognormalGenerator.
-    generate_biased_field`).  Single-device validation-scale tool.
+    generate_biased_field`).  With ``mesh`` (slab or pencil) both
+    transforms run distributed and the binning is shard-local.
     Returns ``(k_mean, p_cross, n_modes)``.
     """
     d1, d2 = jnp.asarray(delta1), jnp.asarray(delta2)
@@ -1123,13 +1205,16 @@ def calculate_cross_power(delta1, delta2, spacing, nbins=32):
             f"fields must share a grid, got {d1.shape} vs {d2.shape}"
         )
     shape = tuple(int(s) for s in d1.shape[-3:])
+    if mesh is not None:
+        fn = _make_mesh_cross(mesh, shape, float(spacing), int(nbins))
+        return _bins_to_host(*fn(d1, d2))
     counts, psum, ksum = _binned_cross(
         d1, d2, shape, float(spacing), int(nbins)
     )
     return _xi_host(counts, psum, ksum)
 
 
-def calculate_masked_power(delta, mask, spacing, nbins=32):
+def calculate_masked_power(delta, mask, spacing, nbins=32, mesh=None):
     """Binned pseudo-P(k) of a survey-masked field.
 
     ``mask`` is the survey window W(x) >= 0 (selection/completeness;
@@ -1139,6 +1224,8 @@ def calculate_masked_power(delta, mask, spacing, nbins=32):
     the true P(k) but the window-convolved
     :func:`predicted_masked_power`, which shares these bins exactly.
     ``mask=1`` reduces to :func:`calculate_power` identically.
+    ``mesh``: the window multiply is elementwise on the sharded field
+    and the estimator runs distributed.
     Returns ``(k_mean, p_hat, n_modes)``.
     """
     d = jnp.asarray(delta)
@@ -1149,7 +1236,7 @@ def calculate_masked_power(delta, mask, spacing, nbins=32):
     w2 = float(np.mean(np.asarray(mask, np.float64) ** 2))
     if w2 <= 0:
         raise ValueError("mask is identically zero")
-    k, p, nm = calculate_power(w * d, spacing, nbins=nbins)
+    k, p, nm = calculate_power(w * d, spacing, nbins=nbins, mesh=mesh)
     return k, p / w2, nm
 
 

@@ -324,3 +324,35 @@ def test_rfftn_slab_pallas_matches_native(space, monkeypatch):
                                atol=3e-5 * scale, rtol=3e-4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(native),
                                atol=3e-5 * scale, rtol=3e-4)
+
+
+def test_mesh_cross_and_masked_power_match_single_device():
+    import randomfield_tpu as rf
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+    from randomfield_tpu.validate.stats import (
+        calculate_cross_power, calculate_masked_power,
+    )
+
+    shape, spacing = (16, 16, 16), 4.0
+    g = rf.Generator(*shape, grid_spacing=spacing)
+    d1 = g.generate_delta_field(seed=1, apply_lightcone=False)
+    d2 = g.generate_delta_field(seed=2, apply_lightcone=False)
+    rng = np.random.RandomState(0)
+    mask = (rng.uniform(size=shape) < 0.6).astype(np.float32)
+    k0, p0, n0 = calculate_cross_power(d1, d2, spacing, nbins=8)
+    km0, pm0, nm0 = calculate_masked_power(d1, mask, spacing, nbins=8)
+    for mesh in (_mesh(1, 4), make_pencil_mesh(data=1, spx=2, spy=2)):
+        k1, p1, n1 = calculate_cross_power(d1, d2, spacing, nbins=8,
+                                           mesh=mesh)
+        np.testing.assert_allclose(n1, n0, rtol=1e-6)
+        m = n0 > 0
+        np.testing.assert_allclose(
+            p1[m], p0[m], rtol=1e-3, atol=1e-4 * np.nanmax(np.abs(p0))
+        )
+        km1, pm1, nm1 = calculate_masked_power(d1, mask, spacing, nbins=8,
+                                               mesh=mesh)
+        np.testing.assert_allclose(nm1, nm0, rtol=1e-6)
+        mm = nm0 > 0
+        np.testing.assert_allclose(
+            pm1[mm], pm0[mm], rtol=1e-3, atol=1e-4 * np.nanmax(np.abs(pm0))
+        )
