@@ -300,8 +300,9 @@ def _make_kernel(shape, spacing, layout, bins=None, shard_lanes=None):
         j1 = pl.program_id(1)
         j2 = pl.program_id(2)
         if shard_lanes is not None:
-            j2off_ref, *out_refs = out_refs
-            j2 = j2 + j2off_ref[0]
+            off_ref, *out_refs = out_refs
+            i = i + off_ref[0]
+            j2 = j2 + off_ref[1]
         # hardware seeding accepts at most 2 values: fold the 3-D tile
         # coordinate into one stream index (GLOBAL coordinates in shard
         # mode — shard unions reproduce the single-device stream)
@@ -567,30 +568,35 @@ def _scale_jit_reim(re, im, smoothing_length, lk0, inv_dlk, stab, shape,
 
 def sample_shard_pallas_reim(seed, smoothing_length, lk0, inv_dlk, stab,
                              tile_offset, shape, spacing, shard_lanes,
-                             interpret=False):
+                             interpret=False, row_offset=0,
+                             shard_rows=None):
     """One shard of the global 'xzy' hardware-PRNG sampled spectrum.
 
-    Returns UNSYMMETRIZED (nx, nzh, shard_lanes) re/im f32 lattices
-    covering y lanes [tile_offset*128, tile_offset*128 + shard_lanes):
-    draws, sigma interp and filter are the sampling kernel's, seeded and
-    indexed by GLOBAL tile coordinates, so concatenating every shard
-    along y is bit-identical to ``sample_spectrum_pallas_reim`` minus
-    its Hermitian fixup (which the mesh caller applies at the jit level
-    — the conjugate-partner flips are cross-shard collectives).
-    ``tile_offset`` is a runtime scalar (128-lane tile units): inside
-    shard_map it comes from ``jax.lax.axis_index``.
+    Returns UNSYMMETRIZED (shard_rows, nzh, shard_lanes) re/im f32
+    lattices covering x rows [row_offset, row_offset + shard_rows)
+    (default: all of x — the slab case) and y lanes
+    [tile_offset*128, tile_offset*128 + shard_lanes): draws, sigma
+    interp and filter are the sampling kernel's, seeded and indexed by
+    GLOBAL tile coordinates, so the union over shards is bit-identical
+    to ``sample_spectrum_pallas_reim`` minus its Hermitian fixup
+    (which the mesh caller applies at the jit level — the
+    conjugate-partner flips are cross-shard collectives).
+    ``tile_offset`` (128-lane tile units) and ``row_offset`` are
+    runtime scalars: inside shard_map they come from
+    ``jax.lax.axis_index``.
     """
     nx, ny, nz = shape
+    rows = nx if shard_rows is None else int(shard_rows)
     kernel, (_, d1, _, blk1, d2t, n1_tiles, _) = _make_kernel(
         shape, spacing, "xzy", shard_lanes=int(shard_lanes)
     )
-    out = jax.ShapeDtypeStruct((nx, d1, int(shard_lanes)), stab.dtype)
+    out = jax.ShapeDtypeStruct((rows, d1, int(shard_lanes)), stab.dtype)
     row = pl.BlockSpec(
         (1, blk1, d2t), lambda i, j1, j2: (i, j1, j2), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        grid=(nx, n1_tiles, int(shard_lanes) // 128),
+        grid=(rows, n1_tiles, int(shard_lanes) // 128),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -608,7 +614,10 @@ def sample_shard_pallas_reim(seed, smoothing_length, lk0, inv_dlk, stab,
         jnp.asarray(lk0, stab.dtype).reshape(1),
         jnp.asarray(inv_dlk, stab.dtype).reshape(1),
         stab,
-        jnp.asarray(tile_offset, jnp.int32).reshape(1),
+        jnp.stack([
+            jnp.asarray(row_offset, jnp.int32).reshape(()),
+            jnp.asarray(tile_offset, jnp.int32).reshape(()),
+        ]),
     )
 
 

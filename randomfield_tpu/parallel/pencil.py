@@ -234,7 +234,6 @@ def _irfftn_pencil_pallas(c, shape, mesh: Mesh, batched, state0, weights):
 
     Kernel exactness and switches as in parallel/dfft.py.
     """
-    from randomfield_tpu.ops import pallas_fft as pf
     from randomfield_tpu.parallel.dfft import _pallas_interpret
 
     nx, ny, nz = shape
@@ -244,12 +243,83 @@ def _irfftn_pencil_pallas(c, shape, mesh: Mesh, batched, state0, weights):
     off = 1 if batched else 0
     data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
     interp = _pallas_interpret()
-    _B = jax.lax.optimization_barrier
 
     def local(cl, wl):
-        lead = cl.shape[:off]
-        re = jnp.real(cl)
-        im = jnp.imag(cl)
+        return _pencil_pallas_local(
+            jnp.real(cl), jnp.imag(cl), wl, shape, px, py, pad, off,
+            state0, interp,
+        )
+
+    if state0:
+        in_spec = (P(data, SPY_AXIS, SPX_AXIS, None) if batched
+                   else P(SPY_AXIS, SPX_AXIS, None))
+    else:
+        in_spec = (P(data, None, SPX_AXIS, SPY_AXIS) if batched
+                   else P(None, SPX_AXIS, SPY_AXIS))
+        if pad:
+            widths = [(0, 0)] * c.ndim
+            widths[-1] = (0, pad)
+            c = jnp.pad(c, widths)
+    out_spec = (P(data, SPX_AXIS, SPY_AXIS, None) if batched
+                else P(SPX_AXIS, SPY_AXIS, None))
+    w = (jnp.ones((nz,), jnp.float32) if weights is None
+         else jnp.asarray(weights, jnp.float32))
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(in_spec, P(None)),
+        out_specs=out_spec, check_vma=False,
+    )(c, w)
+
+
+def irfftn_pencil_reim_xzy(re, im, shape, mesh: Mesh, batched=False,
+                           weights=None):
+    """Hermitian pencil inverse from 'xzy'-layout re/im lattices.
+
+    ``re``/``im``: (.., nx, nzh, ny) with x sharded over 'spy' and y
+    over 'spx' (the pencil Pallas-sampler's output layout).  One local
+    transpose brings each shard to the state-0 xyz block, then the
+    re/im Pallas schedule runs unchanged.  Pallas-capable shapes only.
+    """
+    from randomfield_tpu.parallel.dfft import _pallas_interpret
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    px, py = mesh.shape[SPX_AXIS], mesh.shape[SPY_AXIS]
+    _check_pencil(shape, px, py)
+    pad = _kz_pad(nzh, py)
+    off = 1 if batched else 0
+    data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
+    interp = _pallas_interpret()
+
+    def local(rel, iml, wl):
+        permz = tuple(range(off)) + (off, off + 2, off + 1)
+        rel = jax.lax.optimization_barrier(jnp.transpose(rel, permz))
+        iml = jax.lax.optimization_barrier(jnp.transpose(iml, permz))
+        return _pencil_pallas_local(
+            rel, iml, wl, shape, px, py, pad, off, True, interp
+        )
+
+    in_spec = (P(data, SPY_AXIS, None, SPX_AXIS) if batched
+               else P(SPY_AXIS, None, SPX_AXIS))
+    out_spec = (P(data, SPX_AXIS, SPY_AXIS, None) if batched
+                else P(SPX_AXIS, SPY_AXIS, None))
+    w = (jnp.ones((nz,), jnp.float32) if weights is None
+         else jnp.asarray(weights, jnp.float32))
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(in_spec, in_spec, P(None)),
+        out_specs=out_spec, check_vma=False,
+    )(re, im, w)
+
+
+def _pencil_pallas_local(re, im, wl, shape, px, py, pad, off, state0,
+                         interp):
+    """Shard-local body of the re/im pencil inverse schedule."""
+    from randomfield_tpu.ops import pallas_fft as pf
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    _B = jax.lax.optimization_barrier
+    lead = re.shape[:off]
+    if True:
         if state0:
             if pad:
                 widths = [(0, 0)] * re.ndim
@@ -297,25 +367,6 @@ def _irfftn_pencil_pallas(c, shape, mesh: Mesh, batched, state0, weights):
             nz, wl, interpret=interp,
         )
         return f.reshape(*lead, nxp_l, nyp_l, nz)
-
-    if state0:
-        in_spec = (P(data, SPY_AXIS, SPX_AXIS, None) if batched
-                   else P(SPY_AXIS, SPX_AXIS, None))
-    else:
-        in_spec = (P(data, None, SPX_AXIS, SPY_AXIS) if batched
-                   else P(None, SPX_AXIS, SPY_AXIS))
-        if pad:
-            widths = [(0, 0)] * c.ndim
-            widths[-1] = (0, pad)
-            c = jnp.pad(c, widths)
-    out_spec = (P(data, SPX_AXIS, SPY_AXIS, None) if batched
-                else P(SPX_AXIS, SPY_AXIS, None))
-    w = (jnp.ones((nz,), jnp.float32) if weights is None
-         else jnp.asarray(weights, jnp.float32))
-    return jax.shard_map(
-        local, mesh=mesh, in_specs=(in_spec, P(None)),
-        out_specs=out_spec, check_vma=False,
-    )(c, w)
 
 
 def rfftn_pencil(x, shape, mesh: Mesh, batched=False, keep_pad=False):

@@ -249,6 +249,7 @@ def test_tree_bispectrum_matches_direct_enumeration():
                                    err_msg=str(key))
 
 
+@pytest.mark.slow
 def test_tree_bispectrum_mc_gate():
     # Antithetic matched-pair Monte Carlo:
     # [B(g + eps Q) - B(g - eps Q)] / (2 eps) with Q = F2[g, g] has

@@ -121,6 +121,7 @@ def test_halo_power_matches_prediction():
     assert p_exp[good][-1] > 1.0 / hg.nbar[0] * 0.5
 
 
+@pytest.mark.slow
 def test_cross_bin_power_tracks_b1_b2():
     # two mass bins of the SAME seed: cross-power has no shot noise and
     # expectation b1 b2 P_LN
@@ -150,6 +151,7 @@ def test_cross_bin_power_tracks_b1_b2():
     )
 
 
+@pytest.mark.slow
 def test_combined_catalog_power_matches_prediction():
     # pooled multi-bin catalog: expectation is the bin-pair lognormal
     # mixture (convex in b), measured with the catalog estimator

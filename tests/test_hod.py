@@ -29,6 +29,7 @@ def test_zheng05_occupation_shapes():
     np.testing.assert_allclose(slope2, 1.6, atol=0.05)
 
 
+@pytest.mark.slow
 def test_nfw_radii_distribution_exact():
     # the sampled radii histogram matches the analytic truncated NFW
     # enclosed-mass CDF
@@ -110,6 +111,7 @@ def test_rsd_catalog_geometry():
         assert np.percentile(d, 99) < 30.0
 
 
+@pytest.mark.slow
 def test_rsd_kaiser_monopole_boost():
     # redshift-space monopole exceeds the real-space one by roughly
     # the Kaiser factor (1 + 2 beta/3 + beta^2/5), beta = f/b_g

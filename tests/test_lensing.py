@@ -444,6 +444,7 @@ def test_masked_shear_eb_unit_mask_exact():
     assert np.all(np.abs(pb_p[ok]) < 1e-12 * np.abs(pe_p[ok]).max())
 
 
+@pytest.mark.slow
 def test_masked_shear_eb_leakage_matches_prediction():
     # apodized half-footprint: measured E AND leaked B pseudo-spectra
     # over a 24-seed ensemble match the exact predictions bin for bin

@@ -25,6 +25,7 @@ def test_tracer1_stream_untouched_and_determinism():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(plain))
 
 
+@pytest.mark.slow
 def test_limiting_cases():
     # r = 1: identical unit draws => with equal powers, identical fields
     mt = _gen(1.0, n=16)
@@ -45,6 +46,7 @@ def test_limiting_cases():
     assert np.all(np.abs(px_mean[good]) < 6 * sig)
 
 
+@pytest.mark.slow
 def test_cross_power_matches_prediction():
     # intermediate r with DIFFERENT tracer powers: measured cross vs
     # the exact binned expectation r sqrt(P1 P2)

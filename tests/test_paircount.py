@@ -125,6 +125,7 @@ def test_validation_errors():
         paircount.pair_counts(pos, 10.0, [0.0, 2.0], ells=(0,), nmu=4)
 
 
+@pytest.mark.slow
 def test_tracer_xi_matches_grid_estimator():
     # Poisson tracers of a lognormal field, jittered uniformly in cells:
     # pair-count xi agrees with the theory xi of the mock within a few

@@ -3,6 +3,7 @@ spectrum, statistical agreement with the exact expectation, infall sign,
 and continuum (FFTLog) consistency in a big box."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def test_parity_on_realized_spectrum():
                                atol=2e-4 * scale, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_seed_direct_velocity_matches_prediction_statistically():
     # engine-rendered (delta, velocity) pairs over several seeds: the
     # ensemble-mean psi_r must match the exact P(k) expectation within

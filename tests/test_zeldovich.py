@@ -269,6 +269,7 @@ def _poisson_catalog(g, seed, mean_per_cell=2.0):
     return pos, int(counts.sum())
 
 
+@pytest.mark.slow
 def test_interlacing_cancels_shot_noise_aliasing():
     """Sefusatti+16 behavior: for a Poisson catalog the aliased shot
     noise biases the deconvolved plain estimate by O(1) approaching
