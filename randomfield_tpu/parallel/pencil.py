@@ -48,6 +48,7 @@ __all__ = [
     "pencil_sigma_sharding",
     "pencil_field_sharding",
     "irfftn_pencil",
+    "irfftn_pencil_reim_xzy",
     "rfftn_pencil",
 ]
 

@@ -309,15 +309,20 @@ def _make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
 def can_mesh_pallas(mesh, shape) -> bool:
     """True when the hardware-PRNG sampler can run on this mesh/shape.
 
-    Slab meshes whose y axis splits into whole 128-lane tiles per space
-    shard, with Pallas-transformable local shapes.  (Pencil meshes shard
-    ky over 'spx' the same way but their sampler wiring is not built
-    yet.)"""
-    if _pencil.is_pencil_mesh(mesh):
-        return False
-    n_space = mesh.shape[SPACE_AXIS]
+    Slab meshes: the y axis must split into whole 128-lane tiles per
+    space shard.  Pencil meshes: y splits into 128-lane tiles per 'spx'
+    shard and x rows divide over 'spy'.  Both need Pallas-transformable
+    shapes; either way the sampled stream is the GLOBAL single-device
+    xzy stream (global tile ids)."""
     nx, ny, nz = shape
-    return dfft.can_pallas_slab(shape) and ny % (128 * n_space) == 0
+    if not dfft.can_pallas_slab(shape):
+        return False
+    if _pencil.is_pencil_mesh(mesh):
+        px = mesh.shape[_pencil.SPX_AXIS]
+        py = mesh.shape[_pencil.SPY_AXIS]
+        return ny % (128 * px) == 0 and nx % py == 0
+    n_space = mesh.shape[SPACE_AXIS]
+    return ny % (128 * n_space) == 0
 
 
 @functools.lru_cache(maxsize=32)
@@ -342,23 +347,38 @@ def make_sharded_render_pallas(mesh: Mesh, shape, spacing,
 
     nx, ny, nz = shape
     nzh = nz // 2 + 1
-    n_space = mesh.shape[SPACE_AXIS]
     if not can_mesh_pallas(mesh, shape):
         raise ValueError(
-            f"mesh-pallas sampling needs a slab mesh, Pallas-capable "
-            f"shape and ny % (128 * space) == 0; got {shape} on "
-            f"{dict(mesh.shape)}"
+            f"mesh-pallas sampling needs a Pallas-capable shape with y "
+            f"in whole 128-lane tiles per shard (can_mesh_pallas); got "
+            f"{shape} on {dict(mesh.shape)}"
         )
-    nyl = ny // n_space
+    is_pencil = _pencil.is_pencil_mesh(mesh)
     interp = _pallas_interpret()
     _, _, out = _mesh_specs(mesh, batched=False)
-    spec_sharding = NamedSharding(mesh, P(None, None, SPACE_AXIS))
+    if is_pencil:
+        px = mesh.shape[_pencil.SPX_AXIS]
+        py = mesh.shape[_pencil.SPY_AXIS]
+        nyl, rows = ny // px, nx // py
+        spec_sharding = NamedSharding(
+            mesh, P(_pencil.SPY_AXIS, None, _pencil.SPX_AXIS)
+        )
+    else:
+        n_space = mesh.shape[SPACE_AXIS]
+        nyl, rows = ny // n_space, nx
+        spec_sharding = NamedSharding(mesh, P(None, None, SPACE_AXIS))
 
     def sample_local(seed, sm, lk0, inv_dlk, stab):
-        toff = jax.lax.axis_index(SPACE_AXIS) * (nyl // 128)
+        if is_pencil:
+            toff = jax.lax.axis_index(_pencil.SPX_AXIS) * (nyl // 128)
+            roff = jax.lax.axis_index(_pencil.SPY_AXIS) * rows
+        else:
+            toff = jax.lax.axis_index(SPACE_AXIS) * (nyl // 128)
+            roff = jnp.int32(0)
         return _ps.sample_shard_pallas_reim(
             seed[0], sm[0], lk0[0], inv_dlk[0], stab, toff,
             shape, spacing, nyl, interpret=interp,
+            row_offset=roff, shard_rows=rows,
         )
 
     def fn(seed, smoothing_length, lk0, inv_dlk, stab, weights):
@@ -377,6 +397,10 @@ def make_sharded_render_pallas(mesh: Mesh, shape, spacing,
         re = jax.lax.with_sharding_constraint(re, spec_sharding)
         im = jax.lax.with_sharding_constraint(im, spec_sharding)
         re, im = _transform.symmetrize_xzy_reim(re, im, nz)
+        if is_pencil:
+            return _pencil.irfftn_pencil_reim_xzy(
+                re, im, shape, mesh, batched=False, weights=weights
+            )
         return dfft.irfftn_slab_reim_xzy(
             re, im, shape, mesh, batched=False, weights=weights
         )
@@ -400,26 +424,41 @@ def make_sharded_render_pallas_batch(mesh: Mesh, shape, spacing,
     from randomfield_tpu.parallel.dfft import _pallas_interpret
 
     nx, ny, nz = shape
-    n_space = mesh.shape[SPACE_AXIS]
     if not can_mesh_pallas(mesh, shape):
         raise ValueError(
-            f"mesh-pallas sampling needs a slab mesh, Pallas-capable "
-            f"shape and ny % (128 * space) == 0; got {shape} on "
-            f"{dict(mesh.shape)}"
+            f"mesh-pallas sampling needs a Pallas-capable shape with y "
+            f"in whole 128-lane tiles per shard (can_mesh_pallas); got "
+            f"{shape} on {dict(mesh.shape)}"
         )
-    nyl = ny // n_space
+    is_pencil = _pencil.is_pencil_mesh(mesh)
     interp = _pallas_interpret()
     data = DATA_AXIS if DATA_AXIS in mesh.shape else None
     _, _, out = _mesh_specs(mesh, batched=True)
-    spec_sharding = NamedSharding(mesh, P(data, None, None, SPACE_AXIS))
+    if is_pencil:
+        px = mesh.shape[_pencil.SPX_AXIS]
+        py = mesh.shape[_pencil.SPY_AXIS]
+        nyl, rows = ny // px, nx // py
+        spec_sharding = NamedSharding(
+            mesh, P(data, _pencil.SPY_AXIS, None, _pencil.SPX_AXIS)
+        )
+    else:
+        n_space = mesh.shape[SPACE_AXIS]
+        nyl, rows = ny // n_space, nx
+        spec_sharding = NamedSharding(mesh, P(data, None, None, SPACE_AXIS))
 
     def sample_local(seeds, sm, lk0, inv_dlk, stab):
-        toff = jax.lax.axis_index(SPACE_AXIS) * (nyl // 128)
+        if is_pencil:
+            toff = jax.lax.axis_index(_pencil.SPX_AXIS) * (nyl // 128)
+            roff = jax.lax.axis_index(_pencil.SPY_AXIS) * rows
+        else:
+            toff = jax.lax.axis_index(SPACE_AXIS) * (nyl // 128)
+            roff = jnp.int32(0)
 
         def one(s):
             return _ps.sample_shard_pallas_reim(
                 s, sm[0], lk0[0], inv_dlk[0], stab, toff,
                 shape, spacing, nyl, interpret=interp,
+                row_offset=roff, shard_rows=rows,
             )
 
         return jax.lax.map(one, seeds)
@@ -440,6 +479,10 @@ def make_sharded_render_pallas_batch(mesh: Mesh, shape, spacing,
         re = jax.lax.with_sharding_constraint(re, spec_sharding)
         im = jax.lax.with_sharding_constraint(im, spec_sharding)
         re, im = _transform.symmetrize_xzy_reim(re, im, nz)
+        if is_pencil:
+            return _pencil.irfftn_pencil_reim_xzy(
+                re, im, shape, mesh, batched=True, weights=weights
+            )
         return dfft.irfftn_slab_reim_xzy(
             re, im, shape, mesh, batched=True, weights=weights
         )

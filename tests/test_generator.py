@@ -135,12 +135,12 @@ def test_pallas_sampler_mesh_capability_gate():
     # incapable shape (ny not a multiple of 128 * space) still raises
     with pytest.raises(ValueError, match="can_mesh_pallas"):
         Generator(8, 8, 8, grid_spacing=8.0, mesh=mesh, sampler="pallas")
-    # pencil meshes have no hardware-sampler wiring
+    # pencil meshes gate on whole 128-lane y tiles per 'spx' shard
     from randomfield_tpu.parallel.pencil import make_pencil_mesh
 
     pmesh = make_pencil_mesh(data=2, spx=2, spy=2)
     with pytest.raises(ValueError, match="can_mesh_pallas"):
-        Generator(128, 256, 256, grid_spacing=8.0, mesh=pmesh,
+        Generator(128, 128, 256, grid_spacing=8.0, mesh=pmesh,
                   sampler="pallas")
 
 

@@ -287,3 +287,35 @@ def test_rfftn_pencil_pallas_matches_native(monkeypatch):
                                atol=3e-5 * scale, rtol=3e-4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(native),
                                atol=3e-5 * scale, rtol=3e-4)
+
+
+def test_pencil_mesh_pallas_render_matches_single_device_kernel():
+    """Pencil hardware-sampler render (interpret mode on CPU) equals
+    the single-device xzy kernel + numpy inverse — the pencil shards
+    sample the same GLOBAL stream by global (row, lane-tile) ids."""
+    import randomfield_tpu as rf
+    from randomfield_tpu.ops.pallas_sampler import (
+        make_sigma_table, sample_spectrum_pallas_reim,
+    )
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    shape = (128, 256, 256)
+    mesh = make_pencil_mesh(data=1, spx=2, spy=2)
+    g = rf.Generator(*shape, grid_spacing=8.0, mesh=mesh, sampler="pallas")
+    got = np.asarray(
+        g.generate_delta_field(seed=5, apply_lightcone=False)
+    )
+    tab = make_sigma_table(g._aux["power"], shape, 8.0, layout="xzy")
+    re, im = sample_spectrum_pallas_reim(5, tab, shape, 8.0, interpret=True)
+    c = np.asarray(re) + 1j * np.asarray(im)
+    c = np.transpose(c, (0, 2, 1))
+    ref = np.fft.irfftn(c, s=shape, axes=(0, 1, 2), norm="forward")
+    scale = max(np.abs(ref).std(), 1e-12)
+    np.testing.assert_allclose(got, ref, atol=5e-4 * scale, rtol=5e-4)
+    # batched program gives identical per-seed fields
+    batch = np.asarray(g.generate_delta_fields([5, 8]))
+    single = np.asarray(g.generate_delta_field(seed=8))
+    np.testing.assert_array_equal(
+        batch[0], np.asarray(g.generate_delta_field(seed=5))
+    )
+    np.testing.assert_array_equal(batch[1], single)
