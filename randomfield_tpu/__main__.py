@@ -195,6 +195,19 @@ def main(argv=None):
                    help="join a multi-host runtime first "
                         "(jax.distributed auto-detection; run one process "
                         "per host — see docs/parallelism.md)")
+    p.add_argument("--sampler", default="threefry",
+                   choices=["threefry", "pallas", "nested"],
+                   help="mode sampler: partitionable Threefry (default; "
+                        "one canonical stream on every pipeline/mesh), "
+                        "'pallas' (fused hardware-PRNG kernel — its own "
+                        "stream family; on capable slab/pencil meshes "
+                        "renders bit-identically to single-chip), or "
+                        "'nested' (resolution-nested zoom stream)")
+    p.add_argument("--pipeline", default="auto",
+                   choices=["auto", "fused", "staged"],
+                   help="render pipeline (engine/staged.py:pick_pipeline; "
+                        "'auto' switches to the HBM-lean staged pipeline "
+                        "above 256M cells)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -314,6 +327,7 @@ def main(argv=None):
         gen = rf.Generator(
             args.nx, ny, nz, grid_spacing=args.spacing, cosmology=cosmology,
             power=power, mesh=mesh, verbose=not args.quiet,
+            sampler=args.sampler, pipeline=args.pipeline,
         )
     if args.sample_power:
         from randomfield_tpu.validate.ensemble import (
