@@ -242,23 +242,27 @@ def catalog_power(positions, spacing, shape=None, weights=1.0, nbins=32,
         subtract_shot_noise = jnp.ndim(weights) > 0
     if mesh is not None:
         # pod path: sharded painting (parallel/paint.py) + the sharded
-        # deconvolving estimator — the grid never gathers.  Interlacing
-        # needs the half-cell-shifted second grid phase-aligned per
-        # mode; not wired for meshes yet.
-        if interlaced:
-            raise ValueError("interlaced=True is single-device; drop mesh=")
+        # deconvolving (and optionally interlacing) estimator — the
+        # grids never gather
         from randomfield_tpu.parallel.paint import paint_sharded
 
-        delta, _ = paint_sharded(
-            np.asarray(positions).reshape(3, -1), shape, float(spacing),
-            mesh, weights=np.broadcast_to(
-                np.asarray(weights, np.float32),
-                np.asarray(positions).reshape(3, -1).shape[1:],
-            ), window=window,
+        pos_np = np.asarray(positions).reshape(3, -1)
+        w_np = np.broadcast_to(
+            np.asarray(weights, np.float32), pos_np.shape[1:]
         )
+        delta, _ = paint_sharded(
+            pos_np, shape, float(spacing), mesh, weights=w_np,
+            window=window,
+        )
+        delta2 = None
+        if interlaced:
+            delta2, _ = paint_sharded(
+                pos_np + float(spacing) / 2.0, shape, float(spacing),
+                mesh, weights=w_np, window=window,
+            )
         k, p, n = _stats.calculate_power(
             delta, float(spacing), nbins=int(nbins), window=window,
-            mesh=mesh,
+            interlaced_with=delta2, mesh=mesh,
         )
         if subtract_shot_noise:
             w = (weights if jnp.ndim(weights)

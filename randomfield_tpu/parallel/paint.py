@@ -147,6 +147,14 @@ def paint_sharded(positions, shape, spacing, mesh, weights=1.0,
     models/zeldovich.py:paint, with ``delta`` sharded along x over the
     'space' axis.  Periodic box; ``window`` in 'ngp'/'cic'/'tsc'.
     """
+    from randomfield_tpu.parallel.pencil import is_pencil_mesh
+
+    if is_pencil_mesh(mesh):
+        raise ValueError(
+            "sharded painting is slab-only (a pencil painter needs a 2-D "
+            "ghost exchange — docs/parallelism.md); use a "
+            "('data','space') mesh"
+        )
     if window not in _ORDERS:
         raise ValueError(
             f"window must be 'ngp', 'cic' or 'tsc', got {window!r}"

@@ -200,8 +200,6 @@ def fkp_power(data, randoms, spacing, shape, data_weights=1.0,
     """
     from randomfield_tpu.validate import stats as _stats
 
-    if mesh is not None and interlaced:
-        raise ValueError("interlaced=True is single-device; drop mesh=")
     kw = dict(data_are_counts=data_are_counts,
               randoms_are_counts=randoms_are_counts)
     f, alpha, i22, shot_d, shot_r = _fkp_field(
@@ -212,7 +210,7 @@ def fkp_power(data, randoms, spacing, shape, data_weights=1.0,
         f2 = _fkp_field(
             data, randoms, spacing, shape, data_weights, randoms_weights,
             nbar_data, nbar_randoms, p0, window, shift=float(spacing) / 2.0,
-            **kw)[0]
+            mesh=mesh, **kw)[0]
     k, p, n = _stats.calculate_power(f, float(spacing), nbins=int(nbins),
                                      window=window, interlaced_with=f2,
                                      mesh=mesh)

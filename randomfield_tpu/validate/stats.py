@@ -305,18 +305,20 @@ def calculate_power(delta, spacing, nbins=32, mesh=None, window=None,
         raise ValueError(
             f"unknown window {window!r}: expected None, 'ngp', 'cic' or 'tsc'"
         )
-    if interlaced_with is not None and mesh is not None:
-        raise ValueError(
-            "interlacing is single-device (pass the two painted grids "
-            "unsharded); window deconvolution DOES compose with mesh="
+    worder = _WINDOW_ORDERS[window] or 0
+    if interlaced_with is not None and mesh is not None and (
+        is_pencil_mesh(mesh) or mesh.shape.get(SPACE_AXIS, 1) > 1
+    ):
+        fn = _make_mesh_interlaced(
+            mesh, shape, float(spacing), int(nbins), worder
         )
+        return _bins_to_host(*fn(delta, jnp.asarray(interlaced_with)))
     if interlaced_with is not None:
         counts, psum, ksum = _binned(
             delta, shape, float(spacing), int(nbins),
             _WINDOW_ORDERS[window], jnp.asarray(interlaced_with),
         )
         return _bins_to_host(counts, psum, ksum)
-    worder = _WINDOW_ORDERS[window] or 0
     if mesh is not None and is_pencil_mesh(mesh):
         fn = _make_pencil_binned(
             mesh, shape, float(spacing), int(nbins), order=worder
@@ -1163,6 +1165,111 @@ def _make_mesh_cross(mesh, shape, spacing, nbins):
         p = (c1.real * c2.real + c1.imag * c2.imag) * (
             (spacing**3) ** 2 / volume
         )
+        counts, psum_, ksum = _masked_bins(
+            jnp.broadcast_to(km, p.shape), mult_l, p,
+            jnp.asarray(edges, p.dtype), nbins, per_slab=True,
+        )
+        return jax.lax.psum(jnp.stack([counts, psum_, ksum]), psum_axes)
+
+    @jax.jit
+    def fn(d1, d2):
+        if is_pencil:
+            c1 = _pencil.rfftn_pencil(d1, shape, mesh, keep_pad=True)
+            c2 = _pencil.rfftn_pencil(d2, shape, mesh, keep_pad=True)
+        else:
+            c1 = dfft.rfftn_slab(d1, shape, mesh)
+            c2 = dfft.rfftn_slab(d2, shape, mesh)
+        bins = jax.shard_map(
+            _local_bins, mesh=mesh, in_specs=(in_spec, in_spec),
+            out_specs=P(), check_vma=False,
+        )(c1, c2)
+        return bins[0], bins[1], bins[2]
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def _make_mesh_interlaced(mesh, shape, spacing, nbins, order):
+    """Distributed interlaced P(k) (slab + pencil): two sharded forward
+    transforms, shard-local phase-align + average + window deconvolution
+    + binning, one psum.  The phase factor rebuilds from sliced k
+    vectors — nothing mode-sized is gathered or replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.parallel import dfft
+    from randomfield_tpu.parallel import pencil as _pencil
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    volume = nx * ny * nz * spacing**3
+    is_pencil = _pencil.is_pencil_mesh(mesh)
+    edges, mult = _bin_setup(shape, spacing, nbins)
+    kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+    wx = _sinc_half(kx, spacing) ** order
+    wy = _sinc_half(ky, spacing) ** order
+    if is_pencil:
+        px = mesh.shape[_pencil.SPX_AXIS]
+        py = mesh.shape[_pencil.SPY_AXIS]
+        ny_loc = ny // px
+        nzp = nzh + (-nzh) % py
+        nz_loc = nzp // py
+        mult_p = np.zeros(nzp, np.float32)
+        mult_p[:nzh] = mult
+        kz_p = np.zeros(nzp, kz.dtype)
+        kz_p[:nzh] = kz
+        wz_p = np.ones(nzp, np.float64)
+        wz_p[:nzh] = _sinc_half(kz, spacing) ** order
+        in_spec = P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS)
+        psum_axes = (_pencil.SPX_AXIS, _pencil.SPY_AXIS)
+    else:
+        n_space = mesh.shape[SPACE_AXIS]
+        ny_loc = ny // n_space
+        wz = _sinc_half(kz, spacing) ** order
+        in_spec = P(None, SPACE_AXIS, None)
+        psum_axes = SPACE_AXIS
+
+    def _local_bins(c1, c2):
+        jy = (jax.lax.axis_index(_pencil.SPX_AXIS) if is_pencil
+              else jax.lax.axis_index(SPACE_AXIS))
+        ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (jy * ny_loc,),
+                                     (ny_loc,))
+        wy_l = jax.lax.dynamic_slice(jnp.asarray(wy), (jy * ny_loc,),
+                                     (ny_loc,))
+        if is_pencil:
+            jz = jax.lax.axis_index(_pencil.SPY_AXIS)
+            kz_l = jax.lax.dynamic_slice(
+                jnp.asarray(kz_p), (jz * nz_loc,), (nz_loc,)
+            )
+            wz_l = jax.lax.dynamic_slice(
+                jnp.asarray(wz_p), (jz * nz_loc,), (nz_loc,)
+            )
+            mult_l = jax.lax.dynamic_slice(
+                jnp.asarray(mult_p), (jz * nz_loc,), (nz_loc,)
+            )[None, None, :]
+        else:
+            kz_l = jnp.asarray(kz)
+            wz_l = jnp.asarray(wz)
+            mult_l = jnp.asarray(mult)[None, None, :]
+        km = jnp.sqrt(
+            jnp.asarray(kx * kx)[:, None, None]
+            + (ky_l * ky_l)[None, :, None]
+            + (kz_l * kz_l)[None, None, :]
+        ).astype(c1.real.dtype)
+        ph = (
+            jnp.asarray(kx)[:, None, None]
+            + ky_l[None, :, None]
+            + kz_l[None, None, :]
+        ).astype(c1.real.dtype) * (spacing / 2.0)
+        c = 0.5 * (c1 + c2 * jax.lax.complex(jnp.cos(ph), jnp.sin(ph)))
+        p = (c.real**2 + c.imag**2) * ((spacing**3) ** 2 / volume)
+        if order:
+            w2 = (
+                jnp.asarray(wx)[:, None, None]
+                * wy_l[None, :, None]
+                * wz_l[None, None, :]
+            ) ** 2
+            p = p / w2.astype(p.dtype)
         counts, psum_, ksum = _masked_bins(
             jnp.broadcast_to(km, p.shape), mult_l, p,
             jnp.asarray(edges, p.dtype), nbins, per_slab=True,

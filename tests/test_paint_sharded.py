@@ -120,3 +120,64 @@ def test_halo_counts_on_mesh_match_single_device():
     c1 = np.asarray(g1.generate_halo_counts(seed=3))
     assert c1.shape == c0.shape
     np.testing.assert_array_equal(c1, c0)
+
+
+def test_mesh_interlaced_catalog_power_matches_single_device():
+    from randomfield_tpu.models.zeldovich import catalog_power, paint
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+    from randomfield_tpu.validate.stats import calculate_power
+
+    shape, spacing = (16, 16, 16), 4.0
+    rng = np.random.RandomState(5)
+    pos = rng.uniform(0, 64.0, size=(3, 1500)).astype(np.float32)
+    w = rng.poisson(1.0, size=1500).astype(np.float32)
+    k0, p0, n0 = catalog_power(pos, spacing, shape=shape, weights=w,
+                               nbins=8, window="tsc", interlaced=True)
+    mesh = make_mesh(data=1, space=4)
+    k1, p1, n1 = catalog_power(pos, spacing, shape=shape, weights=w,
+                               nbins=8, window="tsc", interlaced=True,
+                               mesh=mesh)
+    np.testing.assert_allclose(n1, n0, rtol=1e-6)
+    m = n0 > 0
+    np.testing.assert_allclose(
+        p1[m], p0[m], rtol=2e-3, atol=1e-4 * np.nanmax(np.abs(p0))
+    )
+    # pencil meshes: painting is slab-only, but the interlaced
+    # ESTIMATOR runs on pencil shards (pre-painted grids)
+    d1, _ = paint(pos, shape, spacing, weights=w, window="tsc")
+    d2, _ = paint(pos + spacing / 2.0, shape, spacing, weights=w,
+                  window="tsc")
+    ke, pe, ne = calculate_power(d1, spacing, nbins=8, window="tsc",
+                                 interlaced_with=d2)
+    pmesh = make_pencil_mesh(data=1, spx=2, spy=2)
+    kp, pp, np_ = calculate_power(d1, spacing, nbins=8, window="tsc",
+                                  interlaced_with=d2, mesh=pmesh)
+    np.testing.assert_allclose(np_, ne, rtol=1e-6)
+    mp = ne > 0
+    np.testing.assert_allclose(
+        pp[mp], pe[mp], rtol=2e-3, atol=1e-4 * np.nanmax(np.abs(pe))
+    )
+    import pytest as _pytest
+    from randomfield_tpu.parallel.paint import paint_sharded
+
+    with _pytest.raises(ValueError, match="slab-only"):
+        paint_sharded(pos, shape, spacing, pmesh)
+
+
+def test_mesh_interlaced_fkp_matches_single_device():
+    from randomfield_tpu.validate.fkp import fkp_power
+
+    shape, spacing = (16, 16, 16), 4.0
+    rng = np.random.RandomState(17)
+    data = rng.uniform(0, 64.0, size=(3, 700)).astype(np.float32)
+    rand = rng.uniform(0, 64.0, size=(3, 3500)).astype(np.float32)
+    r0 = fkp_power(data, rand, spacing, shape, nbins=8, window="tsc",
+                   interlaced=True)
+    mesh = make_mesh(data=1, space=2)
+    r1 = fkp_power(data, rand, spacing, shape, nbins=8, window="tsc",
+                   interlaced=True, mesh=mesh)
+    m = r0.n_modes > 0
+    np.testing.assert_allclose(
+        r1.p[m], r0.p[m], rtol=2e-3,
+        atol=1e-4 * np.nanmax(np.abs(r0.p) + r0.shot_noise),
+    )
