@@ -223,7 +223,8 @@ def fkp_power_multipoles(data, randoms, spacing, shape, data_weights=1.0,
                          nbar_randoms=None, p0=0.0, nbins=32,
                          ells=(0, 2, 4), los_axis=2, window="cic",
                          interlaced=False, randoms_are_poisson=True,
-                         data_are_counts=False, randoms_are_counts=False):
+                         data_are_counts=False, randoms_are_counts=False,
+                         mesh=None):
     """FKP P_ell(k) (plane-parallel LOS along a box axis — the
     periodic-box analog of the Yamamoto estimator; shot noise is
     subtracted from the monopole only).  Returns :class:`FKPPower`
@@ -231,11 +232,14 @@ def fkp_power_multipoles(data, randoms, spacing, shape, data_weights=1.0,
     """
     from randomfield_tpu.validate import stats as _stats
 
+    if mesh is not None and interlaced:
+        raise ValueError("interlaced multipoles are single-device; "
+                         "drop mesh= or interlaced=")
     kw = dict(data_are_counts=data_are_counts,
               randoms_are_counts=randoms_are_counts)
     f, alpha, i22, shot_d, shot_r = _fkp_field(
         data, randoms, spacing, shape, data_weights, randoms_weights,
-        nbar_data, nbar_randoms, p0, window, **kw)
+        nbar_data, nbar_randoms, p0, window, mesh=mesh, **kw)
     f2 = None
     if interlaced:
         f2 = _fkp_field(
@@ -245,7 +249,8 @@ def fkp_power_multipoles(data, randoms, spacing, shape, data_weights=1.0,
     ells = tuple(int(e) for e in ells)
     k, p_ell, n = _stats.calculate_power_multipoles(
         f, float(spacing), nbins=int(nbins), ells=ells,
-        los_axis=int(los_axis), window=window, interlaced_with=f2)
+        los_axis=int(los_axis), window=window, interlaced_with=f2,
+        mesh=mesh)
     shot = _shot(i22, shot_d, shot_r, alpha, randoms_are_poisson)
     p_out = {ell: (row - shot if ell == 0 else row)
              for ell, row in zip(ells, np.asarray(p_ell))}

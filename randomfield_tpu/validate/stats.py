@@ -399,14 +399,15 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
         from randomfield_tpu.parallel.mesh import SPACE_AXIS
         from randomfield_tpu.parallel.pencil import is_pencil_mesh
 
-        if window is not None or interlaced_with is not None:
+        if interlaced_with is not None:
             raise ValueError(
-                "window deconvolution / interlacing is single-device; "
-                "drop mesh= or window="
+                "interlaced multipoles are single-device; drop mesh="
             )
+        worder = _WINDOW_ORDERS[window] or 0
         if is_pencil_mesh(mesh):
             fn = _make_pencil_multipoles(
-                mesh, shape, float(spacing), int(nbins), ells, int(los_axis)
+                mesh, shape, float(spacing), int(nbins), ells,
+                int(los_axis), order=worder,
             )
             counts, psums, ksum = fn(delta)
             from randomfield_tpu.parallel.multihost import replicated_to_host
@@ -419,7 +420,8 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
             delta, "is_fully_addressable", True
         ):
             fn = _make_sharded_multipoles(
-                mesh, shape, float(spacing), int(nbins), ells, int(los_axis)
+                mesh, shape, float(spacing), int(nbins), ells,
+                int(los_axis), order=worder,
             )
             counts, psums, ksum = fn(delta)
             from randomfield_tpu.parallel.multihost import replicated_to_host
@@ -598,7 +600,8 @@ def bin_power_wedges_grid(pgrid, shape, spacing, nbins=32, nmu=4,
 
 
 @functools.lru_cache(maxsize=16)
-def _make_sharded_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
+def _make_sharded_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
+                             order=0):
     """Distributed P_ell(k) on a ('data','space') slab mesh: sharded
     forward transform, shard-local mu^2 + Legendre-weighted binning, one
     psum.  Mirrors _make_sharded_binned with the multipole weights of
@@ -615,6 +618,9 @@ def _make_sharded_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
     ny_loc = ny // n_space
     edges, mult = _bin_setup(shape, spacing, nbins)
     kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+    wx = _sinc_half(kx, spacing) ** order
+    wy = _sinc_half(ky, spacing) ** order
+    wz = _sinc_half(kz, spacing) ** order
 
     def _local_bins(cl):
         j = jax.lax.axis_index(SPACE_AXIS)
@@ -633,6 +639,16 @@ def _make_sharded_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
         mu2 = jnp.where(km > 0, (k_los / jnp.where(km > 0, km, 1.0)) ** 2,
                         0.0)
         p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        if order:
+            wy_l = jax.lax.dynamic_slice(
+                jnp.asarray(wy), (j * ny_loc,), (ny_loc,)
+            )
+            w2 = (
+                jnp.asarray(wx)[:, None, None]
+                * wy_l[None, :, None]
+                * jnp.asarray(wz)[None, None, :]
+            ) ** 2
+            p = p / w2.astype(p.dtype)
         kmb = jnp.broadcast_to(km, p.shape)
         multb = jnp.asarray(mult)[None, None, :]
         edges_j = jnp.asarray(edges, p.dtype)
@@ -734,7 +750,8 @@ def _make_sharded_binned(mesh, shape, spacing, nbins, order=0):
 
 
 @functools.lru_cache(maxsize=16)
-def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
+def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
+                            order=0):
     """Distributed P_ell(k) on a 2-D pencil mesh: distributed forward
     FFT + shard-local mu^2 / Legendre-weighted binning + one psum over
     both spatial axes.  The pencil analog of _make_sharded_multipoles;
@@ -759,6 +776,10 @@ def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
     kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
     kz_p = np.zeros(nzp, kz.dtype)
     kz_p[:nzh] = kz
+    wx = _sinc_half(kx, spacing) ** order
+    wy = _sinc_half(ky, spacing) ** order
+    wz_p = np.ones(nzp, np.float64)
+    wz_p[:nzh] = _sinc_half(kz, spacing) ** order
 
     def _local_bins(cl):
         j = jax.lax.axis_index(_pencil.SPX_AXIS)
@@ -781,6 +802,19 @@ def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
         mu2 = jnp.where(km > 0, (k_los / jnp.where(km > 0, km, 1.0)) ** 2,
                         0.0)
         p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        if order:
+            wy_l = jax.lax.dynamic_slice(
+                jnp.asarray(wy), (j * ny_loc,), (ny_loc,)
+            )
+            wz_l = jax.lax.dynamic_slice(
+                jnp.asarray(wz_p), (m * nz_loc,), (nz_loc,)
+            )
+            w2 = (
+                jnp.asarray(wx)[:, None, None]
+                * wy_l[None, :, None]
+                * wz_l[None, None, :]
+            ) ** 2
+            p = p / w2.astype(p.dtype)
         kmb = jnp.broadcast_to(km, p.shape)
         multb = mult_l[None, None, :]
         edges_j = jnp.asarray(edges, p.dtype)

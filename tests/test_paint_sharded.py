@@ -181,3 +181,23 @@ def test_mesh_interlaced_fkp_matches_single_device():
         r1.p[m], r0.p[m], rtol=2e-3,
         atol=1e-4 * np.nanmax(np.abs(r0.p) + r0.shot_noise),
     )
+
+
+def test_mesh_fkp_multipoles_match_single_device():
+    from randomfield_tpu.validate.fkp import fkp_power_multipoles
+
+    shape, spacing = (16, 16, 16), 4.0
+    rng = np.random.RandomState(23)
+    data = rng.uniform(0, 64.0, size=(3, 600)).astype(np.float32)
+    rand = rng.uniform(0, 64.0, size=(3, 3000)).astype(np.float32)
+    r0 = fkp_power_multipoles(data, rand, spacing, shape, nbins=8,
+                              window="tsc")
+    mesh = make_mesh(data=1, space=2)
+    r1 = fkp_power_multipoles(data, rand, spacing, shape, nbins=8,
+                              window="tsc", mesh=mesh)
+    m = r0.n_modes > 0
+    for ell in (0, 2, 4):
+        np.testing.assert_allclose(
+            r1.p[ell][m], r0.p[ell][m], rtol=2e-3,
+            atol=1e-4 * np.nanmax(np.abs(r0.p[0]) + r0.shot_noise),
+        )
