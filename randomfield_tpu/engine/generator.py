@@ -360,11 +360,6 @@ class Generator(MeasurementMixin, ConstrainedMixin):
         if sampler == "nested":
             from randomfield_tpu.ops.sample import NESTED_MAX_DIM
 
-            if mesh is not None:
-                raise ValueError(
-                    "sampler='nested' is single-device (the sharded render "
-                    "samples with the positional Threefry stream)"
-                )
             if pipeline == "staged":
                 raise ValueError(
                     "sampler='nested' needs the fused pipeline (the staged "
@@ -692,6 +687,7 @@ class Generator(MeasurementMixin, ConstrainedMixin):
                 self.mesh, self.scene.shape, self.scene.grid_spacing,
                 from_seed=self._multiprocess,
                 log_values=self._table_host[2], dtype_name=str(self._dtype),
+                nested=self._nested,
             )
             lk, val = self._table_args()
             out = fn(
@@ -1013,6 +1009,7 @@ class Generator(MeasurementMixin, ConstrainedMixin):
                 self.mesh, self.scene.shape, self.scene.grid_spacing,
                 from_seed=self._multiprocess,
                 log_values=self._table_host[2], dtype_name=str(self._dtype),
+                nested=self._nested,
             )
             first = (
                 np.asarray(seeds, np.uint32) if self._multiprocess else keys

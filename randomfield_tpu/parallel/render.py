@@ -84,7 +84,7 @@ def _mesh_specs(mesh, batched):
 
 def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
                       mesh, batched, log_values, dtype, fixed=False,
-                      flip=False, sigmas=None):
+                      flip=False, sigmas=None, nested=False):
     """Sample + symmetrize + sigma scale + filter, sharded.
 
     ``sigmas``: optional MATERIALIZED (sharded) sigma grid.  On this
@@ -113,12 +113,20 @@ def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
         mesh, P(*(draws_sharding.spec[:1] + draws_sharding.spec[2:]))
         if batched else P(*draws_sharding.spec[1:])
     )
-    if batched:
-        re, im = jax.vmap(
-            lambda k: _sample.unit_draws_reim(k, shape, dtype)
-        )(key)
+    if nested:
+        # the zoom-matched stream: counter-based threefry keyed by the
+        # SIGNED mode indices, elementwise on an iota-derived code grid
+        # — shards under GSPMD like the positional draws
+        def draw1(k):
+            d = _sample.nested_unit_draws(k, shape, dtype)
+            return d[0], d[1]
     else:
-        re, im = _sample.unit_draws_reim(key, shape, dtype)
+        def draw1(k):
+            return _sample.unit_draws_reim(k, shape, dtype)
+    if batched:
+        re, im = jax.vmap(draw1)(key)
+    else:
+        re, im = draw1(key)
     re = jax.lax.with_sharding_constraint(re, reim_sharding)
     im = jax.lax.with_sharding_constraint(im, reim_sharding)
     z = jax.lax.complex(re, im) * jnp.asarray(_INV_SQRT2, dtype)
@@ -217,21 +225,22 @@ def _inverse(c, shape, mesh, batched, weights=None):
 
 def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
                         log_values=False, dtype_name="float32",
-                        fixed=False, flip=False):
+                        fixed=False, flip=False, nested=False):
     # thin uncached shim: the re/im-vs-complex choice depends on
     # RF_MESH_PALLAS/platform at call time, so it must be part of the
     # compile cache key (env flips between tests would otherwise return
     # stale programs)
     return _make_sharded_render(
         mesh, shape, spacing, from_seed, log_values, dtype_name, fixed,
-        flip, _use_reim_mesh(mesh, shape),
+        flip, _use_reim_mesh(mesh, shape) and not nested, nested,
     )
 
 
 @functools.lru_cache(maxsize=32)
 def _make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
                          log_values=False, dtype_name="float32",
-                         fixed=False, flip=False, reim=False):
+                         fixed=False, flip=False, reim=False,
+                         nested=False):
     """Compile a single-realization spatially-sharded render for a mesh.
 
     The returned fn takes ``(key, lk_tab, val_tab, weights,
@@ -263,6 +272,7 @@ def _make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
         c = _sampled_spectrum(
             key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
             False, log_values, dtype, fixed, flip, sigmas=sig,
+            nested=nested,
         )
         return _inverse(c, shape, mesh, False, weights=weights)
 
@@ -271,17 +281,18 @@ def _make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
 
 def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
                               log_values=False, dtype_name="float32",
-                              fixed=False, flip=False):
+                              fixed=False, flip=False, nested=False):
     return _make_sharded_render_batch(
         mesh, shape, spacing, from_seed, log_values, dtype_name, fixed,
-        flip, _use_reim_mesh(mesh, shape),
+        flip, _use_reim_mesh(mesh, shape) and not nested, nested,
     )
 
 
 @functools.lru_cache(maxsize=32)
 def _make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
                                log_values=False, dtype_name="float32",
-                               fixed=False, flip=False, reim=False):
+                               fixed=False, flip=False, reim=False,
+                               nested=False):
     """Compile a seed-batched render: batch over 'data', spatial sharding."""
     dtype = jnp.dtype(dtype_name)
     _, _, out = _mesh_specs(mesh, batched=True)
@@ -300,6 +311,7 @@ def _make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
         c = _sampled_spectrum(
             keys, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
             True, log_values, dtype, fixed, flip, sigmas=sig,
+            nested=nested,
         )
         return _inverse(c, shape, mesh, True, weights=weights)
 

@@ -135,11 +135,8 @@ def test_nested_fixed_and_derived_and_sample_power():
 
 
 def test_nested_rejects_unsupported_configs():
-    with pytest.raises(ValueError, match="single-device"):
-        from randomfield_tpu.parallel.mesh import make_mesh
-
-        Generator(16, 16, 16, grid_spacing=8.0, sampler="nested",
-                  mesh=make_mesh(data=1, space=4))
+    # (mesh + nested is SUPPORTED since round 4 — the counter-based
+    # stream shards; see test_nested_mesh_render_matches_single_device)
     with pytest.raises(ValueError, match="fused"):
         Generator(16, 16, 16, grid_spacing=8.0, sampler="nested",
                   pipeline="staged")
@@ -182,3 +179,27 @@ def test_noise_export_rejects_pallas_and_staged():
         g.generate_noise(0)
     with pytest.raises(ValueError, match="fused"):
         g.generate_from_noise(np.zeros((2, 16, 16, 9), np.float32))
+
+
+def test_nested_mesh_render_matches_single_device():
+    """The zoom-matched nested stream is counter-based per signed mode
+    index, so mesh renders equal single-device nested renders."""
+    from randomfield_tpu import Generator
+    from randomfield_tpu.parallel.mesh import make_mesh
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    shape, spacing = (16, 16, 16), 8.0
+    g0 = Generator(*shape, grid_spacing=spacing, sampler="nested")
+    ref = np.asarray(g0.generate_delta_field(seed=5))
+    for mesh in (make_mesh(data=1, space=4),
+                 make_pencil_mesh(data=1, spx=2, spy=2)):
+        gm = Generator(*shape, grid_spacing=spacing, sampler="nested",
+                       mesh=mesh)
+        got = np.asarray(gm.generate_delta_field(seed=5))
+        np.testing.assert_allclose(
+            got, ref, rtol=2e-4, atol=2e-5 * np.abs(ref).std()
+        )
+        batch = np.asarray(gm.generate_delta_fields([5, 7]))
+        np.testing.assert_allclose(
+            batch[0], got, rtol=1e-5, atol=1e-6 * np.abs(ref).std()
+        )
