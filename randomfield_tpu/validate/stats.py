@@ -542,17 +542,17 @@ def calculate_power_wedges(delta, spacing, nbins=32, nmu=4, los_axis=2,
         from randomfield_tpu.parallel.mesh import SPACE_AXIS
         from randomfield_tpu.parallel.pencil import is_pencil_mesh
 
-        if window is not None or interlaced_with is not None:
+        if interlaced_with is not None:
             raise ValueError(
-                "window deconvolution / interlacing is single-device; "
-                "drop mesh= or window="
+                "interlaced wedges are single-device; drop mesh="
             )
+        worder = _WINDOW_ORDERS[window] or 0
         from randomfield_tpu.parallel.multihost import replicated_to_host
 
         if is_pencil_mesh(mesh):
             fn = _make_pencil_wedges(
                 mesh, shape, float(spacing), int(nbins), int(nmu),
-                int(los_axis),
+                int(los_axis), order=worder,
             )
             counts, psum, ksum = fn(delta)
             return _wedges_host(
@@ -564,7 +564,7 @@ def calculate_power_wedges(delta, spacing, nbins=32, nmu=4, los_axis=2,
         ):
             fn = _make_sharded_wedges(
                 mesh, shape, float(spacing), int(nbins), int(nmu),
-                int(los_axis),
+                int(los_axis), order=worder,
             )
             counts, psum, ksum = fn(delta)
             return _wedges_host(
@@ -847,7 +847,8 @@ def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
 
 
 @functools.lru_cache(maxsize=16)
-def _make_sharded_wedges(mesh, shape, spacing, nbins, nmu, los_axis):
+def _make_sharded_wedges(mesh, shape, spacing, nbins, nmu, los_axis,
+                         order=0):
     """Distributed P(k, mu) wedges on a ('data','space') slab mesh:
     sharded forward transform, shard-local joint (|k|, |mu|) binning,
     one psum.  The wedge analog of _make_sharded_multipoles."""
@@ -863,6 +864,9 @@ def _make_sharded_wedges(mesh, shape, spacing, nbins, nmu, los_axis):
     ny_loc = ny // n_space
     edges, mult = _bin_setup(shape, spacing, nbins)
     kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
+    wx = _sinc_half(kx, spacing) ** order
+    wy = _sinc_half(ky, spacing) ** order
+    wz = _sinc_half(kz, spacing) ** order
 
     def _local_bins(cl):
         j = jax.lax.axis_index(SPACE_AXIS)
@@ -875,6 +879,16 @@ def _make_sharded_wedges(mesh, shape, spacing, nbins, nmu, los_axis):
         ).astype(cl.real.dtype)
         mu = _wedge_mu(km, kv, los_axis, km.dtype)
         p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        if order:
+            wy_l = jax.lax.dynamic_slice(
+                jnp.asarray(wy), (j * ny_loc,), (ny_loc,)
+            )
+            w2 = (
+                jnp.asarray(wx)[:, None, None]
+                * wy_l[None, :, None]
+                * jnp.asarray(wz)[None, None, :]
+            ) ** 2
+            p = p / w2.astype(p.dtype)
         wb = jnp.broadcast_to(jnp.asarray(mult)[None, None, :], km.shape)
         counts, psum, ksum = _wedge_bin_core(
             km, mu, wb, p, jnp.asarray(edges, p.dtype), nbins, nmu
@@ -899,7 +913,8 @@ def _make_sharded_wedges(mesh, shape, spacing, nbins, nmu, los_axis):
 
 
 @functools.lru_cache(maxsize=16)
-def _make_pencil_wedges(mesh, shape, spacing, nbins, nmu, los_axis):
+def _make_pencil_wedges(mesh, shape, spacing, nbins, nmu, los_axis,
+                        order=0):
     """Pencil-mesh P(k, mu) wedges: distributed forward FFT +
     shard-local joint binning + one psum over both spatial axes.  The
     wedge analog of _make_pencil_multipoles (state-1 spectrum: ky over
@@ -923,6 +938,10 @@ def _make_pencil_wedges(mesh, shape, spacing, nbins, nmu, los_axis):
     kx, ky, kz = (np.asarray(v) for v in _grid.kvectors(shape, spacing))
     kz_p = np.zeros(nzp, kz.dtype)
     kz_p[:nzh] = kz
+    wx = _sinc_half(kx, spacing) ** order
+    wy = _sinc_half(ky, spacing) ** order
+    wz_p = np.ones(nzp, np.float64)
+    wz_p[:nzh] = _sinc_half(kz, spacing) ** order
 
     def _local_bins(cl):
         j = jax.lax.axis_index(_pencil.SPX_AXIS)
@@ -940,6 +959,19 @@ def _make_pencil_wedges(mesh, shape, spacing, nbins, nmu, los_axis):
         ).astype(cl.real.dtype)
         mu = _wedge_mu(km, kv, los_axis, km.dtype)
         p = (cl.real**2 + cl.imag**2) * (spacing**3) ** 2 / volume
+        if order:
+            wy_l = jax.lax.dynamic_slice(
+                jnp.asarray(wy), (j * ny_loc,), (ny_loc,)
+            )
+            wz_l = jax.lax.dynamic_slice(
+                jnp.asarray(wz_p), (m * nz_loc,), (nz_loc,)
+            )
+            w2 = (
+                jnp.asarray(wx)[:, None, None]
+                * wy_l[None, :, None]
+                * wz_l[None, None, :]
+            ) ** 2
+            p = p / w2.astype(p.dtype)
         wb = jnp.broadcast_to(mult_l[None, None, :], km.shape)
         counts, psum, ksum = _wedge_bin_core(
             km, mu, wb, p, jnp.asarray(edges, p.dtype), nbins, nmu

@@ -201,3 +201,40 @@ def test_mesh_fkp_multipoles_match_single_device():
             r1.p[ell][m], r0.p[ell][m], rtol=2e-3,
             atol=1e-4 * np.nanmax(np.abs(r0.p[0]) + r0.shot_noise),
         )
+
+
+def test_mesh_window_deconvolution_multipoles_wedges():
+    """Window deconvolution on the mesh P_ell / wedge estimators equals
+    the single-device deconvolving estimators on a painted catalog."""
+    from randomfield_tpu.models.zeldovich import paint
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+    from randomfield_tpu.validate.stats import (
+        calculate_power_multipoles, calculate_power_wedges,
+    )
+
+    shape, spacing = (16, 16, 16), 4.0
+    rng = np.random.RandomState(31)
+    pos = rng.uniform(0, 64.0, size=(3, 1200)).astype(np.float32)
+    d, _ = paint(pos, shape, spacing, window="tsc")
+    k0, p0, n0 = calculate_power_multipoles(d, spacing, nbins=6,
+                                            window="tsc")
+    kw0, pw0, nw0 = calculate_power_wedges(d, spacing, nbins=6, nmu=3,
+                                           window="tsc")
+    for mesh in (make_mesh(data=1, space=4),
+                 make_pencil_mesh(data=1, spx=2, spy=2)):
+        k1, p1, n1 = calculate_power_multipoles(d, spacing, nbins=6,
+                                                window="tsc", mesh=mesh)
+        np.testing.assert_allclose(n1, n0, rtol=1e-6)
+        m = n0 > 0
+        np.testing.assert_allclose(
+            p1[:, m], p0[:, m], rtol=2e-3,
+            atol=1e-4 * np.nanmax(np.abs(p0)),
+        )
+        kw1, pw1, nw1 = calculate_power_wedges(d, spacing, nbins=6, nmu=3,
+                                               window="tsc", mesh=mesh)
+        np.testing.assert_allclose(nw1, nw0, rtol=1e-6)
+        mw = nw0 > 0
+        np.testing.assert_allclose(
+            pw1[mw], pw0[mw], rtol=2e-3,
+            atol=1e-4 * np.nanmax(np.abs(pw0[mw])),
+        )

@@ -134,7 +134,10 @@ def test_mesh_wedges_match_single_device():
             m = c0 > 0
             np.testing.assert_allclose(p1[m], p0[m], rtol=2e-4)
             np.testing.assert_allclose(k1, k0, rtol=1e-5, equal_nan=True)
+    # window deconvolution composes with mesh= since round 4
+    # (test_paint_sharded.py asserts parity); interlacing remains
+    # single-device for wedges
     with pytest.raises(ValueError, match="single-device"):
         stats.calculate_power_wedges(
-            delta, spacing, window="cic", mesh=make_mesh(2, 4)
+            delta, spacing, interlaced_with=delta, mesh=make_mesh(2, 4)
         )
