@@ -157,11 +157,8 @@ def test_mesh_interlaced_catalog_power_matches_single_device():
     np.testing.assert_allclose(
         pp[mp], pe[mp], rtol=2e-3, atol=1e-4 * np.nanmax(np.abs(pe))
     )
-    import pytest as _pytest
-    from randomfield_tpu.parallel.paint import paint_sharded
-
-    with _pytest.raises(ValueError, match="slab-only"):
-        paint_sharded(pos, shape, spacing, pmesh)
+    # (pencil painting landed later in round 4 — parity in
+    # test_paint_sharded_pencil_matches_single_device)
 
 
 def test_mesh_interlaced_fkp_matches_single_device():
@@ -238,3 +235,46 @@ def test_mesh_window_deconvolution_multipoles_wedges():
             pw1[mw], pw0[mw], rtol=2e-3,
             atol=1e-4 * np.nanmax(np.abs(pw0[mw])),
         )
+
+
+@pytest.mark.parametrize("window", ["ngp", "cic", "tsc"])
+def test_paint_sharded_pencil_matches_single_device(window):
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    shape, spacing = (16, 12, 8), 2.0
+    rng = np.random.RandomState(19)
+    n = 600
+    box = np.asarray(shape) * spacing
+    pos = rng.uniform(0, 1, size=(3, n)) * box[:, None]
+    # sprinkle exact seam particles on both sharded axes
+    pos[0, :8] = np.asarray([0.0, 0.01, 7.99, 8.0, 16.0, 31.99, 24.0, 0.5])
+    pos[1, :8] = np.asarray([0.0, 5.99, 6.0, 12.0, 18.0, 23.99, 11.9, 0.3])
+    w = rng.uniform(0.5, 2.0, size=n).astype(np.float32)
+    d0, m0 = paint(pos, shape, spacing, weights=w, window=window)
+    mesh = make_pencil_mesh(data=1, spx=2, spy=2)
+    d1, m1 = paint_sharded(pos, shape, spacing, mesh, weights=w,
+                           window=window)
+    assert np.isclose(m1, float(m0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d0), rtol=1e-4, atol=2e-5
+    )
+
+
+def test_catalog_power_pencil_mesh():
+    from randomfield_tpu.models.zeldovich import catalog_power
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    shape, spacing = (16, 16, 16), 4.0
+    rng = np.random.RandomState(41)
+    pos = rng.uniform(0, 64.0, size=(3, 1500)).astype(np.float32)
+    k0, p0, n0 = catalog_power(pos, spacing, shape=shape, nbins=8,
+                               window="cic", subtract_shot_noise=True)
+    mesh = make_pencil_mesh(data=1, spx=2, spy=2)
+    k1, p1, n1 = catalog_power(pos, spacing, shape=shape, nbins=8,
+                               window="cic", subtract_shot_noise=True,
+                               mesh=mesh)
+    np.testing.assert_allclose(n1, n0, rtol=1e-6)
+    m = n0 > 0
+    np.testing.assert_allclose(
+        p1[m], p0[m], rtol=2e-3, atol=1e-4 * np.nanmax(np.abs(p0))
+    )
