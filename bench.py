@@ -226,7 +226,9 @@ def time_mesh_render(n=512, iters=5):
     slab schedule + collective Hermitian fixup).  With one device the
     collectives are degenerate, so this measures the per-chip cost of
     the scale-out path — the round-3 gap vs the single-chip pipeline
-    was ~4x; the round-4 target is <= 1.3x.
+    was ~4x; the round-4 target is <= 1.3x.  Measured this round:
+    512^3 1.11x, 1024^3 1.38x (the round-3 mesh path OOMed at 1024^3
+    on one device).
     """
     import randomfield_tpu as rf
     from randomfield_tpu.parallel.mesh import make_mesh
@@ -460,19 +462,20 @@ def main():
         detail["tpu_512_batch4"] = {"error": type(e).__name__}
         log(f"  batch failed: {type(e).__name__}: {str(e)[:120]}")
 
-    try:
-        log("Mesh path per-chip throughput (1-device slab mesh):")
-        dt, ts = time_mesh_render(512)
-        ratio = (dt / detail["tpu_512"]["median_s"]
-                 if "tpu_512" in detail and "median_s" in detail["tpu_512"]
-                 else None)
-        detail["tpu_512_mesh"] = dict(
-            _stats(ts), gcells_per_s=round(512**3 / dt / 1e9, 2),
-            vs_single_chip=round(ratio, 3) if ratio else None,
-        )
-    except Exception as e:
-        detail["tpu_512_mesh"] = {"error": type(e).__name__}
-        log(f"  mesh render failed: {type(e).__name__}: {str(e)[:120]}")
+    for n_mesh in (512, 1024):
+        key = f"tpu_{n_mesh}_mesh"
+        try:
+            log(f"Mesh path per-chip throughput ({n_mesh}^3, 1-device "
+                "slab mesh):")
+            dt, ts = time_mesh_render(n_mesh)
+            single = detail.get(f"tpu_{n_mesh}", {}).get("median_s")
+            detail[key] = dict(
+                _stats(ts), gcells_per_s=round(n_mesh**3 / dt / 1e9, 2),
+                vs_single_chip=round(dt / single, 3) if single else None,
+            )
+        except Exception as e:
+            detail[key] = {"error": type(e).__name__}
+            log(f"  mesh render failed: {type(e).__name__}: {str(e)[:120]}")
 
     if headline_n == 1024:
         try:
