@@ -39,7 +39,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from randomfield_tpu.parallel.mesh import SPACE_AXIS, field_sharding
 

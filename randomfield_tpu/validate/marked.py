@@ -46,7 +46,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from randomfield_tpu.ops import grid as _grid
 from randomfield_tpu.ops import transform as _transform
