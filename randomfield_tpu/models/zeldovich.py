@@ -293,7 +293,7 @@ def catalog_power(positions, spacing, shape=None, weights=1.0, nbins=32,
 def catalog_power_multipoles(positions, spacing, shape=None, weights=1.0,
                              nbins=32, ells=(0, 2, 4), los_axis=2,
                              window="cic", subtract_shot_noise=None,
-                             interlaced=False):
+                             interlaced=False, mesh=None):
     """Redshift-space multipoles P_ell(k) of a particle catalog.
 
     Paints with ``window``, runs validate/stats.py
@@ -317,16 +317,33 @@ def catalog_power_multipoles(positions, spacing, shape=None, weights=1.0,
     shape = tuple(int(s) for s in shape)
     if subtract_shot_noise is None:
         subtract_shot_noise = jnp.ndim(weights) > 0
-    delta, _ = paint(positions, shape, float(spacing), weights, window)
-    delta2 = None
-    if interlaced:
-        delta2, _ = paint(
-            positions + float(spacing) / 2.0, shape, float(spacing),
-            weights, window,
+    if mesh is not None:
+        from randomfield_tpu.parallel.paint import paint_sharded
+
+        pos_np = np.asarray(positions).reshape(3, -1)
+        w_np = np.broadcast_to(
+            np.asarray(weights, np.float32), pos_np.shape[1:]
         )
+        delta, _ = paint_sharded(pos_np, shape, float(spacing), mesh,
+                                 weights=w_np, window=window)
+        delta2 = None
+        if interlaced:
+            delta2, _ = paint_sharded(
+                pos_np + float(spacing) / 2.0, shape, float(spacing),
+                mesh, weights=w_np, window=window,
+            )
+    else:
+        delta, _ = paint(positions, shape, float(spacing), weights, window)
+        delta2 = None
+        if interlaced:
+            delta2, _ = paint(
+                positions + float(spacing) / 2.0, shape, float(spacing),
+                weights, window,
+            )
     k, p_ell, n = _stats.calculate_power_multipoles(
         delta, float(spacing), nbins=int(nbins), ells=ells,
         los_axis=int(los_axis), window=window, interlaced_with=delta2,
+        mesh=mesh,
     )
     if subtract_shot_noise and 0 in tuple(ells):
         w = weights if jnp.ndim(weights) else jnp.full(positions.shape[1:],

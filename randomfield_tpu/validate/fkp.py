@@ -232,9 +232,6 @@ def fkp_power_multipoles(data, randoms, spacing, shape, data_weights=1.0,
     """
     from randomfield_tpu.validate import stats as _stats
 
-    if mesh is not None and interlaced:
-        raise ValueError("interlaced multipoles are single-device; "
-                         "drop mesh= or interlaced=")
     kw = dict(data_are_counts=data_are_counts,
               randoms_are_counts=randoms_are_counts)
     f, alpha, i22, shot_d, shot_r = _fkp_field(
@@ -245,7 +242,7 @@ def fkp_power_multipoles(data, randoms, spacing, shape, data_weights=1.0,
         f2 = _fkp_field(
             data, randoms, spacing, shape, data_weights, randoms_weights,
             nbar_data, nbar_randoms, p0, window, shift=float(spacing) / 2.0,
-            **kw)[0]
+            mesh=mesh, **kw)[0]
     ells = tuple(int(e) for e in ells)
     k, p_ell, n = _stats.calculate_power_multipoles(
         f, float(spacing), nbins=int(nbins), ells=ells,

@@ -399,17 +399,15 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
         from randomfield_tpu.parallel.mesh import SPACE_AXIS
         from randomfield_tpu.parallel.pencil import is_pencil_mesh
 
-        if interlaced_with is not None:
-            raise ValueError(
-                "interlaced multipoles are single-device; drop mesh="
-            )
         worder = _WINDOW_ORDERS[window] or 0
+        inter = interlaced_with is not None
         if is_pencil_mesh(mesh):
             fn = _make_pencil_multipoles(
                 mesh, shape, float(spacing), int(nbins), ells,
-                int(los_axis), order=worder,
+                int(los_axis), order=worder, interlaced=inter,
             )
-            counts, psums, ksum = fn(delta)
+            counts, psums, ksum = (fn(delta, jnp.asarray(interlaced_with))
+                                   if inter else fn(delta))
             from randomfield_tpu.parallel.multihost import replicated_to_host
 
             return _xi_host(
@@ -421,9 +419,10 @@ def calculate_power_multipoles(delta, spacing, nbins=32, ells=(0, 2, 4),
         ):
             fn = _make_sharded_multipoles(
                 mesh, shape, float(spacing), int(nbins), ells,
-                int(los_axis), order=worder,
+                int(los_axis), order=worder, interlaced=inter,
             )
-            counts, psums, ksum = fn(delta)
+            counts, psums, ksum = (fn(delta, jnp.asarray(interlaced_with))
+                                   if inter else fn(delta))
             from randomfield_tpu.parallel.multihost import replicated_to_host
 
             return _xi_host(
@@ -601,7 +600,7 @@ def bin_power_wedges_grid(pgrid, shape, spacing, nbins=32, nmu=4,
 
 @functools.lru_cache(maxsize=16)
 def _make_sharded_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
-                             order=0):
+                             order=0, interlaced=False):
     """Distributed P_ell(k) on a ('data','space') slab mesh: sharded
     forward transform, shard-local mu^2 + Legendre-weighted binning, one
     psum.  Mirrors _make_sharded_binned with the multipole weights of
@@ -622,7 +621,7 @@ def _make_sharded_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
     wy = _sinc_half(ky, spacing) ** order
     wz = _sinc_half(kz, spacing) ** order
 
-    def _local_bins(cl):
+    def _local_bins(cl, cl2):
         j = jax.lax.axis_index(SPACE_AXIS)
         ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (j * ny_loc,), (ny_loc,))
         kv = (jnp.asarray(kx), ky_l, jnp.asarray(kz))
@@ -632,6 +631,13 @@ def _make_sharded_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
             + (kv[2] * kv[2])[None, None, :]
         )
         km = jnp.sqrt(km2).astype(cl.real.dtype)
+        if interlaced:
+            ph = (
+                kv[0][:, None, None] + kv[1][None, :, None]
+                + kv[2][None, None, :]
+            ).astype(cl.real.dtype) * (spacing / 2.0)
+            cl = 0.5 * (cl + cl2 * jax.lax.complex(jnp.cos(ph),
+                                                   jnp.sin(ph)))
         k_los = kv[los_axis]
         bcast = [None, None, None]
         bcast[los_axis] = slice(None)
@@ -666,15 +672,17 @@ def _make_sharded_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
         )
 
     @jax.jit
-    def fn(delta):
+    def fn(delta, delta2=None):
         c = dfft.rfftn_slab(delta, shape, mesh)  # sharded along ky
+        c2 = (c if delta2 is None
+              else dfft.rfftn_slab(delta2, shape, mesh))
         bins = jax.shard_map(
             _local_bins,
             mesh=mesh,
-            in_specs=P(None, SPACE_AXIS, None),
+            in_specs=(P(None, SPACE_AXIS, None), P(None, SPACE_AXIS, None)),
             out_specs=P(),
             check_vma=False,
-        )(c)
+        )(c, c2)
         return bins[0], bins[1:-1], bins[-1]
 
     return fn
@@ -751,7 +759,7 @@ def _make_sharded_binned(mesh, shape, spacing, nbins, order=0):
 
 @functools.lru_cache(maxsize=16)
 def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
-                            order=0):
+                            order=0, interlaced=False):
     """Distributed P_ell(k) on a 2-D pencil mesh: distributed forward
     FFT + shard-local mu^2 / Legendre-weighted binning + one psum over
     both spatial axes.  The pencil analog of _make_sharded_multipoles;
@@ -781,7 +789,7 @@ def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
     wz_p = np.ones(nzp, np.float64)
     wz_p[:nzh] = _sinc_half(kz, spacing) ** order
 
-    def _local_bins(cl):
+    def _local_bins(cl, cl2):
         j = jax.lax.axis_index(_pencil.SPX_AXIS)
         m = jax.lax.axis_index(_pencil.SPY_AXIS)
         ky_l = jax.lax.dynamic_slice(jnp.asarray(ky), (j * ny_loc,), (ny_loc,))
@@ -795,6 +803,13 @@ def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
             + (kv[1] * kv[1])[None, :, None]
             + (kv[2] * kv[2])[None, None, :]
         ).astype(cl.real.dtype)
+        if interlaced:
+            ph = (
+                kv[0][:, None, None] + kv[1][None, :, None]
+                + kv[2][None, None, :]
+            ).astype(cl.real.dtype) * (spacing / 2.0)
+            cl = 0.5 * (cl + cl2 * jax.lax.complex(jnp.cos(ph),
+                                                   jnp.sin(ph)))
         k_los = kv[los_axis].astype(km.dtype)
         bcast = [None, None, None]
         bcast[los_axis] = slice(None)
@@ -832,15 +847,18 @@ def _make_pencil_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
         )
 
     @jax.jit
-    def fn(delta):
+    def fn(delta, delta2=None):
         c = _pencil.rfftn_pencil(delta, shape, mesh, keep_pad=True)
+        c2 = (c if delta2 is None
+              else _pencil.rfftn_pencil(delta2, shape, mesh, keep_pad=True))
         bins = jax.shard_map(
             _local_bins,
             mesh=mesh,
-            in_specs=P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS),
+            in_specs=(P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS),
+                      P(None, _pencil.SPX_AXIS, _pencil.SPY_AXIS)),
             out_specs=P(),
             check_vma=False,
-        )(c)
+        )(c, c2)
         return bins[0], bins[1:-1], bins[-1]
 
     return fn

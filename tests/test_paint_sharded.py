@@ -278,3 +278,27 @@ def test_catalog_power_pencil_mesh():
     np.testing.assert_allclose(
         p1[m], p0[m], rtol=2e-3, atol=1e-4 * np.nanmax(np.abs(p0))
     )
+
+
+def test_mesh_interlaced_catalog_multipoles_match_single_device():
+    from randomfield_tpu.models.zeldovich import catalog_power_multipoles
+    from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+    shape, spacing = (16, 16, 16), 4.0
+    rng = np.random.RandomState(47)
+    pos = rng.uniform(0, 64.0, size=(3, 1200)).astype(np.float32)
+    k0, p0, n0 = catalog_power_multipoles(
+        pos, spacing, shape=shape, nbins=6, window="tsc", interlaced=True
+    )
+    for mesh in (make_mesh(data=1, space=4),
+                 make_pencil_mesh(data=1, spx=2, spy=2)):
+        k1, p1, n1 = catalog_power_multipoles(
+            pos, spacing, shape=shape, nbins=6, window="tsc",
+            interlaced=True, mesh=mesh,
+        )
+        np.testing.assert_allclose(n1, n0, rtol=1e-6)
+        m = n0 > 0
+        np.testing.assert_allclose(
+            np.asarray(p1)[:, m], np.asarray(p0)[:, m], rtol=2e-3,
+            atol=1e-4 * np.nanmax(np.abs(np.asarray(p0))),
+        )

@@ -196,13 +196,8 @@ def test_mesh_power_multipoles_match_single_device():
         scale = np.nanmax(np.abs(p0))
         np.testing.assert_allclose(p[:, m], p0[:, m], rtol=5e-3,
                                    atol=2e-5 * scale)
-    # guard: window+mesh rejects (catalog painting is single-device)
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="single-device"):
-        stats.calculate_power_multipoles(
-            np.zeros((8, 8, 8), np.float32), 1.0, window="cic",
-            mesh=make_mesh(data=1, space=4))
+    # window deconvolution and interlacing compose with mesh= since
+    # round 4 (parity in tests/test_paint_sharded.py)
 
 
 def test_cell_variance_counts_in_cells():
