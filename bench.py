@@ -511,7 +511,16 @@ def main():
         "metric": f"{headline_n}^3 render (sample+irfftn+lightcone), single chip",
         "value": round(gcells, 3),
         "unit": "Gcells/s",
+        # per-CELL throughput ratio: the committed CPU anchor is the
+        # FASTEST observed 256^3 f64 iteration (conservative — the
+        # measured 512^3 CPU points are relatively slower, so a
+        # matched-size ratio would be larger); see detail.cpu_baseline
         "vs_baseline": round(gcells / cpu_gcells, 1) if cpu_gcells else 0.0,
+        "vs_baseline_note": (
+            "per-cell throughput ratio; CPU anchor measured at 256^3 "
+            "(best iteration, reference conditions) — not a matched-size "
+            "1024^3 CPU run"
+        ),
         "detail": detail,
     }
     print(json.dumps(out))
