@@ -54,6 +54,12 @@ def can_pallas_slab(shape) -> bool:
 
 
 def _pallas_interpret() -> bool:
+    # RF_PALLAS_INTERPRET=0/1 overrides (the AOT config-5 lowering runs
+    # on a CPU host but targets a TPU topology descriptor, where the
+    # kernels must compile for Mosaic, not the interpreter)
+    env = os.environ.get("RF_PALLAS_INTERPRET", "")
+    if env in ("0", "1"):
+        return env == "1"
     try:
         return jax.devices()[0].platform == "cpu"
     except Exception:
@@ -333,48 +339,103 @@ def _slab_pallas_local(re, im, wl, shape, n_space, off, ay, interp,
     feeds its kernel output straight in; only the all-to-all concat
     axis and one transpose differ, the kernels and the closing
     digit-fix/tail are shared).
+
+    Both complex passes emit RAW digit order (reorder=False) and the
+    closing transpose fixes BOTH digit axes at once (the v5 close),
+    eliminating the x-pass's separate digit-reorder HBM pass — measured
+    as the entire 1-device-mesh overhead vs the single-chip v5 program
+    (scripts/profile_mesh.py, round 5).  This works THROUGH the
+    all-to-all because the kernel's digit order is lane-major: raw
+    position c*128 + d holds natural x = c + ax*d (ax = nx/128), so a
+    contiguous range of the LANE digit d is exactly a natural
+    contiguous x slab — splitting the a2a along the d axis (whenever
+    n_space divides 128) hands every shard its natural x block, still
+    in shard-local digit order (x_loc = c + ax*d'), which the close
+    transpose fixes for free.  Shapes with n_space not dividing 128
+    fall back to the natural-order x-pass + plain a2a.
     """
     from randomfield_tpu.ops import pallas_fft as pf
 
     nx, ny, nz = shape
     nzh = nz // 2 + 1
+    ax = nx // 128
     lead = re.shape[:off]
+    digit_a2a = n_space == 1 or 128 % n_space == 0
     # x-pass on the minor axis:
     #   xyz: (.., nx, nyl, nzh) -> (.., nyl, nzh, nx)
     #   xzy: (.., nx, nzh, nyl) -> (.., nzh, nyl, nx)
     perm = tuple(range(off)) + (off + 1, off + 2, off)
     tre = _B(jnp.transpose(re, perm))
     tim = _B(jnp.transpose(im, perm))
-    # natural x order (reorder=True): the all-to-all splits natural
-    # contiguous x slabs
-    gre, gim = pf.ifft_minor_pallas_reim(tre, tim, interpret=interp)
-    concat = off + 1 if xzy else off
-    if n_space > 1:
-        gre = jax.lax.all_to_all(
-            gre, SPACE_AXIS, split_axis=off + 2, concat_axis=concat,
-            tiled=True,
-        )
-        gim = jax.lax.all_to_all(
-            gim, SPACE_AXIS, split_axis=off + 2, concat_axis=concat,
-            tiled=True,
-        )
-    # now xyz: (.., ny, nzh, nxl) / xzy: (.., nzh, ny, nxl); the y-pass
-    # needs (.., nzh, nxl, ny)
-    nxl = gre.shape[off + 2]
-    perm2 = (tuple(range(off)) + (off, off + 2, off + 1) if xzy
-             else tuple(range(off)) + (off + 1, off + 2, off))
-    tre = _B(jnp.transpose(gre, perm2))  # (.., nzh, nxl, ny)
-    tim = _B(jnp.transpose(gim, perm2))
     gre, gim = pf.ifft_minor_pallas_reim(
-        tre, tim, reorder=False, interpret=interp
+        tre, tim, reorder=not digit_a2a, interpret=interp
     )
+    concat = off + 1 if xzy else off
+    if digit_a2a:
+        L = 128 // n_space
+        if n_space > 1:
+            def a2a(g):
+                # split the lane digit: block s of d is natural x slab s
+                g = g.reshape(*g.shape[:-1], ax, 128)
+                return jax.lax.all_to_all(
+                    g, SPACE_AXIS, split_axis=off + 3, concat_axis=concat,
+                    tiled=True,
+                )
 
-    def close(g):
-        # y digit fix (c, d) -> (d, c) + kz-minor rotation in ONE
-        # transpose (engine/staged.py:_stages_v5 close)
-        g5 = g.reshape(*lead, nzh, nxl, ay, 128)
-        permc = tuple(range(off)) + (off + 1, off + 3, off + 2, off)
-        return _B(jnp.transpose(g5, permc).reshape(*lead, nxl, ny, nzh))
+            gre, gim = a2a(gre), a2a(gim)
+            # xyz: (.., ny, nzh, ax, L) / xzy: (.., nzh, ny, ax, L);
+            # y-pass needs (.., nzh, nxl^G', ny) with the shard-local
+            # x digit order q = c*L + d'  (x_loc = c + ax*d')
+            perm2 = (tuple(range(off)) + (off, off + 2, off + 3, off + 1)
+                     if xzy
+                     else tuple(range(off)) + (off + 1, off + 2, off + 3, off))
+            tre = _B(jnp.transpose(gre, perm2).reshape(*lead, nzh, ax * L, ny))
+            tim = _B(jnp.transpose(gim, perm2).reshape(*lead, nzh, ax * L, ny))
+        else:
+            perm2 = (tuple(range(off)) + (off, off + 2, off + 1) if xzy
+                     else tuple(range(off)) + (off + 1, off + 2, off))
+            tre = _B(jnp.transpose(gre, perm2))  # (.., nzh, nx^G, ny)
+            tim = _B(jnp.transpose(gim, perm2))
+        nxl = ax * L
+        gre, gim = pf.ifft_minor_pallas_reim(
+            tre, tim, reorder=False, interpret=interp
+        )
+
+        def close(g):
+            # both digit fixes (x: (c, d') -> (d', c); y: (c, d) ->
+            # (d, c)) + the kz-minor rotation in ONE transpose
+            g6 = g.reshape(*lead, nzh, ax, L, ay, 128)
+            permc = tuple(range(off)) + (
+                off + 2, off + 1, off + 4, off + 3, off
+            )
+            return _B(jnp.transpose(g6, permc).reshape(*lead, nxl, ny, nzh))
+    else:
+        if n_space > 1:
+            gre = jax.lax.all_to_all(
+                gre, SPACE_AXIS, split_axis=off + 2, concat_axis=concat,
+                tiled=True,
+            )
+            gim = jax.lax.all_to_all(
+                gim, SPACE_AXIS, split_axis=off + 2, concat_axis=concat,
+                tiled=True,
+            )
+        # now xyz: (.., ny, nzh, nxl) / xzy: (.., nzh, ny, nxl); the
+        # y-pass needs (.., nzh, nxl, ny)
+        nxl = gre.shape[off + 2]
+        perm2 = (tuple(range(off)) + (off, off + 2, off + 1) if xzy
+                 else tuple(range(off)) + (off + 1, off + 2, off))
+        tre = _B(jnp.transpose(gre, perm2))  # (.., nzh, nxl, ny)
+        tim = _B(jnp.transpose(gim, perm2))
+        gre, gim = pf.ifft_minor_pallas_reim(
+            tre, tim, reorder=False, interpret=interp
+        )
+
+        def close(g):
+            # y digit fix (c, d) -> (d, c) + kz-minor rotation in ONE
+            # transpose (engine/staged.py:_stages_v5 close)
+            g5 = g.reshape(*lead, nzh, nxl, ay, 128)
+            permc = tuple(range(off)) + (off + 1, off + 3, off + 2, off)
+            return _B(jnp.transpose(g5, permc).reshape(*lead, nxl, ny, nzh))
 
     cr = close(gre).reshape(-1, ny, nzh)
     ci = close(gim).reshape(-1, ny, nzh)

@@ -313,31 +313,45 @@ def irfftn_pencil_reim_xzy(re, im, shape, mesh: Mesh, batched=False,
 
 def _pencil_pallas_local(re, im, wl, shape, px, py, pad, off, state0,
                          interp):
-    """Shard-local body of the re/im pencil inverse schedule."""
+    """Shard-local body of the re/im pencil inverse schedule.
+
+    When px and py divide 128 (every practical pencil mesh) both complex
+    passes emit RAW digit order and the all-to-alls split the LANE digit
+    axis — a contiguous lane-digit range is a natural contiguous block
+    (raw position c*128 + d holds natural index c + A*d), so every shard
+    receives its natural slab still in shard-local digit order, and the
+    state-3 transpose fixes BOTH digit axes at no extra cost.  This
+    removes the two digit-reorder HBM passes that made the mesh path
+    1.4-1.5x the single-chip program (scripts/profile_mesh.py, round 5;
+    same schedule as parallel/dfft.py:_slab_pallas_local).
+    """
     from randomfield_tpu.ops import pallas_fft as pf
 
     nx, ny, nz = shape
     nzh = nz // 2 + 1
     _B = jax.lax.optimization_barrier
     lead = re.shape[:off]
-    if True:
-        if state0:
-            if pad:
-                widths = [(0, 0)] * re.ndim
-                widths[-1] = (0, pad)
-                re = jnp.pad(re, widths)
-                im = jnp.pad(im, widths)
-            if py > 1:
-                re = jax.lax.all_to_all(
-                    re, SPY_AXIS, split_axis=off + 2, concat_axis=off,
-                    tiled=True,
-                )
-                im = jax.lax.all_to_all(
-                    im, SPY_AXIS, split_axis=off + 2, concat_axis=off,
-                    tiled=True,
-                )
+    ax, ay = nx // 128, ny // 128
+    digit = (px == 1 or 128 % px == 0) and (py == 1 or 128 % py == 0)
+    perm = tuple(range(off)) + (off + 1, off + 2, off)
+    if state0:
+        if pad:
+            widths = [(0, 0)] * re.ndim
+            widths[-1] = (0, pad)
+            re = jnp.pad(re, widths)
+            im = jnp.pad(im, widths)
+        if py > 1:
+            re = jax.lax.all_to_all(
+                re, SPY_AXIS, split_axis=off + 2, concat_axis=off,
+                tiled=True,
+            )
+            im = jax.lax.all_to_all(
+                im, SPY_AXIS, split_axis=off + 2, concat_axis=off,
+                tiled=True,
+            )
+    if not digit:
+        # fallback: natural-order kernels + plain all-to-alls
         # state 1: (.., nx, nyp, kzpp) -> x on the minor
-        perm = tuple(range(off)) + (off + 1, off + 2, off)
         re = _B(jnp.transpose(re, perm))
         im = _B(jnp.transpose(im, perm))
         re, im = pf.ifft_minor_pallas_reim(re, im, interpret=interp)
@@ -368,6 +382,58 @@ def _pencil_pallas_local(re, im, wl, shape, px, py, pad, off, state0,
             nz, wl, interpret=interp,
         )
         return f.reshape(*lead, nxp_l, nyp_l, nz)
+
+    Lx, Ly = 128 // px, 128 // py
+    # state 1: (.., nx, nyp, kzpp) -> x on the minor, RAW digit order
+    re = _B(jnp.transpose(re, perm))  # (.., nyp, kzpp, nx)
+    im = _B(jnp.transpose(im, perm))
+    kzpp = re.shape[off + 1]
+    re, im = pf.ifft_minor_pallas_reim(re, im, reorder=False, interpret=interp)
+    if px > 1:
+        def a2ax(g):
+            # split the lane digit: block s of d is natural x slab s
+            g = g.reshape(*g.shape[:-1], ax, 128)
+            return jax.lax.all_to_all(
+                g, SPX_AXIS, split_axis=off + 3, concat_axis=off, tiled=True
+            )
+
+        re, im = a2ax(re), a2ax(im)
+        # (.., ny, kzpp, ax, Lx) -> (.., kzpp, nxp^G', ny)
+        perm2 = tuple(range(off)) + (off + 1, off + 2, off + 3, off)
+        re = _B(jnp.transpose(re, perm2).reshape(*lead, kzpp, ax * Lx, ny))
+        im = _B(jnp.transpose(im, perm2).reshape(*lead, kzpp, ax * Lx, ny))
+    else:
+        re = _B(jnp.transpose(re, perm))  # (.., kzpp, nx^G, ny)
+        im = _B(jnp.transpose(im, perm))
+    # state 2: y on the minor, RAW digit order
+    re, im = pf.ifft_minor_pallas_reim(re, im, reorder=False, interpret=interp)
+    if py > 1:
+        def a2ay(g):
+            g = g.reshape(*g.shape[:-1], ay, 128)
+            return jax.lax.all_to_all(
+                g, SPY_AXIS, split_axis=off + 3, concat_axis=off, tiled=True
+            )
+
+        re, im = a2ay(re), a2ay(im)  # (.., kzp, nxp^G', ay, Ly)
+    kzp = re.shape[off]
+
+    def close(g):
+        # both digit fixes (x: (c, d') -> (d', c); y likewise) + the
+        # kz-minor rotation in ONE transpose
+        g6 = g.reshape(*lead, kzp, ax, Lx, ay, Ly)
+        permc = tuple(range(off)) + (off + 2, off + 1, off + 4, off + 3, off)
+        return _B(
+            jnp.transpose(g6, permc).reshape(*lead, ax * Lx, ay * Ly, kzp)
+        )
+
+    re = close(re)[..., :nzh]
+    im = close(im)[..., :nzh]
+    nxp_l, nyp_l = re.shape[off], re.shape[off + 1]
+    f = pf.irfft_tail_pallas(
+        re.reshape(-1, nyp_l, nzh), im.reshape(-1, nyp_l, nzh),
+        nz, wl, interpret=interp,
+    )
+    return f.reshape(*lead, nxp_l, nyp_l, nz)
 
 
 def rfftn_pencil(x, shape, mesh: Mesh, batched=False, keep_pad=False):
