@@ -218,22 +218,30 @@ def time_sample_power(n=1024, batch=8, iters=3):
     return statistics.median(ts), ts
 
 
-def time_mesh_render(n=512, iters=5):
+def time_mesh_render(n=512, iters=5, family="slab"):
     """Per-chip throughput of the DISTRIBUTED render path on one chip.
 
-    A 1-device ('data','space') slab mesh running the mesh-pallas
-    program (shard sampling of the global xzy stream + the re/im Pallas
-    slab schedule + collective Hermitian fixup).  With one device the
-    collectives are degenerate, so this measures the per-chip cost of
-    the scale-out path — the round-3 gap vs the single-chip pipeline
-    was ~4x; the round-4 target is <= 1.3x.  Measured this round:
-    512^3 1.11x, 1024^3 1.38x (the round-3 mesh path OOMed at 1024^3
-    on one device).
+    A 1-device mesh running the mesh-pallas program (shard sampling of
+    the global xzy stream + the re/im Pallas schedule + collective
+    Hermitian fixup).  With one device the collectives are degenerate,
+    so this measures the per-chip cost of the scale-out path.  History:
+    round 3 ~4x the single-chip pipeline; round 4 1.095x (512^3) /
+    1.399x (1024^3); round 5 closed it to 1.00x by carrying raw digit
+    order through the all-to-alls (docs/performance.md round-5
+    section).  ``family='pencil'`` measures the 2-D decomposition
+    (config-5-at-64-chips shape): one extra all-to-all program
+    structure (state 0 -> 1), target <= 1.15x.
     """
     import randomfield_tpu as rf
-    from randomfield_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(data=1, space=1)
+    if family == "pencil":
+        from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+        mesh = make_pencil_mesh(data=1, spx=1, spy=1)
+    else:
+        from randomfield_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=1, space=1)
     g = rf.Generator(n, n, n, grid_spacing=2048.0 / n, sampler="pallas",
                      mesh=mesh)
     d = g.generate_delta_field(0)
@@ -245,8 +253,32 @@ def time_mesh_render(n=512, iters=5):
         d = g.generate_delta_field(i + 1)
         _ = float(d[0, 0, 0])
         ts.append(time.perf_counter() - t0)
-    log(f"  {n}^3 mesh(1,1) pallas: {[round(t * 1e3) for t in ts]} ms")
+    log(f"  {n}^3 mesh {family} pallas: {[round(t * 1e3) for t in ts]} ms")
     return statistics.median(ts), ts
+
+
+def time_config4(n=1024, seeds=64, batch=16):
+    """Config 4 end to end: a 64-seed 1024^3 P(k) covariance study.
+
+    The spectrum-space ensemble path (`sample_power_batch` — the
+    in-kernel binned Pallas sampler, seeds lax.mapped inside one
+    program per batch), timed as ONE wall-clock run the way a user
+    would execute it.  Returns (total_s, seeds_per_s).
+    """
+    import randomfield_tpu as rf
+
+    g = rf.Generator(n, n, n, grid_spacing=2048.0 / n, sampler="pallas")
+    g.sample_power_batch(np.arange(2) + 10_000)  # compile (batch-size 2)
+    g.sample_power_batch(np.arange(batch) + 20_000)  # compile batch shape
+    t0 = time.perf_counter()
+    out = []
+    for s0 in range(0, seeds, batch):
+        out.append(g.sample_power_batch(np.arange(s0, s0 + batch)))
+    _ = float(np.asarray(out[-1][1])[0, 0])  # force completion
+    dt = time.perf_counter() - t0
+    log(f"  config4: {seeds} seeds at {n}^3 in {dt:.2f}s "
+        f"({seeds / dt:.1f} seeds/s)")
+    return dt, seeds / dt
 
 
 def pallas_gate():
@@ -462,12 +494,14 @@ def main():
         detail["tpu_512_batch4"] = {"error": type(e).__name__}
         log(f"  batch failed: {type(e).__name__}: {str(e)[:120]}")
 
-    for n_mesh in (512, 1024):
-        key = f"tpu_{n_mesh}_mesh"
+    for n_mesh, family in ((512, "slab"), (1024, "slab"),
+                           (512, "pencil"), (1024, "pencil")):
+        key = (f"tpu_{n_mesh}_mesh" if family == "slab"
+               else f"tpu_{n_mesh}_pencil")
         try:
             log(f"Mesh path per-chip throughput ({n_mesh}^3, 1-device "
-                "slab mesh):")
-            dt, ts = time_mesh_render(n_mesh)
+                f"{family} mesh):")
+            dt, ts = time_mesh_render(n_mesh, family=family)
             single = detail.get(f"tpu_{n_mesh}", {}).get("median_s")
             detail[key] = dict(
                 _stats(ts), gcells_per_s=round(n_mesh**3 / dt / 1e9, 2),
@@ -487,6 +521,18 @@ def main():
         except Exception as e:
             detail["tpu_1024_sample_power"] = {"error": type(e).__name__}
             log(f"  sample_power failed: {type(e).__name__}: {str(e)[:120]}")
+
+        try:
+            log("Config-4 end to end (64-seed 1024^3 covariance study):")
+            dt, sps = time_config4(1024, seeds=64)
+            detail["config4_64seed"] = {
+                "total_s": round(dt, 2), "seeds_per_s": round(sps, 2),
+                "workload": "64-seed 1024^3 spectrum-space P(k) ensemble "
+                            "(sample_power_batch, batches of 16)",
+            }
+        except Exception as e:
+            detail["config4_64seed"] = {"error": type(e).__name__}
+            log(f"  config4 failed: {type(e).__name__}: {str(e)[:120]}")
 
     log("Pallas sampler hardware gate:")
     detail["pallas_gate"] = pallas_gate()

@@ -95,13 +95,46 @@ def _void_radius_jit(delta, shape, spacing, radii, threshold):
     return rv
 
 
-def void_radius_grid(delta, spacing, radii, threshold=-0.4):
+@functools.lru_cache(maxsize=16)
+def _make_mesh_void_radius(mesh, shape, spacing, radii, threshold):
+    """Distributed R_v grid: sharded forward -> one sharded inverse per
+    ladder rung -> elementwise running maximum.  Slab + pencil meshes
+    (the same FFT-ladder machinery as the mesh xi/bispectrum
+    estimators; parallel/render.py:_inverse)."""
+    from randomfield_tpu.models.constrained import _forward_mesh
+    from randomfield_tpu.parallel.render import _inverse, _mesh_specs
+
+    nx, ny, nz = shape
+
+    @jax.jit
+    def fn(delta):
+        _, spec_sharding, _ = _mesh_specs(mesh, batched=False)
+        c0 = _forward_mesh(delta, shape, mesh, delta.dtype)  # rfftn / N
+        km = _grid.kmag(shape, spacing, jnp.float32)
+        t = jnp.asarray(threshold, delta.dtype)
+        rv = jnp.zeros(shape, delta.dtype)
+        alive = jnp.ones(shape, bool)
+        for r in radii:
+            ck = c0 * _tophat_w(km * jnp.asarray(r, jnp.float32))
+            ck = jax.lax.with_sharding_constraint(ck, spec_sharding)
+            sm = _inverse(ck, shape, mesh, False)
+            alive = alive & (sm < t)
+            rv = jnp.where(alive, jnp.asarray(r, rv.dtype), rv)
+        return rv
+
+    return fn
+
+
+def void_radius_grid(delta, spacing, radii, threshold=-0.4, mesh=None):
     """SO void radius at every voxel: the largest ladder radius R such
     that the enclosed mean contrast stays below ``threshold`` for every
     ladder rung up to R (0 where even the smallest rung fails).
 
     ``radii``: ascending ladder in the same length units as
     ``spacing``.  One FFT per rung; the ladder is compiled statically.
+    With ``mesh`` (slab or pencil) the forward transform and every
+    ladder rung run distributed; the result stays sharded like a
+    rendered field.
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
     radii = tuple(float(r) for r in radii)
@@ -109,11 +142,142 @@ def void_radius_grid(delta, spacing, radii, threshold=-0.4):
         raise ValueError("radii must be a non-empty ascending ladder")
     if threshold >= 0:
         raise ValueError("void threshold must be negative")
+    if mesh is not None:
+        fn = _make_mesh_void_radius(
+            mesh, shape, float(spacing), radii, float(threshold)
+        )
+        return fn(jnp.asarray(delta))
     return _void_radius_jit(delta, shape, float(spacing), radii,
                             float(threshold))
 
 
-def find_voids(delta, spacing, radii, threshold=-0.4):
+def _greedy_accept(cand, rv_c, shape, spacing):
+    """Greedy non-overlap acceptance in descending R_v (host, tiny).
+
+    ``cand``: (n, 3) integer voxel indices; ties in R_v break by
+    lexicographic voxel order (identical to the original argwhere +
+    stable-sort behavior)."""
+    order = np.lexsort((cand[:, 2], cand[:, 1], cand[:, 0], -rv_c))
+    cand = cand[order]
+    rv_c = rv_c[order]
+    pos = (cand + 0.5) * spacing
+    box = np.asarray(shape, np.float64) * spacing
+    acc_pos = np.empty((0, 3))
+    acc_r = np.empty(0)
+    for i in range(pos.shape[0]):
+        if acc_pos.shape[0]:
+            dvec = np.abs(acc_pos - pos[i])
+            dvec = np.minimum(dvec, box - dvec)
+            dist = np.sqrt((dvec**2).sum(axis=1))
+            if np.any(dist < acc_r):  # center inside an accepted void
+                continue
+        acc_pos = np.concatenate([acc_pos, pos[i:i + 1]])
+        acc_r = np.concatenate([acc_r, rv_c[i:i + 1]])
+    return acc_pos, acc_r
+
+
+@functools.lru_cache(maxsize=16)
+def _make_mesh_void_candidates(mesh, shape, budget):
+    """Sharded candidate compaction: 27-cube local maxima of R_v with a
+    per-shard top-k budget — only (budget, 4) scalars per shard ever
+    leave the devices, never a field.  The 6 separable rolled-max
+    passes lower to GSPMD halo exchanges (validate/peaks.py pattern).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from randomfield_tpu.parallel import pencil as _pencil
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS
+
+    nx, ny, nz = shape
+    is_pencil = _pencil.is_pencil_mesh(mesh)
+    if is_pencil:
+        px = mesh.shape[_pencil.SPX_AXIS]
+        py = mesh.shape[_pencil.SPY_AXIS]
+        nx_loc, ny_loc = nx // px, ny // py
+        in_spec = P(_pencil.SPX_AXIS, _pencil.SPY_AXIS, None)
+        out_lead = P(_pencil.SPX_AXIS, _pencil.SPY_AXIS)
+    else:
+        n_space = mesh.shape[SPACE_AXIS]
+        nx_loc, ny_loc = nx // n_space, ny
+        in_spec = P(SPACE_AXIS, None, None)
+        out_lead = P(SPACE_AXIS)
+    budget = min(int(budget), nx_loc * ny_loc * nz)
+
+    def _local(key_l, rv_l):
+        jx = (jax.lax.axis_index(_pencil.SPX_AXIS) if is_pencil
+              else jax.lax.axis_index(SPACE_AXIS))
+        x_off = jx * nx_loc
+        y_off = (jax.lax.axis_index(_pencil.SPY_AXIS) * ny_loc
+                 if is_pencil else jnp.int32(0))
+        flat = key_l.reshape(-1)
+        mask = flat > -jnp.inf
+        n_cand = jnp.sum(mask.astype(jnp.int32))
+        vals, idx = jax.lax.top_k(
+            jnp.where(mask, rv_l.reshape(-1), -1.0), budget
+        )
+        i = idx // (ny_loc * nz) + x_off
+        rem = idx % (ny_loc * nz)
+        j = rem // nz + y_off
+        k = rem % nz
+        pack = jnp.stack(
+            [vals, i.astype(vals.dtype), j.astype(vals.dtype),
+             k.astype(vals.dtype)], axis=-1
+        )
+        lead = (1, 1) if is_pencil else (1,)
+        return (pack.reshape(*lead, budget, 4),
+                n_cand.reshape(*lead))
+
+    def fn(key, rv):
+        return jax.shard_map(
+            _local, mesh=mesh, in_specs=(in_spec, in_spec),
+            out_specs=(P(*out_lead, None, None), out_lead),
+            check_vma=False,
+        )(key, rv)
+
+    return jax.jit(fn)
+
+
+def _find_voids_mesh(delta, rv, shape, spacing, mesh, budget, radii):
+    d = jnp.asarray(delta)
+    # f32-safe lexicographic key (R_v ladder rank, then deeper delta):
+    # rv takes only the ladder values, so its integer rank plus a
+    # bounded strictly-decreasing function of delta in (0, 0.5) orders
+    # (rv, -delta) pairs exactly — the single-device float64
+    # "rv - 1e-9 delta" perturbation underflows in f32 (eps(6.0) ~ 5e-7)
+    # and would turn every R_v plateau voxel into a candidate
+    rank = sum(
+        (rv >= jnp.asarray(r, rv.dtype)).astype(jnp.float32)
+        for r in radii
+    )
+    key = rank + 0.25 * (1.0 - jnp.tanh(0.1 * d.astype(jnp.float32)))
+    m = key
+    for axi in range(3):
+        m = jnp.maximum(
+            m, jnp.maximum(jnp.roll(m, 1, axis=axi),
+                           jnp.roll(m, -1, axis=axi))
+        )
+    is_max = (key >= m) & (rv > 0)   # m includes self: key == m at maxima
+    # mask non-candidates to -inf so the shard-local top-k skips them
+    key_m = jnp.where(is_max, key, -jnp.inf)
+    fn = _make_mesh_void_candidates(mesh, shape, int(budget))
+    pack, n_cand = fn(key_m, rv)
+    pack = np.asarray(pack).reshape(-1, 4)
+    n_cand = np.asarray(n_cand).reshape(-1)
+    if (n_cand > budget).any():
+        raise ValueError(
+            f"a shard found {int(n_cand.max())} void candidates, over "
+            f"the compaction budget {budget}; raise candidate_budget"
+        )
+    good = pack[:, 0] > 0
+    if not good.any():
+        return np.zeros((0, 3)), np.zeros(0)
+    cand = pack[good, 1:].astype(np.int64).astype(np.float64)
+    rv_c = pack[good, 0].astype(np.float64)
+    return _greedy_accept(cand, rv_c, shape, float(spacing))
+
+
+def find_voids(delta, spacing, radii, threshold=-0.4, mesh=None,
+               candidate_budget=8192):
     """Non-overlapping SO void catalog.
 
     Candidates are voxels whose R_v is a 27-cube local maximum with
@@ -123,9 +287,22 @@ def find_voids(delta, spacing, radii, threshold=-0.4):
     descending R_v, rejecting any center inside an accepted void
     (periodic minimum-image).  Returns ``(positions, radii_v)`` —
     (n, 3) voxel-center coordinates and radii, host float64.
+
+    With ``mesh`` (slab or pencil) the whole field-intensity side runs
+    distributed — the R_v ladder's transforms, the 27-cube maximum
+    (GSPMD halo exchanges), and a per-shard top-k compaction capped at
+    ``candidate_budget`` candidates per shard — so only the (tiny)
+    candidate list ever reaches the host, never a gathered field.  The
+    catalog equals the single-device one (same tie-breaking; asserted
+    in tests/test_voids.py).
     """
     shape = tuple(int(s) for s in delta.shape[-3:])
     spacing = float(spacing)
+    if mesh is not None:
+        rv = void_radius_grid(delta, spacing, radii, threshold, mesh=mesh)
+        return _find_voids_mesh(delta, rv, shape, spacing, mesh,
+                                candidate_budget,
+                                tuple(float(r) for r in radii))
     rv = np.asarray(void_radius_grid(delta, spacing, radii, threshold),
                     np.float64)
     d = np.asarray(delta, np.float64)
@@ -146,25 +323,7 @@ def find_voids(delta, spacing, radii, threshold=-0.4):
     if cand.size == 0:
         return np.zeros((0, 3)), np.zeros(0)
     rv_c = rv[tuple(cand.T)]
-    order = np.argsort(-rv_c, kind="stable")
-    cand = cand[order]
-    rv_c = rv_c[order]
-    pos = (cand + 0.5) * spacing
-    box = np.asarray(shape, np.float64) * spacing
-    accepted = []
-    acc_pos = np.empty((0, 3))
-    acc_r = np.empty(0)
-    for i in range(pos.shape[0]):
-        if acc_pos.shape[0]:
-            dvec = np.abs(acc_pos - pos[i])
-            dvec = np.minimum(dvec, box - dvec)
-            dist = np.sqrt((dvec**2).sum(axis=1))
-            if np.any(dist < acc_r):  # center inside an accepted void
-                continue
-        accepted.append(i)
-        acc_pos = np.concatenate([acc_pos, pos[i:i + 1]])
-        acc_r = np.concatenate([acc_r, rv_c[i:i + 1]])
-    return acc_pos, acc_r
+    return _greedy_accept(cand.astype(np.float64), rv_c, shape, spacing)
 
 
 def void_size_function(radii_v, box_volume, edges):

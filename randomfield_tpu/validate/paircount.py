@@ -134,8 +134,43 @@ def _pair_count_loop(pos1, w1, pos2, w2, edges2, box, nbins, nmu, ells,
     return jax.lax.fori_loop(0, nch, body, acc0)
 
 
+def _pair_count_mesh(p1, w1, p2, w2, r_edges, box3, nbins, nmu, ells,
+                     los_axis, chunk, mesh):
+    """Row-sharded pair binning over every device of ``mesh``."""
+    import numpy as _np
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    ndev = int(_np.prod([mesh.shape[a] for a in axes]))
+    n1 = p1.shape[0]
+    rows_per = -(-n1 // ndev)
+    chunk_eff = max(1, min(int(chunk), rows_per))
+    rows_per = -(-rows_per // chunk_eff) * chunk_eff
+    padm = ndev * rows_per - n1
+    if padm:
+        p1 = jnp.concatenate([p1, jnp.zeros((padm, 3), p1.dtype)])
+        w1 = jnp.concatenate([w1, jnp.zeros((padm,), w1.dtype)])
+    p1 = p1.reshape(ndev, rows_per, 3)
+    w1 = w1.reshape(ndev, rows_per)
+    edges2 = jnp.asarray(r_edges**2, jnp.float32)
+
+    def local(p1l, w1l, p2a, w2a, e2):
+        acc = _pair_count_loop(
+            p1l[0], w1l[0], p2a, w2a, e2, box3, nbins, nmu, ells,
+            los_axis, chunk_eff,
+        )
+        return jax.lax.psum(acc, axes)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(), P(), P()),
+        out_specs=P(), check_vma=False,
+    ))(p1, w1, p2, w2, edges2)
+
+
 def pair_counts(positions, box, r_edges, weights=None, positions2=None,
-                weights2=None, nmu=1, ells=(), los_axis=2, chunk=512):
+                weights2=None, nmu=1, ells=(), los_axis=2, chunk=512,
+                mesh=None):
     """Weighted periodic pair counts DD(r[, mu]) and DD_ell(r).
 
     Counts ordered pairs between ``positions`` and ``positions2``
@@ -151,6 +186,15 @@ def pair_counts(positions, box, r_edges, weights=None, positions2=None,
     separation pairs are always excluded — in the cross case this also
     drops exactly coincident points (which carry no geometric
     information and would otherwise need a same-catalog flag).
+
+    With ``mesh`` the outer row loop shards over EVERY device of the
+    mesh (any family — pair counting has no spatial-decomposition
+    preference): each device counts its row block against the full
+    (replicated, MB-scale) second catalog and one psum of the (KB)
+    histograms finishes.  Communication is the catalog broadcast plus
+    that psum — the O(N^2) distance work divides by the device count.
+    Identical sums to the single-device loop (same chunk masking, same
+    one-hot contraction).
     """
     p1 = _canonical_positions(positions)
     n1 = p1.shape[0]
@@ -197,16 +241,22 @@ def pair_counts(positions, box, r_edges, weights=None, positions2=None,
     nbins = len(r_edges) - 1
     chunk = max(1, min(int(chunk), n1))
     pad = (-n1) % chunk
-    if pad:
-        p1p = jnp.concatenate([p1, jnp.zeros((pad, 3), p1.dtype)])
-        w1p = jnp.concatenate([w1, jnp.zeros((pad,), w1.dtype)])
+    if mesh is not None:
+        acc = _pair_count_mesh(
+            p1, w1, p2, w2, r_edges, box3, int(nbins), int(nmu), ells,
+            int(los_axis), int(chunk), mesh,
+        )
     else:
-        p1p, w1p = p1, w1
-    acc = _pair_count_loop(
-        p1p, w1p, p2, w2,
-        jnp.asarray(r_edges**2, jnp.float32), box3, int(nbins),
-        int(nmu), ells, int(los_axis), int(chunk),
-    )
+        if pad:
+            p1p = jnp.concatenate([p1, jnp.zeros((pad, 3), p1.dtype)])
+            w1p = jnp.concatenate([w1, jnp.zeros((pad,), w1.dtype)])
+        else:
+            p1p, w1p = p1, w1
+        acc = _pair_count_loop(
+            p1p, w1p, p2, w2,
+            jnp.asarray(r_edges**2, jnp.float32), box3, int(nbins),
+            int(nmu), ells, int(los_axis), int(chunk),
+        )
     acc = np.asarray(acc, np.float64)
     mu_mode = int(nmu) > 1
     dd = acc[0].reshape(nbins, nmu) if mu_mode else acc[0]

@@ -67,7 +67,7 @@ def _binned_cross_corr(w, d, shape, spacing, nbins):
     return _stats._binned_xi_from_power_grid(p, shape, spacing, nbins)
 
 
-def stacked_profile(delta, weight, spacing, nbins=24):
+def stacked_profile(delta, weight, spacing, nbins=24, mesh=None):
     """Mean field value in radial shells around weighted positions.
 
     ``weight`` is any non-negative selection field on the same grid
@@ -79,6 +79,10 @@ def stacked_profile(delta, weight, spacing, nbins=24):
     zero-lag cell is excluded — report the on-position mean
     separately).  The realized field mean is subtracted (DC mode
     dropped), matching the xi estimator and the Gaussian expectations.
+
+    With ``mesh`` (slab or pencil) both transforms and the shell
+    binning run distributed (the cross-correlation flavor of the mesh
+    xi machinery) — nothing field-sized is gathered.
     """
     d = jnp.asarray(delta)
     w = jnp.asarray(weight, d.dtype)
@@ -88,6 +92,22 @@ def stacked_profile(delta, weight, spacing, nbins=24):
             f"{w.shape}"
         )
     shape = tuple(int(s) for s in d.shape[-3:])
+    if mesh is not None:
+        from randomfield_tpu.parallel.multihost import replicated_to_host
+
+        fn = _stats._make_mesh_xi_multipoles(
+            mesh, shape, float(spacing), int(nbins), (0,), 2, cross=True
+        )
+        counts, psums, rsum = fn(w, d)
+        r, xi_wd, n = _stats._xi_host(
+            replicated_to_host(counts), replicated_to_host(psums),
+            replicated_to_host(rsum),
+        )
+        xi_wd = xi_wd[0] if xi_wd.ndim == 2 else xi_wd
+        w_mean = float(jnp.mean(w))
+        if w_mean <= 0:
+            raise ValueError("weight field sums to zero: nothing selected")
+        return r, xi_wd / w_mean, n
     counts, csum, rsum = _binned_cross_corr(
         w, d, shape, float(spacing), int(nbins)
     )

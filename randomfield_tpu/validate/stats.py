@@ -1679,10 +1679,15 @@ def _binned_xi_multipoles_from_field(delta, shape, spacing, nbins, ells,
 
 
 @functools.lru_cache(maxsize=16)
-def _make_mesh_xi_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
+def _make_mesh_xi_multipoles(mesh, shape, spacing, nbins, ells, los_axis,
+                             cross=False):
     """Distributed xi_ell(s): sharded forward -> per-mode power ->
     sharded inverse -> shard-local minimum-image (r, mu) binning with
-    (2l+1) L_l weights + one psum.  Slab and pencil meshes."""
+    (2l+1) L_l weights + one psum.  Slab and pencil meshes.
+
+    ``cross=True`` returns a two-field program fn(w, d) binning the
+    cross-correlation <w(x) d(x+r)> instead of the autocorrelation —
+    the distributed backend of validate/profiles.py:stacked_profile."""
     from jax.sharding import PartitionSpec as P
 
     from randomfield_tpu.parallel import dfft
@@ -1745,32 +1750,44 @@ def _make_mesh_xi_multipoles(mesh, shape, spacing, nbins, ells, los_axis):
             jnp.stack([counts, rsum] + out), psum_axes
         )
 
-    @jax.jit
-    def fn(delta):
-        scale = jnp.asarray((spacing**3) ** 2 / volume, jnp.float32)
+    def _bin_power_grid(p):
+        xi_in = (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64)
         if is_pencil:
-            c = _pencil.rfftn_pencil(delta, shape, mesh)
-            p = (c.real**2 + c.imag**2) * scale
-            p = p.at[0, 0, 0].set(0.0)
             xi = _pencil.irfftn_pencil(
-                (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64),
-                shape, mesh, assume_hermitian=True, input_layout="state1",
+                xi_in, shape, mesh, assume_hermitian=True,
+                input_layout="state1",
             )
         else:
-            c = dfft.rfftn_slab(delta, shape, mesh)
-            p = (c.real**2 + c.imag**2) * scale
-            p = p.at[0, 0, 0].set(0.0)
-            xi = dfft.irfftn_slab(
-                (p / jnp.asarray(volume, p.dtype)).astype(jnp.complex64),
-                shape, mesh,
-            )
+            xi = dfft.irfftn_slab(xi_in, shape, mesh)
         bins = jax.shard_map(
             _local_bins, mesh=mesh, in_specs=in_spec, out_specs=P(),
             check_vma=False,
         )(xi)
         return bins[0], bins[2:], bins[1]
 
-    return fn
+    def _fwd(x):
+        if is_pencil:
+            return _pencil.rfftn_pencil(x, shape, mesh)
+        return dfft.rfftn_slab(x, shape, mesh)
+
+    @jax.jit
+    def fn(delta):
+        scale = jnp.asarray((spacing**3) ** 2 / volume, jnp.float32)
+        c = _fwd(delta)
+        p = (c.real**2 + c.imag**2) * scale
+        p = p.at[0, 0, 0].set(0.0)
+        return _bin_power_grid(p)
+
+    @jax.jit
+    def fn_cross(w, d):
+        scale = jnp.asarray((spacing**3) ** 2 / volume, jnp.float32)
+        cw = _fwd(w)
+        cd = _fwd(d)
+        p = (cw.real * cd.real + cw.imag * cd.imag) * scale
+        p = p.at[0, 0, 0].set(0.0)
+        return _bin_power_grid(p)
+
+    return fn_cross if cross else fn
 
 
 def calculate_correlation_multipoles(delta, spacing, nbins=24,

@@ -116,3 +116,28 @@ def test_knn_validation_errors():
         knn.knn_cdf_positions(
             jnp.zeros((2, 10)), (8, 8, 8), 2.0, (1.0,)
         )
+
+
+@pytest.mark.parametrize("family", ["slab", "pencil"])
+def test_knn_cdf_mesh_matches_single_device(family):
+    """Distributed kNN-CDF (sharded transforms, in-program lattice-ball
+    kernels, GSPMD reductions) equals the single-device estimate
+    exactly — the integer-rounded counting identity leaves no room for
+    FFT rounding."""
+    if family == "slab":
+        from randomfield_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=1, space=4)
+    else:
+        from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+        mesh = make_pencil_mesh(data=1, spx=2, spy=2)
+    n, spacing = 32, 4.0
+    rng = np.random.RandomState(3)
+    counts = np.zeros((n, n, n), np.float32)
+    idx = rng.randint(0, n, size=(3, 500))
+    np.add.at(counts, tuple(idx), 1.0)
+    radii = (6.0, 10.0, 16.0)
+    got0 = knn.knn_cdf(counts, spacing, radii, ks=(1, 2, 3))
+    got1 = knn.knn_cdf(counts, spacing, radii, ks=(1, 2, 3), mesh=mesh)
+    np.testing.assert_array_equal(got1, got0)

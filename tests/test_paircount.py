@@ -203,3 +203,33 @@ def test_rsd_multipoles_show_kaiser_anisotropy():
     # with r)
     assert q2_zs.mean() < q2_rs.mean() - 0.005
     assert q2_zs.mean() < 0
+
+
+@pytest.mark.parametrize("family", ["slab", "pencil"])
+def test_pair_counts_mesh_matches_single_device(family):
+    """Row-sharded pair counting over every mesh device reproduces the
+    single-device sums exactly (same chunk masking, same one-hot
+    contraction, one psum)."""
+    if family == "slab":
+        from randomfield_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=2, space=4)
+    else:
+        from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+        mesh = make_pencil_mesh(data=2, spx=2, spy=2)
+    rng = np.random.RandomState(5)
+    box = 64.0
+    pos = rng.uniform(0, box, size=(300, 3)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, size=300).astype(np.float32)
+    edges = np.linspace(0.0, 20.0, 6)
+    d0 = paircount.pair_counts(pos, box, edges, weights=w, ells=(0, 2))
+    d1 = paircount.pair_counts(pos, box, edges, weights=w, ells=(0, 2), mesh=mesh)
+    np.testing.assert_allclose(d1["dd"], d0["dd"], rtol=1e-6)
+    np.testing.assert_allclose(d1["dd_ell"], d0["dd_ell"], rtol=1e-6,
+                               atol=1e-4 * np.abs(d0["dd_ell"]).max())
+    np.testing.assert_allclose(d1["r_mean"], d0["r_mean"], rtol=1e-6)
+    # wedge mode too
+    d0 = paircount.pair_counts(pos, box, edges, weights=w, nmu=3)
+    d1 = paircount.pair_counts(pos, box, edges, weights=w, nmu=3, mesh=mesh)
+    np.testing.assert_allclose(d1["dd"], d0["dd"], rtol=1e-6)

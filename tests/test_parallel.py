@@ -356,3 +356,38 @@ def test_mesh_cross_and_masked_power_match_single_device():
         np.testing.assert_allclose(
             pm1[mm], pm0[mm], rtol=1e-3, atol=1e-4 * np.nanmax(np.abs(pm0))
         )
+
+
+@pytest.mark.slow
+def test_mesh_render_production_shard_geometry():
+    """One >= 256^3 render on the 8-virtual-device CPU mesh (VERDICT r4
+    item 2): non-degenerate production-like shard tiles (64x256x129
+    complex per shard at space=4) through the full sharded program —
+    catches padding/tile/VMEM-class defects the 32^3 dryrun cannot.
+    Gated statistically (variance + P(k)) rather than bit-wise: a 256^3
+    single-device reference render on CPU is the slow part."""
+    import randomfield_tpu as rf
+
+    n = 256
+    mesh = _mesh(2, 4)
+    g = rf.Generator(n, n, n, grid_spacing=8.0, mesh=mesh)
+    d = g.generate_delta_field(seed=11, apply_lightcone=False)
+    var = float(jnp.var(d))
+    pred = g.predicted_variance()
+    assert abs(var / pred - 1.0) < 0.05
+    # distributed estimator vs the single-device estimator on the SAME
+    # field: the sharded forward transform + shard-local binning must
+    # reproduce the gathered-field result at production shard geometry
+    import numpy as _np
+
+    from randomfield_tpu.validate import stats as _stats
+
+    k, p, nm = g.calculate_power(d, nbins=12)
+    k0, p0, nm0 = _stats.calculate_power(_np.asarray(d), 8.0, nbins=12)
+    _np.testing.assert_allclose(nm, nm0, rtol=1e-6)
+    m = nm0 > 0
+    _np.testing.assert_allclose(p[m], p0[m], rtol=2e-3)
+    _np.testing.assert_allclose(k[m], k0[m], rtol=1e-5)
+    # batched path at the same geometry
+    e = g.generate_delta_fields([1, 2], apply_lightcone=False)
+    assert e.shape == (2, n, n, n)

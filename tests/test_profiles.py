@@ -144,3 +144,31 @@ def test_peak_profile_curvature_gate():
         np.abs(prof[sh] - pred_nox[sh]).max()
         > 5.0 * np.abs(prof[sh] - pred[sh]).max()
     )
+
+
+@pytest.mark.parametrize("family", ["slab", "pencil"])
+def test_stacked_profile_mesh_matches_single_device(family):
+    """Mesh stacked_profile (cross-correlation flavor of the sharded xi
+    machinery) matches the single-device FFT estimator bin for bin."""
+    if family == "slab":
+        from randomfield_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=1, space=4)
+    else:
+        from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+        mesh = make_pencil_mesh(data=1, spx=2, spy=2)
+    import randomfield_tpu as rf
+    from randomfield_tpu.validate.profiles import stacked_profile
+
+    n, spacing = 32, 4.0
+    g = rf.Generator(n, n, n, grid_spacing=spacing)
+    d = np.asarray(g.generate_delta_field(seed=5, apply_lightcone=False))
+    w = (d < -0.5 * d.std()).astype(np.float32)
+    r0, p0, n0 = stacked_profile(d, w, spacing, nbins=8)
+    r1, p1, n1 = stacked_profile(d, w, spacing, nbins=8, mesh=mesh)
+    np.testing.assert_allclose(n1, n0, rtol=1e-6)
+    m = n0 > 0
+    np.testing.assert_allclose(r1[m], r0[m], rtol=1e-5)
+    np.testing.assert_allclose(p1[m], p0[m], rtol=5e-3,
+                               atol=1e-4 * np.abs(p0[m]).max())
