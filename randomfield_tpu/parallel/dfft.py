@@ -485,24 +485,73 @@ def rfftn_slab(x, shape, mesh: Mesh, batched=False):
 def _slab_pallas_forward_local(xl, shape, n_space, off):
     """Shard-local body of the Pallas forward slab transform.
 
-    Schedule (mirror of :func:`_slab_pallas_local`):
+    Schedule (mirror of :func:`_slab_pallas_local`, including the
+    round-5 digit-split all-to-all — both complex passes emit RAW digit
+    order, the a2a splits the ky LANE digit (a contiguous lane-digit
+    range is a natural ky slab), and the single closing transpose fixes
+    the kx and local-ky digits together; shapes with n_space not
+    dividing 128 fall back to natural-order kernels):
 
         head    native r2c on the minor kz axis, split re/im
-        y-pass  transpose to y minor + forward CT kernel (natural out)
-        a2a     split y -> concat x (the slab collective)
-        x-pass  transpose to x minor + forward CT kernel (natural out)
+        y-pass  transpose to y minor + forward CT kernel (raw digits)
+        a2a     split ky lane digit -> concat x (the slab collective)
+        x-pass  transpose to x minor + forward CT kernel (raw digits)
         close   ONE transpose back to (.., nx, nyl, nzh), re-pack
     """
     from randomfield_tpu.ops import pallas_fft as pf
 
+    nx, ny, nz = shape
+    ax, ay = nx // 128, ny // 128
     interp = _pallas_interpret()
+    digit_a2a = n_space == 1 or 128 % n_space == 0
     cl = _rfft_last(xl)  # (.., nxl, ny, nzh)
     re = jnp.real(cl)
     im = jnp.imag(cl)
     permy = tuple(range(off)) + (off, off + 2, off + 1)
     tre = _B(jnp.transpose(re, permy))  # (.., nxl, nzh, ny)
     tim = _B(jnp.transpose(im, permy))
-    gre, gim = pf.fft_minor_pallas_reim(tre, tim, interpret=interp)
+    gre, gim = pf.fft_minor_pallas_reim(
+        tre, tim, interpret=interp, reorder=not digit_a2a
+    )
+    if digit_a2a:
+        L = 128 // n_space
+        if n_space > 1:
+            def a2a(g):
+                g = g.reshape(*g.shape[:-1], ay, 128)
+                return jax.lax.all_to_all(
+                    g, SPACE_AXIS, split_axis=off + 3, concat_axis=off,
+                    tiled=True,
+                )
+
+            gre, gim = a2a(gre), a2a(gim)
+            # (.., nx, nzh, ay, L) -> x-pass needs (.., nzh, nyl^G', nx)
+            permx = tuple(range(off)) + (off + 1, off + 2, off + 3, off)
+            nzh = gre.shape[off + 1]
+            tre = _B(jnp.transpose(gre, permx).reshape(
+                *gre.shape[:off], nzh, ay * L, nx))
+            tim = _B(jnp.transpose(gim, permx).reshape(
+                *gim.shape[:off], nzh, ay * L, nx))
+        else:
+            permx = tuple(range(off)) + (off + 1, off + 2, off)
+            tre = _B(jnp.transpose(gre, permx))  # (.., nzh, ny^G, nx)
+            tim = _B(jnp.transpose(gim, permx))
+        gre, gim = pf.fft_minor_pallas_reim(
+            tre, tim, interpret=interp, reorder=False
+        )
+
+        def close(g):
+            # kx digits (c, d) -> (d, c), local-ky digits (c, d') ->
+            # (d', c), kz back to minor: ONE transpose
+            lead = g.shape[:off]
+            nzh = g.shape[off]
+            g6 = g.reshape(*lead, nzh, ay, L, ax, 128)
+            permc = tuple(range(off)) + (
+                off + 4, off + 3, off + 2, off + 1, off
+            )
+            return _B(jnp.transpose(g6, permc).reshape(
+                *lead, nx, ay * L, nzh))
+
+        return jax.lax.complex(close(gre), close(gim))
     if n_space > 1:
         gre = jax.lax.all_to_all(
             gre, SPACE_AXIS, split_axis=off + 2, concat_axis=off, tiled=True

@@ -487,9 +487,16 @@ def rfftn_pencil(x, shape, mesh: Mesh, batched=False, keep_pad=False):
     def local_pallas(xl):
         # same schedule on re/im lattices with the forward CT kernels
         # (conjugation identity, ops/pallas_fft.py): one transpose per
-        # complex pass instead of the native transpose pairs
+        # complex pass instead of the native transpose pairs.  Both
+        # passes emit RAW digit order when px divides 128 — the
+        # SPX all-to-all splits ky's LANE digit (a contiguous
+        # lane-digit range IS a natural ky slab) and the closing
+        # transpose fixes kx + local-ky digits at once (the round-5
+        # digit-split schedule, see parallel/dfft.py).
         from randomfield_tpu.ops import pallas_fft as pf
 
+        ax, ay = nx // 128, ny // 128
+        digit = px == 1 or 128 % px == 0
         cl = _fft_axis(xl, xl.ndim - 1)[..., :nzh]
         if pad:
             widths = [(0, 0)] * cl.ndim
@@ -510,7 +517,46 @@ def rfftn_pencil(x, shape, mesh: Mesh, batched=False, keep_pad=False):
         permy = tuple(range(off)) + (off, off + 2, off + 1)
         tre = _Bar(jnp.transpose(re, permy))  # (.., nxp, kzpp, ny)
         tim = _Bar(jnp.transpose(im, permy))
-        gre, gim = pf.fft_minor_pallas_reim(tre, tim, interpret=interp)
+        gre, gim = pf.fft_minor_pallas_reim(
+            tre, tim, interpret=interp, reorder=not digit
+        )
+        if digit:
+            L = 128 // px
+            if px > 1:
+                def a2a(g):
+                    g = g.reshape(*g.shape[:-1], ay, 128)
+                    return jax.lax.all_to_all(
+                        g, SPX_AXIS, split_axis=off + 3, concat_axis=off,
+                        tiled=True,
+                    )
+
+                gre, gim = a2a(gre), a2a(gim)
+                # (.., nx, kzpp, ay, L) -> (.., kzpp, nyp^G', nx)
+                permx = tuple(range(off)) + (off + 1, off + 2, off + 3, off)
+                kzpp = gre.shape[off + 1]
+                tre = _Bar(jnp.transpose(gre, permx).reshape(
+                    *gre.shape[:off], kzpp, ay * L, nx))
+                tim = _Bar(jnp.transpose(gim, permx).reshape(
+                    *gim.shape[:off], kzpp, ay * L, nx))
+            else:
+                permx = tuple(range(off)) + (off + 1, off + 2, off)
+                tre = _Bar(jnp.transpose(gre, permx))
+                tim = _Bar(jnp.transpose(gim, permx))
+            gre, gim = pf.fft_minor_pallas_reim(
+                tre, tim, interpret=interp, reorder=False
+            )
+
+            def close(g):
+                lead = g.shape[:off]
+                kzpp = g.shape[off]
+                g6 = g.reshape(*lead, kzpp, ay, L, ax, 128)
+                permc = tuple(range(off)) + (
+                    off + 4, off + 3, off + 2, off + 1, off
+                )
+                return _Bar(jnp.transpose(g6, permc).reshape(
+                    *lead, nx, ay * L, kzpp))
+
+            return jax.lax.complex(close(gre), close(gim))
         if px > 1:
             gre = jax.lax.all_to_all(
                 gre, SPX_AXIS, split_axis=off + 2, concat_axis=off,
