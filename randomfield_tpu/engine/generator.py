@@ -1103,15 +1103,17 @@ class Generator(MeasurementMixin, ConstrainedMixin):
             from randomfield_tpu.parallel.multihost import replicated_to_host
             from randomfield_tpu.parallel.render import make_sharded_spectrum_bins
 
+            scale_kernel, sig = self._mesh_scale_args()
             fn = make_sharded_spectrum_bins(
                 self.mesh, self.scene.shape, self.scene.grid_spacing,
                 int(nbins), from_seed=self._multiprocess,
                 log_values=self._table_host[2], dtype_name=str(self._dtype),
+                scale_kernel=scale_kernel,
             )
             lk, val = self._table_args()
             counts, psum, ksum = fn(
                 self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-                lk, val, self._mesh_sigmas(),
+                lk, val, sig,
                 self._smoothing(smoothing_length),
             )
             counts = replicated_to_host(counts).astype(np.float64)
@@ -1236,10 +1238,12 @@ class Generator(MeasurementMixin, ConstrainedMixin):
             # transform (parallel/render.py:make_sharded_derived)
             from randomfield_tpu.parallel.render import make_sharded_derived
 
+            scale_kernel, sig = self._mesh_scale_args()
             fn = make_sharded_derived(
                 self.mesh, self.scene.shape, self.scene.grid_spacing,
                 kind, int(component), from_seed=self._multiprocess,
                 log_values=self._table_host[2], dtype_name=str(self._dtype),
+                scale_kernel=scale_kernel,
             )
             lk, val = self._table_args()
             if self._multiprocess:
@@ -1248,7 +1252,7 @@ class Generator(MeasurementMixin, ConstrainedMixin):
                 pref_in = jnp.asarray(prefactor, self._dtype)
             return fn(
                 self._seed_u32(seed) if self._multiprocess else _as_key(seed),
-                lk, val, self._mesh_sigmas(), pref_in,
+                lk, val, sig, pref_in,
                 self._smoothing(smoothing_length),
             )
         sm = jnp.asarray(smoothing_length, self._dtype)

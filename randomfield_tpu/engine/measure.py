@@ -138,7 +138,35 @@ class MeasurementMixin:
         from randomfield_tpu.validate import profiles as _pf
 
         return _pf.stacked_profile(
-            delta, weight, self.scene.grid_spacing, nbins=nbins
+            delta, weight, self.scene.grid_spacing, nbins=nbins,
+            mesh=self.mesh,
+        )
+
+    def find_voids(self, delta, radii, threshold=-0.4,
+                   candidate_budget=8192):
+        """Non-overlapping SO void catalog of a rendered field.
+
+        models/voids.py:find_voids on the scene's grid — mesh scenes
+        run the R_v ladder, 27-cube maxima and candidate compaction
+        fully distributed.  Returns ``(positions, radii_v)``.
+        """
+        from randomfield_tpu.models import voids as _voids
+
+        return _voids.find_voids(
+            delta, self.scene.grid_spacing, radii, threshold=threshold,
+            mesh=self.mesh, candidate_budget=candidate_budget,
+        )
+
+    def calculate_knn_cdf(self, counts, radii, ks=(1, 2, 3)):
+        """kNN-CDFs of an NGP tracer count grid on the scene's lattice.
+
+        validate/knn.py:knn_cdf — distributed transforms on mesh
+        scenes; exact-binomial companion ``random_knn_cdf``.
+        """
+        from randomfield_tpu.validate import knn as _knn
+
+        return _knn.knn_cdf(
+            counts, self.scene.grid_spacing, radii, ks=ks, mesh=self.mesh
         )
 
     def calculate_peak_profile(self, delta, nu_min=1.0, nu_max=None,

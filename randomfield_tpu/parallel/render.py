@@ -623,7 +623,7 @@ def make_sharded_render_pallas_batch(mesh: Mesh, shape, spacing,
 @functools.lru_cache(maxsize=64)
 def make_sharded_derived(mesh: Mesh, shape, spacing, kind, component,
                          from_seed=False, log_values=False,
-                         dtype_name="float32"):
+                         dtype_name="float32", scale_kernel=False):
     """Compile a mesh-native derived-field render (potential/displacement).
 
     Same sampled realization as :func:`make_sharded_render` for a given
@@ -641,9 +641,10 @@ def make_sharded_derived(mesh: Mesh, shape, spacing, kind, component,
     def fn(key, lk_tab, val_tab, sig, prefactor, smoothing_length):
         if from_seed:
             key = jax.random.key(key)
+        sigmas, stable = (None, sig) if scale_kernel else (sig, None)
         c = _sampled_spectrum(
             key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            False, log_values, dtype, sigmas=sig,
+            False, log_values, dtype, sigmas=sigmas, stable=stable,
         )
         c = _derived.apply_kernel_inline(
             c, shape, spacing, "xyz", kind, component, prefactor
@@ -657,7 +658,7 @@ def make_sharded_derived(mesh: Mesh, shape, spacing, kind, component,
 @functools.lru_cache(maxsize=32)
 def make_sharded_spectrum_bins(mesh: Mesh, shape, spacing, nbins,
                                from_seed=False, log_values=False,
-                               dtype_name="float32"):
+                               dtype_name="float32", scale_kernel=False):
     """Compile a distributed FFT-free sample_power (config-4 on meshes).
 
     Samples the seed's spectrum exactly like the sharded render (same
@@ -716,9 +717,10 @@ def make_sharded_spectrum_bins(mesh: Mesh, shape, spacing, nbins,
     def fn(key, lk_tab, val_tab, sig, smoothing_length):
         if from_seed:
             key = jax.random.key(key)
+        sigmas, stable = (None, sig) if scale_kernel else (sig, None)
         c = _sampled_spectrum(
             key, lk_tab, val_tab, smoothing_length, shape, spacing, mesh,
-            False, log_values, dtype, sigmas=sig,
+            False, log_values, dtype, sigmas=sigmas, stable=stable,
         )
         bins = jax.shard_map(
             _local_bins, mesh=mesh, in_specs=in_spec, out_specs=P(),
