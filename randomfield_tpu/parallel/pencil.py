@@ -292,6 +292,14 @@ def irfftn_pencil_reim_xzy(re, im, shape, mesh: Mesh, batched=False,
     interp = _pallas_interpret()
 
     def local(rel, iml, wl):
+        digit = (px == 1 or 128 % px == 0) and (py == 1 or 128 % py == 0)
+        if digit:
+            # native xzy entry: the state-0 pad/a2a ride the (x, kz, y)
+            # layout directly — no entry transpose pass
+            return _pencil_pallas_local(
+                rel, iml, wl, shape, px, py, pad, off, True, interp,
+                xzy=True,
+            )
         permz = tuple(range(off)) + (off, off + 2, off + 1)
         rel = jax.lax.optimization_barrier(jnp.transpose(rel, permz))
         iml = jax.lax.optimization_barrier(jnp.transpose(iml, permz))
@@ -312,7 +320,7 @@ def irfftn_pencil_reim_xzy(re, im, shape, mesh: Mesh, batched=False,
 
 
 def _pencil_pallas_local(re, im, wl, shape, px, py, pad, off, state0,
-                         interp):
+                         interp, xzy=False):
     """Shard-local body of the re/im pencil inverse schedule.
 
     When px and py divide 128 (every practical pencil mesh) both complex
@@ -333,20 +341,26 @@ def _pencil_pallas_local(re, im, wl, shape, px, py, pad, off, state0,
     lead = re.shape[:off]
     ax, ay = nx // 128, ny // 128
     digit = (px == 1 or 128 % px == 0) and (py == 1 or 128 % py == 0)
+    if xzy and not digit:
+        raise ValueError("xzy pencil entry requires the digit-a2a path")
     perm = tuple(range(off)) + (off + 1, off + 2, off)
     if state0:
+        # xzy entry: (.., nx/py, nzh, ny/px) — kz sits at off+1, so the
+        # pad and the kz <-> x all-to-all ride that axis directly (no
+        # entry transpose); xyz entry: (.., nx/py, ny/px, nzh)
+        kz_ax = off + 1 if xzy else off + 2
         if pad:
             widths = [(0, 0)] * re.ndim
-            widths[-1] = (0, pad)
+            widths[kz_ax] = (0, pad)
             re = jnp.pad(re, widths)
             im = jnp.pad(im, widths)
         if py > 1:
             re = jax.lax.all_to_all(
-                re, SPY_AXIS, split_axis=off + 2, concat_axis=off,
+                re, SPY_AXIS, split_axis=kz_ax, concat_axis=off,
                 tiled=True,
             )
             im = jax.lax.all_to_all(
-                im, SPY_AXIS, split_axis=off + 2, concat_axis=off,
+                im, SPY_AXIS, split_axis=kz_ax, concat_axis=off,
                 tiled=True,
             )
     if not digit:
@@ -384,27 +398,39 @@ def _pencil_pallas_local(re, im, wl, shape, px, py, pad, off, state0,
         return f.reshape(*lead, nxp_l, nyp_l, nz)
 
     Lx, Ly = 128 // px, 128 // py
-    # state 1: (.., nx, nyp, kzpp) -> x on the minor, RAW digit order
-    re = _B(jnp.transpose(re, perm))  # (.., nyp, kzpp, nx)
+    # state 1 -> x on the minor, RAW digit order:
+    #   xyz: (.., nx, nyp, kzpp) -> (.., nyp, kzpp, nx)
+    #   xzy: (.., nx, kzpp, nyp) -> (.., kzpp, nyp, nx)
+    re = _B(jnp.transpose(re, perm))
     im = _B(jnp.transpose(im, perm))
-    kzpp = re.shape[off + 1]
+    kzpp = re.shape[off] if xzy else re.shape[off + 1]
     re, im = pf.ifft_minor_pallas_reim(re, im, reorder=False, interpret=interp)
     if px > 1:
+        # the a2a concatenates along the KY axis — off for xyz
+        # (.., nyp, kzpp, ..), off + 1 for xzy (.., kzpp, nyp, ..)
+        ky_ax = off + 1 if xzy else off
+
         def a2ax(g):
             # split the lane digit: block s of d is natural x slab s
             g = g.reshape(*g.shape[:-1], ax, 128)
             return jax.lax.all_to_all(
-                g, SPX_AXIS, split_axis=off + 3, concat_axis=off, tiled=True
+                g, SPX_AXIS, split_axis=off + 3, concat_axis=ky_ax,
+                tiled=True,
             )
 
         re, im = a2ax(re), a2ax(im)
-        # (.., ny, kzpp, ax, Lx) -> (.., kzpp, nxp^G', ny)
-        perm2 = tuple(range(off)) + (off + 1, off + 2, off + 3, off)
+        # xyz: (.., ny, kzpp, ax, Lx) / xzy: (.., kzpp, ny, ax, Lx)
+        # -> (.., kzpp, nxp^G', ny)
+        perm2 = (tuple(range(off)) + (off, off + 2, off + 3, off + 1)
+                 if xzy
+                 else tuple(range(off)) + (off + 1, off + 2, off + 3, off))
         re = _B(jnp.transpose(re, perm2).reshape(*lead, kzpp, ax * Lx, ny))
         im = _B(jnp.transpose(im, perm2).reshape(*lead, kzpp, ax * Lx, ny))
     else:
-        re = _B(jnp.transpose(re, perm))  # (.., kzpp, nx^G, ny)
-        im = _B(jnp.transpose(im, perm))
+        perm2s = (tuple(range(off)) + (off, off + 2, off + 1) if xzy
+                  else perm)
+        re = _B(jnp.transpose(re, perm2s))  # (.., kzpp, nx^G, ny)
+        im = _B(jnp.transpose(im, perm2s))
     # state 2: y on the minor, RAW digit order
     re, im = pf.ifft_minor_pallas_reim(re, im, reorder=False, interpret=interp)
     if py > 1:
