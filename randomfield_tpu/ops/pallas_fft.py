@@ -487,6 +487,56 @@ def irfft_tail_pallas(cr, ci, nz, weights, interpret=False):
                          bool(interpret))
 
 
+def rfft_minor_half_reim(x, interpret=False):
+    """r2c along the minor axis via the half-length complex pack.
+
+    Standard real-FFT folding: pack z[j] = x[2j] + i x[2j+1], run ONE
+    m = n/2 point complex forward transform (the Pallas CT kernel on
+    re/im lattices), and unfold
+
+        A[k] = (Z[k] + Z*[m-k]) / 2,  B[k] = -i (Z[k] - Z*[m-k]) / 2,
+        X[k] = A[k] + W_n^{-k} B[k],  k = 0..m  (Z[m] := Z[0])
+
+    — the forward mirror of the c2r tail's half-pack G-build.  Returns
+    (re, im) float32 lattices of the packed rfft spectrum
+    (..., n/2 + 1).  Replaces the native head's "cast to complex +
+    FULL-length FFT + slice" (2x the transform work and the dominant
+    workspace of the distributed forward transforms: the 2048^3 AOT
+    compile measured 16 GiB of temp against this head).  Requires
+    ``can_pallas_fft(n // 2)``.
+    """
+    n = int(x.shape[-1])
+    m = n // 2
+    if n % 2 or not can_pallas_fft(m):
+        raise ValueError(f"n={n}: n/2 must be a multiple of 128, A<=16")
+    pair = x.reshape(*x.shape[:-1], m, 2)
+    xe = pair[..., 0]
+    xo = pair[..., 1]
+    zre, zim = fft_minor_pallas_reim(xe, xo, interpret=interpret)
+    # Z*[m-k]: index-reversed with wraparound (k=0 -> Z[0])
+    rev = lambda g: jnp.concatenate(
+        [g[..., :1], g[..., 1:][..., ::-1]], axis=-1
+    )
+    zre_r = rev(zre)
+    zim_r = rev(zim)
+    a_re = 0.5 * (zre + zre_r)
+    a_im = 0.5 * (zim - zim_r)
+    b_re = 0.5 * (zim + zim_r)
+    b_im = -0.5 * (zre - zre_r)
+    theta = -2.0 * np.pi * np.arange(m) / n
+    wre = jnp.asarray(np.cos(theta).astype(np.float32))
+    wim = jnp.asarray(np.sin(theta).astype(np.float32))
+    out_re = a_re + (wre * b_re - wim * b_im)
+    out_im = a_im + (wre * b_im + wim * b_re)
+    # X[m] = A[0] - B[0] = Re Z[0] - Im Z[0], imaginary part zero
+    tail_re = (zre[..., :1] - zim[..., :1])
+    tail_im = jnp.zeros_like(tail_re)
+    return (
+        jnp.concatenate([out_re, tail_re], axis=-1),
+        jnp.concatenate([out_im, tail_im], axis=-1),
+    )
+
+
 def ifft_minor_pallas(x, interpret=False):
     """Unnormalized inverse FFT along the minor axis (complex in/out).
 

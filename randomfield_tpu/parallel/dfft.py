@@ -504,9 +504,10 @@ def _slab_pallas_forward_local(xl, shape, n_space, off):
     ax, ay = nx // 128, ny // 128
     interp = _pallas_interpret()
     digit_a2a = n_space == 1 or 128 % n_space == 0
-    cl = _rfft_last(xl)  # (.., nxl, ny, nzh)
-    re = jnp.real(cl)
-    im = jnp.imag(cl)
+    # r2c head via the half-length pack (pf.rfft_minor_half_reim): one
+    # m = nz/2 point kernel pass instead of the native full-nz complex
+    # FFT + slice (can_pallas_slab guarantees the m-point kernel)
+    re, im = pf.rfft_minor_half_reim(xl, interpret=interp)
     permy = tuple(range(off)) + (off, off + 2, off + 1)
     tre = _B(jnp.transpose(re, permy))  # (.., nxl, nzh, ny)
     tim = _B(jnp.transpose(im, permy))

@@ -523,13 +523,14 @@ def rfftn_pencil(x, shape, mesh: Mesh, batched=False, keep_pad=False):
 
         ax, ay = nx // 128, ny // 128
         digit = px == 1 or 128 % px == 0
-        cl = _fft_axis(xl, xl.ndim - 1)[..., :nzh]
+        # r2c head via the half-length pack — one nz/2-point kernel
+        # pass instead of the native full-nz complex FFT + slice
+        re, im = pf.rfft_minor_half_reim(xl, interpret=interp)
         if pad:
-            widths = [(0, 0)] * cl.ndim
+            widths = [(0, 0)] * re.ndim
             widths[-1] = (0, pad)
-            cl = jnp.pad(cl, widths)
-        re = jnp.real(cl)
-        im = jnp.imag(cl)
+            re = jnp.pad(re, widths)
+            im = jnp.pad(im, widths)
         if py > 1:
             re = jax.lax.all_to_all(
                 re, SPY_AXIS, split_axis=off + 2, concat_axis=off + 1,
