@@ -151,6 +151,13 @@ def main(argv=None):
                    help="print Minkowski functionals v0..v3 per seed "
                         "(with exact Gaussian predictions for plain "
                         "Gaussian renders; requires --no-lightcone)")
+    p.add_argument("--voids", type=str, default=None, metavar="R1,R2,..",
+                   help="find SO voids with this ascending radius ladder "
+                        "(same units as --spacing); prints the catalog "
+                        "summary and the void size function "
+                        "(mesh-native on --mesh/--pencil scenes)")
+    p.add_argument("--void-threshold", type=float, default=-0.4,
+                   help="enclosed-density threshold for --voids")
     p.add_argument("--peaks", action="store_true",
                    help="print lattice peak counts by height per seed "
                         "(with BBKS predictions for plain Gaussian "
@@ -473,6 +480,29 @@ def main(argv=None):
                     if exp is not None:
                         line += f"  (exp {exp[1][i]:8.1f})"
                     print(line)
+        if args.voids:
+            from randomfield_tpu.models.voids import (
+                find_voids, void_size_function,
+            )
+
+            radii = tuple(float(r) for r in args.voids.split(","))
+            pos, rv = find_voids(
+                delta, args.spacing, radii,
+                threshold=args.void_threshold, mesh=mesh,
+            )
+            box_vol = (ny * nz * args.nx) * args.spacing**3
+            print(f"  voids: {pos.shape[0]} non-overlapping "
+                  f"(threshold {args.void_threshold:+.2f})")
+            if pos.shape[0]:
+                import numpy as _np
+
+                edges = _np.asarray(
+                    [radii[0] * 0.999] + [r * 1.001 for r in radii]
+                )
+                _, dn, nb_ = void_size_function(rv, box_vol, edges)
+                for i, r in enumerate(radii):
+                    print(f"  R_v = {r:8.2f}  n = {int(nb_[i]):5d}  "
+                          f"dn/dlnR = {dn[i]:.3e}")
         if args.out:
             path = args.out.replace("{seed}", str(seed))
             extra = {}

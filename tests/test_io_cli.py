@@ -413,3 +413,32 @@ def test_cli_rsd(tmp_path):
             [sys.executable, "-m", "randomfield_tpu"] + bad,
             capture_output=True, text=True, env=env, cwd=repo, timeout=600)
         assert res.returncode != 0
+
+
+def test_cli_voids(tmp_path):
+    """--voids prints a non-overlapping SO catalog summary + the void
+    size function; works on mesh scenes too (mesh-native path)."""
+    import os, pathlib
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    base = [sys.executable, "-m", "randomfield_tpu", "--nx", "32",
+            "--spacing", "4.0", "--seed", "3", "--no-lightcone",
+            "--voids", "6,9,12", "--void-threshold", "-0.2", "--quiet"]
+    res = subprocess.run(base, capture_output=True, text=True, env=env,
+                         cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "voids:" in res.stdout and "dn/dlnR" in res.stdout
+    line = [ln for ln in res.stdout.splitlines() if "voids:" in ln][0]
+
+    env2 = dict(env)
+    env2["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    res2 = subprocess.run(base + ["--mesh", "2,4"], capture_output=True,
+                          text=True, env=env2, cwd=repo, timeout=600)
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    line2 = [ln for ln in res2.stdout.splitlines() if "voids:" in ln][0]
+    assert line2 == line  # same catalog size, mesh or not
