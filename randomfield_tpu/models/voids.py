@@ -203,6 +203,9 @@ def _make_mesh_void_candidates(mesh, shape, budget):
         out_lead = P(SPACE_AXIS)
     budget = min(int(budget), nx_loc * ny_loc * nz)
 
+    gather_axes = ((_pencil.SPX_AXIS, _pencil.SPY_AXIS) if is_pencil
+                   else (SPACE_AXIS,))
+
     def _local(key_l, rv_l):
         jx = (jax.lax.axis_index(_pencil.SPX_AXIS) if is_pencil
               else jax.lax.axis_index(SPACE_AXIS))
@@ -223,14 +226,17 @@ def _make_mesh_void_candidates(mesh, shape, budget):
             [vals, i.astype(vals.dtype), j.astype(vals.dtype),
              k.astype(vals.dtype)], axis=-1
         )
-        lead = (1, 1) if is_pencil else (1,)
-        return (pack.reshape(*lead, budget, 4),
-                n_cand.reshape(*lead))
+        # replicate the (tiny) per-shard candidate packs everywhere so
+        # the host read is one fully-addressable array on ANY process
+        # count (multihost pods included)
+        pack = jax.lax.all_gather(pack, gather_axes).reshape(-1, budget, 4)
+        ncs = jax.lax.all_gather(n_cand.reshape(1), gather_axes).reshape(-1)
+        return pack, ncs
 
     def fn(key, rv):
         return jax.shard_map(
             _local, mesh=mesh, in_specs=(in_spec, in_spec),
-            out_specs=(P(*out_lead, None, None), out_lead),
+            out_specs=(P(), P()),
             check_vma=False,
         )(key, rv)
 
@@ -259,10 +265,12 @@ def _find_voids_mesh(delta, rv, shape, spacing, mesh, budget, radii):
     is_max = (key >= m) & (rv > 0)   # m includes self: key == m at maxima
     # mask non-candidates to -inf so the shard-local top-k skips them
     key_m = jnp.where(is_max, key, -jnp.inf)
+    from randomfield_tpu.parallel.multihost import replicated_to_host
+
     fn = _make_mesh_void_candidates(mesh, shape, int(budget))
     pack, n_cand = fn(key_m, rv)
-    pack = np.asarray(pack).reshape(-1, 4)
-    n_cand = np.asarray(n_cand).reshape(-1)
+    pack = np.asarray(replicated_to_host(pack)).reshape(-1, 4)
+    n_cand = np.asarray(replicated_to_host(n_cand)).reshape(-1)
     if (n_cand > budget).any():
         raise ValueError(
             f"a shard found {int(n_cand.max())} void candidates, over "

@@ -180,16 +180,38 @@ def knn_cdf(counts, spacing, radii, ks=(1, 2, 3), mesh=None):
     if any(k < 1 for k in ks):
         raise ValueError(f"ks must be >= 1, got {ks}")
     if mesh is not None:
+        from randomfield_tpu.parallel.multihost import replicated_to_host
+
         fn = _make_mesh_knn(mesh, shape, float(spacing), radii, ks)
-        return np.asarray(fn(jnp.asarray(counts, jnp.float32)), np.float64)
+        out = replicated_to_host(fn(jnp.asarray(counts, jnp.float32)))
+        return np.asarray(out, np.float64)
     out = _knn_jit(
         jnp.asarray(counts, jnp.float32), shape, float(spacing), radii, ks
     )
     return np.asarray(out, np.float64)
 
 
-def knn_cdf_positions(positions, shape, spacing, radii, ks=(1, 2, 3)):
-    """kNN-CDFs from tracer positions (NGP-painted, periodic box)."""
+def knn_cdf_positions(positions, shape, spacing, radii, ks=(1, 2, 3),
+                      mesh=None):
+    """kNN-CDFs from tracer positions (NGP-painted, periodic box).
+
+    With ``mesh`` the catalog paints through the sharded NGP painter
+    (parallel/paint.py — host pre-bins by block owner, two-sweep halo
+    exchange) and the CDF ladder runs distributed; counts recovered
+    exactly from the contrast grid (integer weights), so the result
+    equals the single-device estimate."""
+    shape = tuple(int(s) for s in shape)
+    if mesh is not None:
+        import numpy as _np
+
+        from randomfield_tpu.parallel.paint import paint_sharded
+
+        delta, w_mean = paint_sharded(
+            _np.asarray(positions), shape, float(spacing), mesh,
+            window="ngp",
+        )
+        counts = jnp.round((delta + 1.0) * w_mean)
+        return knn_cdf(counts, spacing, radii, ks, mesh=mesh)
     from randomfield_tpu.models.zeldovich import _paint
 
     positions = jnp.asarray(positions)
@@ -197,7 +219,6 @@ def knn_cdf_positions(positions, shape, spacing, radii, ks=(1, 2, 3)):
         raise ValueError(
             f"positions must be (3, ...), got {positions.shape}"
         )
-    shape = tuple(int(s) for s in shape)
     weights = jnp.ones(positions.shape[1:], positions.dtype)
     counts = _paint(positions, weights, shape, float(spacing), 1)
     return knn_cdf(counts, spacing, radii, ks)

@@ -242,10 +242,12 @@ def pair_counts(positions, box, r_edges, weights=None, positions2=None,
     chunk = max(1, min(int(chunk), n1))
     pad = (-n1) % chunk
     if mesh is not None:
-        acc = _pair_count_mesh(
+        from randomfield_tpu.parallel.multihost import replicated_to_host
+
+        acc = replicated_to_host(_pair_count_mesh(
             p1, w1, p2, w2, r_edges, box3, int(nbins), int(nmu), ells,
             int(los_axis), int(chunk), mesh,
-        )
+        ))
     else:
         if pad:
             p1p = jnp.concatenate([p1, jnp.zeros((pad, 3), p1.dtype)])

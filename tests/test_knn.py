@@ -141,3 +141,25 @@ def test_knn_cdf_mesh_matches_single_device(family):
     got0 = knn.knn_cdf(counts, spacing, radii, ks=(1, 2, 3))
     got1 = knn.knn_cdf(counts, spacing, radii, ks=(1, 2, 3), mesh=mesh)
     np.testing.assert_array_equal(got1, got0)
+
+
+@pytest.mark.parametrize("family", ["slab", "pencil"])
+def test_knn_cdf_positions_mesh_matches_single_device(family):
+    """Catalog -> sharded NGP paint -> distributed kNN ladder equals
+    the single-device positions path exactly."""
+    if family == "slab":
+        from randomfield_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=2, space=4)
+    else:
+        from randomfield_tpu.parallel.pencil import make_pencil_mesh
+
+        mesh = make_pencil_mesh(data=2, spx=2, spy=2)
+    rng = np.random.RandomState(2)
+    n, spacing = 32, 4.0
+    pos = rng.uniform(0, n * spacing, size=(3, 700))
+    got0 = knn.knn_cdf_positions(pos, (n, n, n), spacing, (6.0, 12.0),
+                                 ks=(1, 2))
+    got1 = knn.knn_cdf_positions(pos, (n, n, n), spacing, (6.0, 12.0),
+                                 ks=(1, 2), mesh=mesh)
+    np.testing.assert_array_equal(got1, got0)
