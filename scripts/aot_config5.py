@@ -56,7 +56,6 @@ os.environ.setdefault("RF_PALLAS_INTERPRET", "0")
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
 
 _COLLECTIVE_RE = re.compile(
     r"=\s+((?:\([^)]*\)|\S+))\s+"
@@ -171,7 +170,7 @@ def main():
     from randomfield_tpu.ops.pallas_sampler import make_sigma_table
     from randomfield_tpu.parallel import dfft
     from randomfield_tpu.parallel import render as prender
-    from randomfield_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS, make_mesh
+    from randomfield_tpu.parallel.mesh import SPACE_AXIS, make_mesh
     from randomfield_tpu.parallel.pencil import make_pencil_mesh
 
     n = args.grid
@@ -251,11 +250,7 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     fwd = jax.jit(lambda x: dfft.rfftn_slab(x, shape, mesh))
-    xs = jax.ShapeDtypeStruct(
-        shape, jnp.float32,
-        sharding=NamedSharding(mesh, P(None, SPACE_AXIS, None)),
-    )
-    # field enters sharded along x (the render output layout): re-spec
+    # field enters sharded along x (the render output layout)
     xs = jax.ShapeDtypeStruct(
         shape, jnp.float32,
         sharding=NamedSharding(mesh, P(SPACE_AXIS, None, None)),
