@@ -258,14 +258,14 @@ def main():
     compile_one(f"rfftn_slab_space{nd}", fwd, (xs,), progs, args.hbm_gib)
 
     # --- spectrum-space sample_power (config 4 on the mesh) ---
-    fsp = prender.make_sharded_spectrum_bins(mesh, shape, spacing, nbins=32)
-    sig_grid = jax.ShapeDtypeStruct(
-        (n, n, n // 2 + 1), jnp.float32,
-        sharding=NamedSharding(mesh, P(None, SPACE_AXIS, None)),
-    )
+    # the production TPU default: per-shard Pallas sigma scale kernel
+    # (no sigma grid input)
+    fsp = prender.make_sharded_spectrum_bins(mesh, shape, spacing,
+                                             nbins=32, scale_kernel=True)
     compile_one(
         f"sample_power_bins_space{nd}", fsp,
-        (jax.random.key(0), np.asarray(lk), np.asarray(val), sig_grid,
+        (jax.random.key(0), np.asarray(lk), np.asarray(val),
+         (np.float32(lk0x), np.float32(1.0 / dlkx), np.asarray(stabx)),
          np.float32(0.0)),
         progs, args.hbm_gib,
     )
