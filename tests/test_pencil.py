@@ -319,3 +319,24 @@ def test_pencil_mesh_pallas_render_matches_single_device_kernel():
         batch[0], np.asarray(g.generate_delta_field(seed=5))
     )
     np.testing.assert_array_equal(batch[1], single)
+
+
+@pytest.mark.slow
+def test_pencil_render_production_shard_geometry():
+    """256^3 on a (2, 2, 2) pencil mesh: non-degenerate (x, y) block
+    tiles through the full sharded program + estimator parity (the
+    pencil counterpart of test_parallel's slow-tier geometry gate)."""
+    import randomfield_tpu as rf
+    from randomfield_tpu.validate import stats as _stats
+
+    n = 256
+    mesh = pc.make_pencil_mesh(data=2, spx=2, spy=2)
+    g = rf.Generator(n, n, n, grid_spacing=8.0, mesh=mesh)
+    d = g.generate_delta_field(seed=13, apply_lightcone=False)
+    var = float(jnp.var(d))
+    assert abs(var / g.predicted_variance() - 1.0) < 0.05
+    k, p, nm = g.calculate_power(d, nbins=12)
+    k0, p0, nm0 = _stats.calculate_power(np.asarray(d), 8.0, nbins=12)
+    np.testing.assert_allclose(nm, nm0, rtol=1e-6)
+    m = nm0 > 0
+    np.testing.assert_allclose(p[m], p0[m], rtol=2e-3)
